@@ -1,0 +1,693 @@
+"""Batch relational operator inventory (SURVEY §2.2-2.8) over the
+driver testdata, each with a DuckDB oracle twin.
+
+The reference's relational surface is embedded SQLite SQL + in-memory
+Python dataflow (phone_message_producer.py:77-281, 380-635).  Here each
+operator class is re-expressed as a declarative DataFrame plan over the
+TPC-H-ish testdata so Catalyst owns optimization (pushdown, pruning,
+broadcast selection) — zero custom planner machinery, per SURVEY §4.
+
+Determinism rules for exact hash parity with the oracle:
+- money aggregates go through DECIMAL so sums are exact and
+  order-insensitive in both engines (double summation is order-dependent);
+- timestamps surface as ms-epoch BIGINT (``unix_millis`` / ``epoch_ms``);
+- every ORDER BY ... LIMIT carries a unique tiebreaker column;
+- "random" sampling/classification derives from md5 (identical hex in
+  both engines) — see functions/expressions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.expressions import (
+    build_phone_number,
+    det_hash_hex,
+    det_uniform,
+    epoch_ms,
+    fmt_hhmmss,
+    weighted_classify,
+)
+from ..sources.tables import load_table
+from . import Registry
+
+REG = Registry()
+
+# Timeout for the batch undelivered-detector analog (J5): 2 days between a
+# user's first 'signup' and first subsequent 'purchase'.  Mirrors the
+# reference's configurable undelivered timeout (py:52-53, README.md:31-35)
+# scaled to the testdata's 30-day event horizon.
+TIMEOUT_MS = 2 * 86_400_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# P-series: projections, filters, predicates (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "p1_projection_sort_limit",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    doc="P1/SRT1/SRT2 (py:120-125): projection + ORDER BY + LIMIT; unique sort key.",
+)
+def p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@REG.add(
+    "p2_filter_inequality",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type <> 'purchase'
+    """,
+    doc="P2 (py:160-165): active-message analog `status != 'delivered'`.",
+)
+def p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "purchase")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@REG.add(
+    "p3_filter_eq_single_col",
+    "SELECT event_id FROM events WHERE event_type = 'purchase'",
+    doc="P3 (py:239): delivered-ids analog — equality filter + single-column projection.",
+)
+def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select("event_id")
+
+
+@REG.add(
+    "p4_filter_enum",
+    "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'P'",
+    doc="P4 (py:248): equality filter on small enum domain (delivery_type='never' analog).",
+)
+def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@REG.add(
+    "p5_time_threshold",
+    """
+    SELECT event_id FROM events
+    WHERE (SELECT MAX(epoch_ms(ts)) FROM events) - epoch_ms(ts) >= 15 * 86400000
+    """,
+    doc="P5 (py:551,813): heartbeat-due event-time threshold `now - last_heartbeat >= interval`; "
+    "'now' = table max ts via scalar subquery.",
+)
+def p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    now_ms = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("now_ms"))
+    return (
+        ev.crossJoin(F.broadcast(now_ms))
+        .filter(F.col("now_ms") - epoch_ms(F.col("ts")) >= F.lit(15 * 86_400_000))
+        .select("event_id")
+    )
+
+
+@REG.add(
+    "p6_branching_threshold",
+    """
+    SELECT event_id, event_type, value FROM events
+    WHERE CASE WHEN event_type = 'click' THEN value >= 10.0
+               WHEN event_type = 'view'  THEN value >= 5.0
+               ELSE FALSE END
+    """,
+    doc="P6 (py:580-589): delivery-due predicate branching on delivery_type.",
+)
+def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = (
+        F.when(F.col("event_type") == "click", F.col("value") >= 10.0)
+        .when(F.col("event_type") == "view", F.col("value") >= 5.0)
+        .otherwise(F.lit(False))
+    )
+    return _t(spark, sf_dir, "events").filter(pred).select("event_id", "event_type", "value")
+
+
+@REG.add(
+    "p7_null_as_status",
+    """
+    SELECT user_id FROM events
+    GROUP BY user_id
+    HAVING MIN(CASE WHEN event_type = 'purchase'
+                     AND ts < TIMESTAMP '2024-01-05'
+                    THEN epoch_ms(ts) END) IS NULL
+    """,
+    doc="P7 (py:100): 'undelivered' <=> delivered_time IS NULL — users with no "
+    "purchase inside the observation window (nullability is the status bit).",
+)
+def p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") < F.lit("2024-01-05").cast("timestamp")),
+            epoch_ms(F.col("ts")),
+        )
+    ).alias("first_purchase")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(first_purchase)
+        .filter(F.col("first_purchase").isNull())
+        .select("user_id")
+    )
+
+
+@REG.add(
+    "p8_membership_sets",
+    """
+    SELECT event_id FROM events
+    WHERE event_type IN ('click', 'view') AND user_id NOT IN (1, 2, 3)
+    """,
+    doc="P8 (py:547,577): semi/anti membership against small key sets (isin path).",
+)
+def p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & ~F.col("user_id").isin(1, 2, 3))
+        .select("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-series: joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "j1_join_filter_groupby",
+    """
+    SELECT c_mktsegment, COUNT(*) AS active_count
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY c_mktsegment
+    """,
+    doc="J1/A3 (py:266-272): dim⋈fact + filter + group-by count — active messages per "
+    "carrier analog. Dimension side broadcast (Catalyst auto + explicit hint).",
+)
+def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("active_count"))
+    )
+
+
+@REG.add(
+    "j2_scalar_correlated_subquery",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="J2 (py:219-223): scalar correlated subquery — Catalyst decorrelates natively.",
+)
+def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@REG.add(
+    "j3_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="J3 (py:484-486): available-phones analog — set difference as left anti join.",
+)
+def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@REG.add(
+    "j4_semi_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="J4 (py:547,577): delivered-set membership as left semi join.",
+)
+def j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@REG.add(
+    "j5_timeout_pairing",
+    f"""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS first_sent_ms
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    d AS (
+        SELECT s.user_id, MIN(epoch_ms(e.ts)) AS delivered_ms
+        FROM s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND epoch_ms(e.ts) >= s.first_sent_ms
+        GROUP BY s.user_id
+    )
+    SELECT s.user_id, s.first_sent_ms, d.delivered_ms,
+           d.delivered_ms - s.first_sent_ms AS latency_ms,
+           (d.delivered_ms IS NULL OR d.delivered_ms - s.first_sent_ms > {TIMEOUT_MS})
+               AS alerted
+    FROM s LEFT JOIN d ON s.user_id = d.user_id
+    """,
+    doc="J5/ST1-batch (README.md:31-35; py:99-100): the flagship undelivered-message "
+    "detector as a batch plan — first 'sent' (signup) paired with first subsequent "
+    "'delivered' (purchase); alert when absent or late. Streaming twin: streaming/detector.py.",
+)
+def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sent = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_ms(F.col("ts"))).alias("first_sent_ms"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), epoch_ms(F.col("ts")).alias("p_ms")
+    )
+    delivered = (
+        sent.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id")) & (F.col("p_ms") >= F.col("first_sent_ms")),
+            "inner",
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ms").alias("delivered_ms"))
+    )
+    out = sent.join(delivered, "user_id", "left")
+    latency = (F.col("delivered_ms") - F.col("first_sent_ms")).alias("latency_ms")
+    alerted = (
+        F.col("delivered_ms").isNull() | ((F.col("delivered_ms") - F.col("first_sent_ms")) > TIMEOUT_MS)
+    ).alias("alerted")
+    return out.select("user_id", "first_sent_ms", "delivered_ms", latency, alerted)
+
+
+# ---------------------------------------------------------------------------
+# A-series: aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "a1_count_global",
+    "SELECT COUNT(*) AS cnt FROM lineitem",
+    doc="A1 (py:258-259): global COUNT(*).",
+)
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@REG.add(
+    "a2_groupby_count",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    doc="A2 (py:262-263): hash aggregate — status histogram analog.",
+)
+def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+@REG.add(
+    "a3_join_agg_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    doc="A3 extension of J1 (py:266-273) at TPC-H-Q5 shape: 5-way star join + agg. "
+    "DECIMAL sum => exact, order-insensitive, hash-stable across engines. "
+    "Dims broadcast; only the lineitem⋈orders join shuffles.",
+)
+def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+    ).select("c_custkey", "n_name")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@REG.add(
+    "a4_group_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(AVG(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="A4 (py:915-918): dict-accumulation carrier stats analog as hash agg.",
+)
+def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("value").cast("decimal(18,4)")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(v).cast("double").alias("total_value"),
+            F.avg(v).cast("double").alias("avg_value"),
+        )
+    )
+
+
+@REG.add(
+    "a6_running_counters",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS total_sent,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS total_delivered
+    FROM events GROUP BY user_id
+    """,
+    doc="A6/U2 (py:197-201,219-223): running counters as derived aggregates, never "
+    "mutated-in-place (SURVEY §2.7 stance).",
+)
+def a6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "signup", 1)).alias("total_sent"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("total_delivered"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRT/SMP: sorts, limits, sampling (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "srt1_topn_by_time",
+    """
+    SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+    doc="SRT1/SRT2 (py:120-122): ORDER BY time + LIMIT with unique tiebreaker. "
+    "Spark executes as TakeOrderedAndProject — no full sort at scale.",
+)
+def srt1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+        .select("event_id", epoch_ms(F.col("ts")).alias("ts_ms"))
+    )
+
+
+@REG.add(
+    "smp1_deterministic_sample",
+    """
+    SELECT event_id, user_id FROM events
+    ORDER BY md5('42-' || CAST(event_id AS VARCHAR)), event_id LIMIT 500
+    """,
+    doc="SMP1 (py:497,771): exact-n uniform sample without replacement, seeded — "
+    "rank by md5(seed||key) so Spark and the oracle draw the identical sample.",
+)
+def smp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rank = det_hash_hex("event_id", seed="42")
+    return (
+        ev.orderBy(rank.asc(), F.col("event_id").asc())
+        .limit(500)
+        .select("event_id", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-series: upsert / snapshot semantics (SURVEY §2.7) — event-sourced, no
+# in-place mutation (risk register §7 item 5).
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "u1_insert_or_ignore",
+    """
+    WITH existing AS (
+        SELECT c_custkey AS k, c_name AS name, 'existing' AS src
+        FROM customer WHERE c_custkey <= 100
+    ),
+    incoming AS (
+        SELECT s_suppkey AS k, s_name AS name, 'incoming' AS src FROM supplier
+    )
+    SELECT * FROM existing
+    UNION ALL
+    SELECT * FROM incoming i WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.k = i.k)
+    """,
+    doc="U1 (py:133-152): INSERT OR IGNORE = incoming ANTI JOIN existing, then append.",
+)
+def u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"), F.lit("existing").alias("src"))
+    )
+    incoming = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), F.col("s_name").alias("name"), F.lit("incoming").alias("src")
+    )
+    fresh = incoming.join(existing.select("k"), "k", "left_anti")
+    return existing.unionByName(fresh)
+
+
+@REG.add(
+    "u3_snapshot_last_event_wins",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS status,
+           epoch_ms(ts) AS last_ts_ms
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="U3/U5 (py:211-216,610-614): point-UPDATE status transitions re-expressed as a "
+    "last-event-wins snapshot over the event log (window row_number=1).",
+)
+def u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("status"),
+            epoch_ms(F.col("ts")).alias("last_ts_ms"),
+        )
+    )
+
+
+@REG.add(
+    "u4_heartbeat_rollup",
+    """
+    SELECT user_id,
+           MIN(epoch_ms(ts)) AS first_sent_ms,
+           MAX(epoch_ms(ts)) AS last_heartbeat_ms,
+           COUNT(*) AS n_heartbeats
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+    """,
+    doc="U4/ST2 (py:225-229, 540-568): heartbeat bookkeeping — first-sent = MIN(ts) "
+    "(the §1.3 dedup invariant), last_heartbeat = MAX(ts).",
+)
+def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = epoch_ms(F.col("ts"))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.min(ms).alias("first_sent_ms"),
+            F.max(ms).alias("last_heartbeat_ms"),
+            F.count("*").alias("n_heartbeats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-series: scalar expression parity (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "f_expressions",
+    """
+    SELECT event_id,
+           strftime(ts, '%H:%M:%S') AS hhmmss,
+           CAST(CONCAT(CAST(212 + (user_id % 6) AS VARCHAR),
+                       CAST(200 + (user_id % 800) AS VARCHAR),
+                       CAST(1000 + (event_id % 9000) AS VARCHAR)) AS BIGINT) AS phone_concat,
+           (212 + (user_id % 6)) * 10000000
+             + (200 + (user_id % 800)) * 10000
+             + (1000 + (event_id % 9000)) AS phone_arith,
+           epoch_ms(ts) + 30 * 1000 AS hb_due_ms,
+           SUBSTR(md5(CAST(event_id AS VARCHAR)), 1, 8) AS short_id
+    FROM events
+    """,
+    doc="F3/F4/F5/F10 (py:551, 755, 393-397, 427): ms arithmetic, HH:mm:ss formatting, "
+    "phone-number construction both by concat-cast and pure arithmetic, id truncation.",
+)
+def f_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    area = F.lit(212) + (F.col("user_id") % 6)
+    exch = F.lit(200) + (F.col("user_id") % 800)
+    num = F.lit(1000) + (F.col("event_id") % 9000)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        fmt_hhmmss(F.col("ts")).alias("hhmmss"),
+        F.concat(area.cast("string"), exch.cast("string"), num.cast("string"))
+        .cast("bigint")
+        .alias("phone_concat"),
+        build_phone_number(area, exch, num).alias("phone_arith"),
+        (epoch_ms(F.col("ts")) + 30 * 1000).alias("hb_due_ms"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8).alias("short_id"),
+    )
+
+
+@REG.add(
+    "f8_weighted_classify",
+    """
+    WITH classified AS (
+        SELECT user_id,
+               CASE WHEN u < 0.85 THEN 'normal'
+                    WHEN u < 0.95 THEN 'delayed'
+                    ELSE 'never' END AS delivery_type
+        FROM (
+            SELECT DISTINCT user_id,
+                   (4096 * (strpos('0123456789abcdef', substr(md5('42-' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                    + 256 * (strpos('0123456789abcdef', substr(md5('42-' || CAST(user_id AS VARCHAR)), 2, 1)) - 1)
+                    + 16  * (strpos('0123456789abcdef', substr(md5('42-' || CAST(user_id AS VARCHAR)), 3, 1)) - 1)
+                    +       (strpos('0123456789abcdef', substr(md5('42-' || CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+                   ) / 65536.0 AS u
+            FROM events
+        )
+    )
+    SELECT delivery_type, COUNT(*) AS cnt FROM classified GROUP BY delivery_type
+    """,
+    doc="F8 (py:463-472): weighted categorical 0.85/0.10/0.05 with the uniform draw "
+    "bound once per key — deterministic via md5 so the oracle draws identically.",
+)
+def f8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    u = det_uniform("user_id", seed="42")
+    return (
+        users.withColumn("delivery_type", weighted_classify(u))
+        .groupBy("delivery_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monitoring / extension analytics (SURVEY §2.9 ST9, §7.4-7.5 extensions)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "w1_hourly_event_counts",
+    """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    doc="ST9-analog monitoring rollup: tumbling 1h window counts (batch twin of the "
+    "streaming window() aggregation).",
+)
+def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@REG.add(
+    "w2_latency_quantiles",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS first_sent_ms
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    d AS (
+        SELECT s.user_id, MIN(epoch_ms(e.ts)) AS delivered_ms
+        FROM s JOIN events e ON e.user_id = s.user_id AND e.event_type = 'purchase'
+                            AND epoch_ms(e.ts) >= s.first_sent_ms
+        GROUP BY s.user_id
+    )
+    SELECT CAST(ROUND(quantile_cont(delivered_ms - first_sent_ms, 0.5), 2) AS DOUBLE) AS p50_ms,
+           CAST(ROUND(quantile_cont(delivered_ms - first_sent_ms, 0.95), 2) AS DOUBLE) AS p95_ms,
+           COUNT(*) AS n
+    FROM s JOIN d ON s.user_id = d.user_id
+    """,
+    doc="§7.4 extension: delivery-latency percentiles over the J5 pairing — exact "
+    "interpolated percentile (Spark `percentile` == DuckDB `quantile_cont`).",
+)
+def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paired = j5(spark, sf_dir).filter(F.col("delivered_ms").isNotNull())
+    lat = F.col("latency_ms").cast("double")
+    return paired.agg(
+        F.round(F.percentile(lat, F.lit(0.5)), 2).alias("p50_ms"),
+        F.round(F.percentile(lat, F.lit(0.95)), 2).alias("p95_ms"),
+        F.count("*").alias("n"),
+    )

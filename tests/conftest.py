@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import pytest
+
+from banking_streamprocessing_demos_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "engine-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "10485760"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    from banking_streamprocessing_demos_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    yield con
+    con.close()
