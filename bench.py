@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the scale-sensitive plans: the 5-way star join, the
+timeout detector, snapshot reconstruction, counters, and (when
+registered) the LLM-pipeline dedup/similarity ops.  Each query runs
+once after a shared-session warm-up; timing includes plan + execution
+(collect), which is what a user of the engine experiences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from banking_streamprocessing_demos_spark.session import get_spark
+
+HEADLINE = [
+    "a3_join_agg_revenue",
+    "j1_join_filter_groupby",
+    "j2_scalar_correlated_subquery",
+    "j5_timeout_pairing",
+    "u3_snapshot_last_event_wins",
+    "a6_running_counters",
+    "w1_hourly_event_counts",
+    # LLM-pipeline ops (present once operators/dedup|similarity|text land)
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + parquet footer caches, not the queries themselves
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
