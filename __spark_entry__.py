@@ -17,9 +17,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from banking_streamprocessing_demos_spark.operators import merge_registries
+from banking_streamprocessing_demos_spark.operators.message_domain import REG as MESSAGE_REG
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
 
-_REGISTRIES = [RELATIONAL_REG]
+_REGISTRIES = [RELATIONAL_REG, MESSAGE_REG]
 
 
 def _all_queries():

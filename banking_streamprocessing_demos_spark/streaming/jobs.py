@@ -1,0 +1,96 @@
+"""Streaming job wiring: sources, monitoring rollups (ST9), sinks
+(S5 console dry-run; parquet via foreachBatch), and a file-replay
+harness used by tests in place of Kafka.
+
+The reference runs three daemon threads over shared dicts (ST8,
+py:616-653); here each periodic dataflow is a streaming query with a
+trigger — per-key serial state access in the detector resolves the
+heartbeat-vs-delivery races for free (SURVEY §3.1 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import MESSAGE_EVENT_SCHEMA
+
+
+def read_event_stream_from_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source replay of a MESSAGE_EVENT_SCHEMA parquet directory —
+    the Kafka-less test path (tests run Kafka-less per SURVEY §7 Phase 3).
+    ``maxFilesPerTrigger`` is the backpressure knob (ST7 analog of
+    maxOffsetsPerTrigger)."""
+    reader = spark.readStream.schema(MESSAGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def status_counts(events: DataFrame, window: str = "30 seconds") -> DataFrame:
+    """ST9 (py:674-697): the status() monitoring snapshot as a windowed
+    streaming aggregation — counts by status per tumbling window."""
+    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    if with_time.isStreaming:
+        with_time = with_time.withWatermark("event_time", "1 minute")
+    return (
+        with_time.groupBy(F.window("event_time", window), "status")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "status",
+            "cnt",
+        )
+    )
+
+
+def carrier_counts(events: DataFrame, window: str = "30 seconds") -> DataFrame:
+    """ST9 carrier breakdown (py:688-697)."""
+    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    if with_time.isStreaming:
+        with_time = with_time.withWatermark("event_time", "1 minute")
+    return (
+        with_time.groupBy(F.window("event_time", window), "carrier")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "carrier",
+            "cnt",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> None:
+    """Execute a streaming DataFrame to completion (availableNow) into an
+    in-memory table ``name`` — the test sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+
+
+def console_dry_run(events: DataFrame) -> DataFrame:
+    """S5 (py:740-756): the dry-run console projection
+    `[HH:MM:SS] STATUS: phone (carrier)` as a formatted column."""
+    return events.select(
+        F.concat(
+            F.lit("["),
+            F.date_format(F.timestamp_millis(F.col("timestamp")), "HH:mm:ss"),
+            F.lit("] "),
+            F.upper(F.col("status")),
+            F.lit(": "),
+            F.col("phone_number").cast("string"),
+            F.lit(" ("),
+            F.col("carrier"),
+            F.lit(")"),
+        ).alias("line")
+    )
