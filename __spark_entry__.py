@@ -17,10 +17,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from banking_streamprocessing_demos_spark.operators import merge_registries
+from banking_streamprocessing_demos_spark.operators.dedup import REG as DEDUP_REG
 from banking_streamprocessing_demos_spark.operators.message_domain import REG as MESSAGE_REG
+from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_REG
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
+from banking_streamprocessing_demos_spark.operators.similarity import REG as SIM_REG
+from banking_streamprocessing_demos_spark.operators.text import REG as TEXT_REG
 
-_REGISTRIES = [RELATIONAL_REG, MESSAGE_REG]
+_REGISTRIES = [RELATIONAL_REG, MESSAGE_REG, DEDUP_REG, SIM_REG, TEXT_REG, MM_REG]
 
 
 def _all_queries():

@@ -1,0 +1,324 @@
+"""Deduplication operators for LLM-data pipelines (north-star extension):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-duplicate detection over ``documents`` / ``embeddings``.
+
+Scale stance (100 TB):
+- exact/fingerprint dedup is a hash groupBy — one shuffle on a 16-byte
+  key, map-side combined;
+- n-gram Jaccard is quadratic and exists as the *verifier* for LSH
+  candidates, never run all-pairs at scale;
+- MinHash+LSH is the scale path: shingle → K min-hashes → band buckets →
+  candidate pairs via an equi-join on (band, bucket) — the all-pairs
+  blowup is replaced by a join whose output is only the colliding pairs;
+- SimHash gives a per-document 32-bit sketch; near-dup = Hamming ≤ k,
+  found by banding the sketch the same way.
+
+Determinism/portability: "hash functions" are md5 of seed-prefixed
+strings, so DuckDB reproduces every signature bit-for-bit; lexicographic
+MIN over hex strings is the MinHash permutation (a valid uniform order
+on shingles), which both engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Registry
+
+REG = Registry()
+
+NGRAM_N = 3
+JACCARD_TAU = 0.5
+MINHASH_K = 12  # 4 bands x 3 rows
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+COSINE_TAU = 0.45
+SIMHASH_BITS = 32
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# shared shingle SQL / DataFrame builders
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+    shingles AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                 UNNEST(range(1, len(words) - 1)) AS t(i)
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document.  transform over a
+    sequence keeps the n-gram construction inside codegen; one explode."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("words") - NGRAM_N),
+        lambda i: F.concat_ws(
+            " ", F.get("words", i), F.get("words", i + 1), F.get("words", i + 2)
+        ),
+    )
+    return (
+        doc.filter(F.size("words") >= NGRAM_N)
+        .select("doc_id", F.explode(grams).alias("s"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for all shingle-colliding pairs: equi-join on the
+    shingle, count intersections, join sizes.  (The join IS the candidate
+    filter — non-overlapping pairs never materialize.)"""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content md5; canonical = min doc_id. "
+    "One shuffle on a 16-byte key; duplicate elimination at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@REG.add(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           ROUND(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= {JACCARD_TAU}
+    """,
+    doc=f"n-gram Jaccard near-dup pairs (3-gram word shingles, tau={JACCARD_TAU}): "
+    "exact similarity via shingle equi-join — the verifier stage of LSH.",
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pair_jaccard(_shingles(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(md5('mh{i}-' || s)) AS h{i}" for i in range(MINHASH_K)
+    )
+    return f"sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
+
+
+def _band_sql(b: int) -> str:
+    cols = " || ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS))
+    return f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+
+
+@REG.add(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    {_minhash_sig_sql()},
+    bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(MINHASH_BANDS))}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               (SELECT COUNT(*) FROM shingles x JOIN shingles y
+                 ON x.s = y.s AND x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter
+        FROM cands c
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(v.inter / CAST(sa.n + sb.n - v.inter AS DOUBLE), 6) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE v.inter / CAST(sa.n + sb.n - v.inter AS DOUBLE) >= {JACCARD_TAU}
+    """,
+    doc=f"MinHash+LSH dedup ({MINHASH_K} hashes, {MINHASH_BANDS} bands x {MINHASH_ROWS}): "
+    "shingle → per-permutation min (lexicographic md5 order) → band buckets → "
+    "candidate pairs by (band,bucket) equi-join → exact-Jaccard verify. The scale "
+    "path: collisions, not all-pairs.",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"mh{i}-"), F.col("s")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_frames = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)])
+            ).alias("bucket"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (semi-join restricts the
+    # quadratic stage to colliding pairs only)
+    verified = (
+        _pair_jaccard(sh)
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def _simhash_sql() -> str:
+    # per distinct word: first 8 md5 hex digits -> 32 bits; +1/-1 vote per bit
+    return f"""
+    words AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+    ),
+    wbits AS (
+        SELECT doc_id, w, bit,
+               CASE WHEN (strpos('{HEX}', substr(md5('sh-' || w), CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                         // CAST(POW(2, 3 - bit % 4) AS INT) % 2 = 1
+                    THEN 1 ELSE -1 END AS vote
+        FROM words, UNNEST(range({SIMHASH_BITS})) AS t(bit)
+    ),
+    docbits AS (
+        SELECT doc_id, bit, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS b
+        FROM wbits GROUP BY doc_id, bit
+    )
+    """
+
+
+@REG.add(
+    "dedup_simhash",
+    f"""
+    WITH {_simhash_sql()}
+    SELECT doc_id, CAST(SUM(b * CAST(POW(2, bit) AS BIGINT)) AS BIGINT) AS simhash
+    FROM docbits GROUP BY doc_id
+    """,
+    doc="SimHash 32-bit sketch per document: md5-derived bit votes over distinct "
+    "words, majority per bit. Near-dup = Hamming distance <= k over the sketch "
+    "(banded the same way as MinHash at scale); sketch itself is hash-checked.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    bits = words.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    digit = F.instr(F.lit(HEX), F.substring(F.md5(F.concat(F.lit("sh-"), F.col("w"))), (F.col("bit") / 4).cast("int") + 1, 1)) - 1
+    vote = F.when(
+        (digit / F.pow(F.lit(2), F.lit(3) - F.col("bit") % 4).cast("int")).cast("int") % 2 == 1, 1
+    ).otherwise(-1)
+    docbits = (
+        bits.withColumn("vote", vote)
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .select("doc_id", "bit", F.when(F.col("v") > 0, 1).otherwise(0).alias("b"))
+    )
+    return docbits.groupBy("doc_id").agg(
+        F.sum(F.col("b") * F.pow(F.lit(2), F.col("bit")).cast("bigint")).cast("bigint").alias("simhash")
+    )
+
+
+@REG.add(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_TAU}
+    """,
+    doc=f"Embedding cosine near-dup pairs (tau={COSINE_TAU}), double precision. "
+    "All-pairs here (the exact verifier); the ANN-bucketed variant in "
+    "similarity.py is the scale path.",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot_self = F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    n = e.withColumn("nrm", F.sqrt(dot_self))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_raw") >= COSINE_TAU)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

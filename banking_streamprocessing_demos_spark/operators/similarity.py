@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (north-star extension):
+brute-force cosine top-k as the exact baseline, and a deterministic
+random-hyperplane LSH bucketed variant as the scale path.
+
+Scale stance (100 TB): brute force is O(Q·N) — correct but only viable
+when the query side is small enough to broadcast (it is broadcast
+here).  The LSH variant hashes every vector into sign-pattern buckets;
+the pair join collapses to bucket collisions, trading recall for a
+~2^bits reduction in candidates.  An IVF layout (cluster-assign +
+probe-nearest-cells) drops in the same shape: partition by cell id,
+prune cells at query time — partition pruning does the work Catalyst
+already knows how to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.expressions import HEX_DIGITS
+from ..sources.tables import load_table
+from . import Registry
+
+REG = Registry()
+
+TOPK = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+LSH_BITS = 6
+DIMS = 64
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot_self = F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    return e.withColumn("nrm", F.sqrt(dot_self))
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@REG.add(
+    "sim_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+    """,
+    doc=f"Brute-force cosine top-{TOPK} for {N_QUERIES} query vectors: query side "
+    "broadcast, corpus scanned once, ranking via window over rounded cosine with "
+    "deterministic vec_id tiebreak. The exact baseline ANN variants are judged "
+    "against.",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normed(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_weight(bit: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane weights from md5 parity — reproducible
+    in any engine with md5 (used by both the Spark impl and tests)."""
+    import hashlib
+
+    h = hashlib.md5(f"lsh{bit}-{dim}".encode()).hexdigest()
+    return 1 if HEX_DIGITS.index(h[0]) % 2 == 1 else -1
+
+
+@REG.add(
+    "sim_ann_lsh",
+    None,  # ANN is approximate by design → rows-only driver check;
+    # recall vs the exact baseline is asserted in tests/test_similarity.py
+    doc=f"Random-hyperplane LSH ANN: {LSH_BITS} deterministic ±1 hyperplanes → "
+    "sign-pattern bucket per vector; candidates = bucket collisions; exact "
+    "cosine re-rank within bucket. Scale path for similarity search — the "
+    "bucket join replaces the all-pairs product.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normed(spark, sf_dir)
+    # bucket id = sign pattern over LSH_BITS hyperplanes (weights ±1)
+    bucket = None
+    for bit in range(LSH_BITS):
+        weights = F.array(*[F.lit(float(_hyperplane_weight(bit, d))) for d in range(DIMS)])
+        proj = F.aggregate(
+            F.zip_with("v", weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        )
+        bit_col = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bit_col if bucket is None else bucket * 2 + bit_col
+    bucketed = n.withColumn("bucket", bucket)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("cbucket") == F.col("qbucket")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

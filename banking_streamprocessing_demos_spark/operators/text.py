@@ -1,0 +1,183 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extension;
+repo BASELINE.json): language-ID heuristic, quality scoring, token
+counting, document fingerprinting — all over the ``documents`` table.
+
+Everything is built-in expressions (JVM-side, codegen-friendly); the
+shapes are chosen to scale: per-document work is embarrassingly
+parallel, the only shuffle is the explode+groupBy in token counting,
+which map-side-combines.  Each query has an exact DuckDB oracle —
+portable string arithmetic only (replace-count, strpos, md5), no
+engine-specific regex dialects in checked paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Registry
+
+REG = Registry()
+
+# language marker words (checked as ' w ' substrings of the padded text);
+# replace-count is non-overlapping in both engines, so parity is exact
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "des"],
+    "zh": ["de", "shi", "le"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def _padded(col):
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def _count_word_sql(text_expr: str, word: str) -> str:
+    needle = f" {word} "
+    return f"CAST((length({text_expr}) - length(replace({text_expr}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+
+
+_PAD_SQL = "(' ' || text || ' ')"
+
+
+@REG.add(
+    "text_stats_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS word_count,
+           CAST(ROUND((length(text) - (length(text) - length(replace(text, ' ', ''))))
+                 / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE), 6) AS DOUBLE) AS avg_word_len,
+           CAST(ROUND(({" + ".join(_count_word_sql(_PAD_SQL, w) for w in STOPWORDS)})
+                 / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE), 6) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Quality scoring: length, word count, average word length, stopword ratio — "
+    "pure per-row expressions, no shuffle, fully pushed into the scan stage.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    word_count = (spaces + 1).cast("long")
+    stop_hits = None
+    padded = _padded(F.col("text"))
+    for w in STOPWORDS:
+        needle = f" {w} "
+        c = (
+            (F.length(padded) - F.length(F.expr(f"replace(' ' || text || ' ', '{needle}', '')")))
+            / len(needle)
+        ).cast("long")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return doc.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        word_count.alias("word_count"),
+        F.round((F.length("text") - spaces) / word_count.cast("double"), 6)
+        .cast("double")
+        .alias("avg_word_len"),
+        F.round(stop_hits / word_count.cast("double"), 6).cast("double").alias("stopword_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_count_word_sql(_PAD_SQL, w) for w in LANG_MARKERS[lang])
+
+
+@REG.add(
+    "text_langid",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang AS actual_lang,
+               {", ".join(f"({_lang_score_sql(lg)}) AS s_{lg}" for lg in LANG_MARKERS)}
+        FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE GREATEST(s_en, s_de, s_es, s_fr, s_zh)
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang,
+           GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best_score
+    FROM scores
+    """,
+    doc="Language-ID n-gram/marker heuristic: per-language marker-word hit counts, "
+    "argmax with deterministic tiebreak order (en,de,es,fr,zh).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    scores = {}
+    for lg, words in LANG_MARKERS.items():
+        total = None
+        for w in words:
+            needle = f" {w} "
+            c = (
+                (
+                    F.length(_padded(F.col("text")))
+                    - F.length(F.expr(f"replace(' ' || text || ' ', '{needle}', '')"))
+                )
+                / len(needle)
+            ).cast("long")
+            total = c if total is None else total + c
+        scores[lg] = total
+    df = doc.select(
+        "doc_id", F.col("lang").alias("actual_lang"), *[scores[lg].alias(f"s_{lg}") for lg in LANG_MARKERS]
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_MARKERS])
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_de") == best, "de")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    return df.select(
+        "doc_id", "actual_lang", pred.alias("predicted_lang"), best.alias("best_score")
+    )
+
+
+@REG.add(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws,
+           (SELECT CAST(SUM(CAST(CEIL(length(w) / 4.0) AS BIGINT)) AS BIGINT)
+            FROM UNNEST(string_split(d.text, ' ')) AS t(w)) AS n_tokens_subword
+    FROM documents d
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish subword estimate "
+    "(ceil(len/4) per word, summed via explode + map-side-combined aggregation).",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    exploded = doc.select(
+        "doc_id", (spaces + 1).cast("long").alias("n_tokens_ws"), F.explode(F.split("text", " ")).alias("w")
+    )
+    return exploded.groupBy("doc_id", "n_tokens_ws").agg(
+        F.sum(F.ceil(F.length("w") / 4.0).cast("long")).cast("long").alias("n_tokens_subword")
+    ).select("doc_id", "n_tokens_ws", "n_tokens_subword")
+
+
+@REG.add(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow_fp,
+           substr(md5(text), 1, 16) AS short_fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: exact md5, order-insensitive bag-of-words md5 "
+    "(sort_array + array_join), and a 64-bit short form.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    bow = F.md5(F.array_join(F.sort_array(F.split("text", " ")), " "))
+    return doc.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_fp"),
+        bow.alias("bow_fp"),
+        F.substring(F.md5(F.col("text")), 1, 16).alias("short_fp"),
+    )

@@ -29,11 +29,15 @@ HEADLINE = [
     "u3_snapshot_last_event_wins",
     "a6_running_counters",
     "w1_hourly_event_counts",
-    # LLM-pipeline ops (present once operators/dedup|similarity|text land)
+    # LLM-pipeline ops
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_simhash",
     "sim_topk_bruteforce",
-    "text_quality_score",
+    "text_stats_quality",
+    "mm_feature_extract",
+    # message-domain state machine (generator-backed)
+    "gen_messages_snapshot",
 ]
 
 
