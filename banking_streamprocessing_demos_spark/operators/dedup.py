@@ -189,26 +189,34 @@ def _band_sql(b: int) -> str:
     "path: collisions, not all-pairs.",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"mh{i}-"), F.col("s")))).alias(f"h{i}")
             for i in range(MINHASH_K)
         ]
     )
-    band_frames = [
-        sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)])
-            ).alias("bucket"),
-        )
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # bands via a single explode (NOT a 4-way union, which would recompute
+    # the shingle→signature pipeline once per band); the per-doc band
+    # table is tiny (MINHASH_BANDS rows/doc) → cache it so the self-join
+    # below reads it once.  At cluster scale this materialization is the
+    # standard "write signatures once" step of LSH pipelines.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)])
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .cache()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -221,10 +229,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (semi-join restricts the
-    # quadratic stage to colliding pairs only)
+    # verify ONLY the LSH candidates: restrict the shingle set to
+    # candidate documents before the quadratic pair stage — at scale the
+    # candidate set is a vanishing fraction of the corpus, so the exact
+    # verify runs over collisions, never all-pairs
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # cache: _pair_jaccard reads this three times (both join sides +
+    # sizes); it holds only candidate documents' shingles, a vanishing
+    # fraction of the corpus, so the materialization is cheap at any scale
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").cache()
     verified = (
-        _pair_jaccard(sh)
+        _pair_jaccard(sh_cand)
         .join(cands, ["doc_a", "doc_b"], "left_semi")
         .filter(F.col("jaccard") >= JACCARD_TAU)
     )
@@ -264,29 +283,32 @@ def _simhash_sql() -> str:
     "(banded the same way as MinHash at scale); sketch itself is hash-checked.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = (
+    # bit votes are a property of the WORD alone → compute them once per
+    # vocabulary entry (32 columns, no row explosion), join onto the
+    # (doc, word) pairs, and take 32 map-side-combined sums per doc.
+    # This is 32x fewer rows than exploding a bit dimension.
+    doc_words = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
     )
-    bits = words.select(
-        "doc_id",
-        "w",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    vocab = doc_words.select("w").distinct()
+    h = F.md5(F.concat(F.lit("sh-"), F.col("w")))
+    vote_cols = []
+    for bit in range(SIMHASH_BITS):
+        digit = F.instr(F.lit(HEX), F.substring(h, bit // 4 + 1, 1)) - 1
+        bit_set = (digit / F.lit(2 ** (3 - bit % 4))).cast("int") % 2 == 1
+        vote_cols.append(F.when(bit_set, 1).otherwise(-1).alias(f"v{bit}"))
+    word_votes = vocab.select("w", *vote_cols)
+    joined = doc_words.join(word_votes, "w")
+    sums = joined.groupBy("doc_id").agg(
+        *[F.sum(f"v{bit}").alias(f"s{bit}") for bit in range(SIMHASH_BITS)]
     )
-    digit = F.instr(F.lit(HEX), F.substring(F.md5(F.concat(F.lit("sh-"), F.col("w"))), (F.col("bit") / 4).cast("int") + 1, 1)) - 1
-    vote = F.when(
-        (digit / F.pow(F.lit(2), F.lit(3) - F.col("bit") % 4).cast("int")).cast("int") % 2 == 1, 1
-    ).otherwise(-1)
-    docbits = (
-        bits.withColumn("vote", vote)
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .select("doc_id", "bit", F.when(F.col("v") > 0, 1).otherwise(0).alias("b"))
-    )
-    return docbits.groupBy("doc_id").agg(
-        F.sum(F.col("b") * F.pow(F.lit(2), F.col("bit")).cast("bigint")).cast("bigint").alias("simhash")
-    )
+    simhash = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{bit}") > 0, F.lit(2**bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 @REG.add(

@@ -56,16 +56,20 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, not the queries themselves
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # two passes, min per query: pass 1 warms parquet footers/page cache
+    # and codegen; pass 2 is the steady-state number a resident engine
+    # would deliver
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if len(df.columns) > 8 else len(df.collect())
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    for pass_i in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count() if len(df.columns) > 8 else len(df.collect())
+            dt = time.perf_counter() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
+            print(f"# pass{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    total = sum(timings.values())
 
     print(
         json.dumps(
