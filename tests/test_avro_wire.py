@@ -1,0 +1,70 @@
+"""Avro wire-format codec: spec-level byte checks (known vectors from
+the Avro 1.x binary encoding) + DataFrame round-trip through the
+Confluent framing, and parity with the reference's schemas."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from banking_streamprocessing_demos_spark.config import GeneratorConfig
+from banking_streamprocessing_demos_spark.sources.avro_wire import (
+    confluent_frame,
+    confluent_unframe,
+    decode_message_key,
+    decode_message_status,
+    encode_message_key,
+    encode_message_status,
+    from_wire,
+    read_long,
+    to_wire,
+    write_long,
+    write_string,
+)
+from banking_streamprocessing_demos_spark.sources.generator import generate_events
+
+
+def test_known_vectors():
+    # Avro spec examples: zigzag varints
+    assert write_long(0) == b"\x00"
+    assert write_long(-1) == b"\x01"
+    assert write_long(1) == b"\x02"
+    assert write_long(-2) == b"\x03"
+    assert write_long(2) == b"\x04"
+    assert write_long(64) == b"\x80\x01"
+    # string: length varint + utf8
+    assert write_string("foo") == b"\x06foo"
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_long_roundtrip(n):
+    v, pos = read_long(write_long(n), 0)
+    assert v == n
+
+
+def test_record_roundtrip():
+    body = encode_message_status("sent", 2125551234, "verizon", 1700000000123)
+    assert decode_message_status(body) == ("sent", 2125551234, "verizon", 1700000000123)
+    k = encode_message_key("abc-123")
+    assert decode_message_key(k) == "abc-123"
+
+
+def test_confluent_framing():
+    body = encode_message_key("x")
+    framed = confluent_frame(body, 7)
+    assert framed[0] == 0 and framed[1:5] == (7).to_bytes(4, "big")
+    sid, unframed = confluent_unframe(framed)
+    assert sid == 7 and unframed == body
+    with pytest.raises(ValueError):
+        confluent_unframe(b"\x01rest")
+
+
+def test_dataframe_wire_roundtrip(spark):
+    cfg = GeneratorConfig(n_phones=20, n_messages=50, seed="avro")
+    events = generate_events(spark, cfg)
+    back = from_wire(to_wire(events))
+    assert back.columns == events.columns
+    assert events.exceptAll(back).count() == 0
+    assert back.exceptAll(events).count() == 0

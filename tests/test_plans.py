@@ -1,0 +1,52 @@
+"""Physical-plan contract tests (SURVEY §4): the scale-critical plan
+properties must hold, or a 100 TB deployment degrades silently."""
+
+from __future__ import annotations
+
+from banking_streamprocessing_demos_spark.operators.relational import a3, j1, j3, p2, p4
+from banking_streamprocessing_demos_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    count_shuffles,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_j1_dimension_broadcast(spark):
+    """customer is the dimension side — must be a broadcast hash join,
+    never a shuffle join on the fact table's key."""
+    assert_broadcast_join(j1(spark, SF_SMALL))
+
+
+def test_a3_star_join_single_agg_shuffle(spark):
+    """All four dimension joins broadcast; the only (non-broadcast)
+    exchange allowed is the final aggregation."""
+    df = a3(spark, SF_SMALL)
+    assert_broadcast_join(df)
+    assert count_shuffles(df) <= 1, formatted_plan(df)
+
+
+def test_a3_lineitem_scan_pruned(spark):
+    """Column pruning must reach the parquet scan: lineitem has 11
+    columns, the query needs 3."""
+    schemas = read_schemas(a3(spark, SF_SMALL))
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li, schemas
+    assert "l_quantity" not in li[0] and "l_shipdate" not in li[0], li[0]
+
+
+def test_filters_pushed_to_scan(spark):
+    """Predicate pushdown must reach the parquet reader (P2/P4)."""
+    pf2 = pushed_filters(p2(spark, SF_SMALL))
+    assert any("event_type" in f for f in pf2), pf2
+    pf4 = pushed_filters(p4(spark, SF_SMALL))
+    assert any("o_orderstatus" in f for f in pf4), pf4
+
+
+def test_anti_join_not_cartesian(spark):
+    df = j3(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)

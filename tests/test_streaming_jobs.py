@@ -1,0 +1,94 @@
+"""ST9 monitoring rollups, S5 dry-run, and the S4 rate-source generator."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from banking_streamprocessing_demos_spark.config import GeneratorConfig
+from banking_streamprocessing_demos_spark.sources.generator import generate_events
+from banking_streamprocessing_demos_spark.sources.rate_stream import message_rate_stream
+from banking_streamprocessing_demos_spark.streaming.jobs import (
+    carrier_counts,
+    console_dry_run,
+    read_event_stream_from_files,
+    run_to_memory,
+    status_counts,
+)
+
+CFG = GeneratorConfig(n_phones=30, n_messages=80, seed="jobs", stagger_ms=500)
+
+
+def test_status_counts_batch_equals_stream(spark, tmp_path):
+    """The windowed monitoring agg must produce identical rows run as a
+    batch plan or as a streaming query over the same data (Structured
+    Streaming's unified-semantics promise)."""
+    events = generate_events(spark, CFG)
+    events.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    batch = status_counts(events).collect()
+    stream = read_event_stream_from_files(spark, str(tmp_path / "ev"))
+    run_to_memory(status_counts(stream), "status_counts_out")
+    streamed = spark.table("status_counts_out").collect()
+    # append mode only emits windows the final watermark closed
+    # (watermark = max event time - 1 min; window length 30 s)
+    max_ms = events.agg(F.max("timestamp")).first()[0]
+    closed = max_ms - 60_000
+    batch_closed = [tuple(r) for r in batch if r.window_start_ms + 30_000 <= closed]
+    assert sorted(batch_closed) == sorted(map(tuple, streamed))
+    assert batch_closed, "fixture must close at least one window"
+
+
+def test_carrier_counts_totals(spark):
+    events = generate_events(spark, CFG)
+    rows = carrier_counts(events).collect()
+    assert sum(r.cnt for r in rows) == events.count()
+    assert {r.carrier for r in rows} <= {"verizon", "att", "t-mobile"}
+
+
+def test_console_dry_run_format(spark):
+    """S5 (py:740-756): `[HH:MM:SS] STATUS: phone (carrier)`."""
+    events = generate_events(spark, CFG)
+    line = console_dry_run(events).first().line
+    import re
+
+    assert re.fullmatch(r"\[\d{2}:\d{2}:\d{2}\] (SENT|DELIVERED): \d+ \([a-z-]+\)", line), line
+
+
+def test_rate_stream_produces_lifecycle(spark):
+    cfg = GeneratorConfig(seed="rate-test")
+    stream = message_rate_stream(
+        spark, cfg, rows_per_second=500, max_forks=50, ticks_per_message=5, delivery_delay_ticks=1
+    )
+    ckpt = tempfile.mkdtemp()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_test_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.table("rate_test_out").count()
+            if n >= 500:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    out = spark.table("rate_test_out")
+    assert out.count() >= 500
+    statuses = {r.status for r in out.select("status").distinct().collect()}
+    assert statuses == {"sent", "delivered"}
+    # deterministic classification: same message_id never delivers twice
+    dupes = (
+        out.filter(F.col("status") == "delivered")
+        .groupBy("message_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dupes == 0
