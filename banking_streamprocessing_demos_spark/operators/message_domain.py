@@ -235,6 +235,64 @@ def st1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "gen_alert_rates_by_carrier",
+    _PRELUDE
+    + f"""
+    , snap AS (
+        SELECT message_id, MIN(carrier) AS carrier,
+               MIN(CASE WHEN status='sent' THEN timestamp END) AS sent_time,
+               MIN(CASE WHEN status='delivered' THEN timestamp END) AS delivered_time
+        FROM gen_events GROUP BY message_id
+    )
+    SELECT carrier,
+           (sent_time + {TIMEOUT_MS}) // 60000 * 60000 AS window_ms,
+           COUNT(*) AS n_alerts
+    FROM snap
+    WHERE delivered_time IS NULL OR delivered_time - sent_time > {TIMEOUT_MS}
+    GROUP BY 1, 2
+    """,
+    doc="§7.5 extension: per-carrier tumbling-window alert rates over the detector "
+    "output (batch twin of the streaming windowed aggregation on the alert stream).",
+)
+def gen_alert_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    alerts = timeout_alerts_batch(generate_events(spark, CFG), TIMEOUT_MS)
+    return alerts.groupBy(
+        "carrier",
+        (F.floor(F.col("alert_time") / 60000) * 60000).alias("window_ms"),
+    ).agg(F.count("*").alias("n_alerts"))
+
+
+@REG.add(
+    "smp2_backpressure_topup",
+    _PRELUDE
+    + """
+    , snap AS (
+        SELECT message_id,
+               MIN(CASE WHEN status='delivered' THEN timestamp END) AS delivered_time
+        FROM gen_events GROUP BY message_id
+    )
+    SELECT COUNT(*) AS active_count,
+           GREATEST(LEAST(50, 400 - COUNT(*)), 0) AS topup
+    FROM snap WHERE delivered_time IS NULL
+    """,
+    doc="SMP2/ST7 (py:477-481): bounded-active-set backpressure — the batch top-up "
+    "is min(batch_size, max_active - active); streaming analog is "
+    "maxFilesPerTrigger/maxOffsetsPerTrigger.",
+)
+def smp2_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    snap = messages_snapshot(generate_events(spark, CFG))
+    active = snap.filter(F.col("status") != "delivered").agg(F.count("*").alias("active_count"))
+    return active.select(
+        "active_count",
+        F.greatest(F.least(F.lit(50), F.lit(400) - F.col("active_count")), F.lit(0)).alias("topup"),
+    )
+
+
+@REG.add(
     "gen_status_histogram",
     _PRELUDE
     + """
