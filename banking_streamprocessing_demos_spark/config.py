@@ -30,6 +30,13 @@ class GeneratorConfig:
     delayed_delivery_ms: int = 180_000
     heartbeat_interval_ms: int = 30_000
 
+    # F9 (message-tracking.json:73-81): 'constant' uses delayed_delivery_ms;
+    # 'normal' draws delayed deliveries from N(delayed_mean_ms, delayed_sd_ms)
+    # via deterministic Box-Muller over md5 uniforms
+    delayed_delay_model: str = "constant"
+    delayed_mean_ms: int = 120_000
+    delayed_sd_ms: int = 10_000
+
     # message starts are staggered like the declarative generator's
     # 250 ms stagger (message-tracking.json:12)
     start_ms: int = 1_700_000_000_000

@@ -49,6 +49,17 @@ def _u(prefix: str, key_expr: str) -> str:
 
 def _gen_prelude(cfg: GeneratorConfig) -> str:
     horizon = cfg.horizon_ms
+    if cfg.delayed_delay_model == "normal":
+        # F9: Box-Muller mirror of generator.py — z rounded to 6dp so
+        # libm ULP differences can't flip the millisecond rounding
+        u1 = f"(({_u(cfg.seed + '-n1', 'msg_seq')}) + 1.0/65536.0)"
+        u2 = f"({_u(cfg.seed + '-n2', 'msg_seq')})"
+        delayed_expr = (
+            f"sent_time + CAST(ROUND({cfg.delayed_mean_ms} + {cfg.delayed_sd_ms} * "
+            f"ROUND(SQRT(-2 * LN({u1})) * COS(2 * PI() * {u2}), 6), 0) AS BIGINT)"
+        )
+    else:
+        delayed_expr = f"sent_time + {cfg.delayed_delivery_ms}"
     return f"""
     WITH phones AS (
         SELECT phone_id,
@@ -72,7 +83,7 @@ def _gen_prelude(cfg: GeneratorConfig) -> str:
     msgs AS (
         SELECT b.*, p.phone_number, p.carrier,
                CASE WHEN delivery_type = 'normal' THEN sent_time + {cfg.normal_delivery_ms}
-                    WHEN delivery_type = 'delayed' THEN sent_time + {cfg.delayed_delivery_ms}
+                    WHEN delivery_type = 'delayed' THEN {delayed_expr}
                END AS delivered_time_raw
         FROM base b JOIN phones p ON b.phone_idx = p.phone_id
     ),
@@ -232,6 +243,45 @@ def st1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+CFG_NORMAL = GeneratorConfig(
+    n_phones=200,
+    n_messages=1200,
+    seed="f9",
+    delayed_delay_model="normal",
+    delayed_mean_ms=120_000,
+    delayed_sd_ms=10_000,
+)
+_PRELUDE_NORMAL = _gen_prelude(CFG_NORMAL)
+
+
+@REG.add(
+    "gen_normal_delay_snapshot",
+    _PRELUDE_NORMAL
+    + """
+    SELECT message_id,
+           MIN(CASE WHEN status='sent' THEN timestamp END) AS sent_time,
+           MIN(CASE WHEN status='delivered' THEN timestamp END) AS delivered_time,
+           MIN(CASE WHEN status='delivered' THEN timestamp END)
+             - MIN(CASE WHEN status='sent' THEN timestamp END) AS latency_ms
+    FROM gen_events GROUP BY message_id
+    """,
+    doc="F9 (message-tracking.json:73-81): delayed deliveries drawn from "
+    "N(120 s, 10 s) via deterministic Box-Muller over md5 uniforms — the "
+    "distributional delay model, hash-checked per message against the oracle's "
+    "identical derivation.",
+)
+def gen_normal_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    snap = messages_snapshot(generate_events(spark, CFG_NORMAL))
+    return snap.select(
+        "message_id",
+        "sent_time",
+        "delivered_time",
+        (F.col("delivered_time") - F.col("sent_time")).alias("latency_ms"),
+    )
 
 
 @REG.add(

@@ -80,9 +80,26 @@ def generate_messages(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
         delivery_type.alias("delivery_type"),
         sent_ms.alias("sent_time"),
     )
+    if cfg.delayed_delay_model == "normal":
+        # F9 (message-tracking.json:73-81): Box-Muller from two md5
+        # uniforms; z rounded to 6dp so libm ULP differences between
+        # engines can't flip the final millisecond rounding
+        import math
+
+        from .. import functions as _f  # noqa: F401  (module anchor)
+        from ..functions.expressions import det_hash_hex, hex4_to_int
+
+        u1 = (hex4_to_int(det_hash_hex("msg_seq", seed=cfg.seed + "-n1")) + 1) / F.lit(65536.0)
+        u2 = hex4_to_int(det_hash_hex("msg_seq", seed=cfg.seed + "-n2")) / F.lit(65536.0)
+        z = F.round(F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2 * math.pi) * u2), 6)
+        delayed_delay = F.round(F.lit(float(cfg.delayed_mean_ms)) + F.lit(float(cfg.delayed_sd_ms)) * z, 0).cast(
+            "long"
+        )
+    else:
+        delayed_delay = F.lit(cfg.delayed_delivery_ms)
     delay = (
         F.when(F.col("delivery_type") == "normal", F.lit(cfg.normal_delivery_ms))
-        .when(F.col("delivery_type") == "delayed", F.lit(cfg.delayed_delivery_ms))
+        .when(F.col("delivery_type") == "delayed", delayed_delay)
         .otherwise(F.lit(None).cast("long"))
     )
     df = df.withColumn("delivered_time_raw", F.col("sent_time") + delay)

@@ -1,0 +1,82 @@
+"""S7: the declarative-DSL bridge honors the ShadowTraffic shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from banking_streamprocessing_demos_spark.sources.dsl import DslError, parse_generator_spec
+
+# a spec in the same DSL *shape* as the reference's message-tracking
+# config (fork-per-key, varsOnce draws, state machine with 3% delayed
+# deliveries ~ N(120 s, 10 s), 1 event/s/fork throttle)
+SPEC = {
+    "generators": [
+        {
+            "topic": "message_status",
+            "fork": {"key": {"_gen": "uuid"}, "maxForks": 100, "stagger": {"ms": 250}},
+            "varsOnce": {
+                "phoneNumber": {"_gen": "uniformDistribution", "bounds": [2000000000, 9999999999]},
+                "carrier": {"_gen": "oneOf", "choices": ["verizon", "att", "t-mobile"]},
+            },
+            "value": {
+                "status": {"_gen": "var", "var": "state"},
+                "timestamp": {"_gen": "now"},
+            },
+            "stateMachine": {
+                "_gen": "stateMachine",
+                "transitions": {"s1": "s2"},
+                "states": {
+                    "s1": {"value": {"status": "sent"}},
+                    "s2": {
+                        "value": {"status": "delivered"},
+                        "localConfigs": {
+                            "delay": {
+                                "rate": 0.03,
+                                "ms": {"_gen": "normalDistribution", "mean": 120000, "sd": 10000},
+                            }
+                        },
+                    },
+                },
+            },
+            "localConfigs": {"throttleMs": 1000, "maxEvents": 100000},
+        }
+    ],
+    "connections": {"localKafka": {"kind": "kafka"}},
+}
+
+
+def test_parse_spec():
+    cfg, rate = parse_generator_spec(SPEC)
+    assert rate["max_forks"] == 100
+    assert rate["rows_per_second"] == 100  # 100 forks / 1s throttle
+    assert rate["max_events"] == 100000
+    assert cfg.stagger_ms == 250
+    assert cfg.delayed_delay_model == "normal"
+    assert cfg.delayed_mean_ms == 120000 and cfg.delayed_sd_ms == 10000
+    assert abs(cfg.delayed_rate - 0.03) < 1e-9
+    # rates still sum to 1 after the DSL override
+    assert abs(cfg.normal_rate + cfg.delayed_rate + cfg.never_rate - 1.0) < 1e-9
+
+
+def test_unknown_gen_kind_rejected():
+    bad = {"generators": [{"fork": {}, "value": {"x": {"_gen": "weirdThing"}}}]}
+    with pytest.raises(DslError, match="weirdThing"):
+        parse_generator_spec(bad)
+
+
+def test_empty_spec_rejected():
+    with pytest.raises(DslError, match="no generators"):
+        parse_generator_spec({})
+
+
+def test_spec_drives_generator(spark):
+    from banking_streamprocessing_demos_spark.config import GeneratorConfig
+    from banking_streamprocessing_demos_spark.sources.generator import generate_messages
+
+    cfg, _ = parse_generator_spec(SPEC, base=GeneratorConfig(n_phones=50, n_messages=200, seed="dsl"))
+    msgs = generate_messages(spark, cfg)
+    delayed = msgs.filter("delivery_type = 'delayed' AND delivered_time IS NOT NULL")
+    lat = [r[0] for r in delayed.selectExpr("delivered_time - sent_time").collect()]
+    assert lat, "some delayed deliveries expected"
+    # N(120 s, 10 s): all draws within 6 sigma
+    assert all(60_000 < v < 180_000 for v in lat)
