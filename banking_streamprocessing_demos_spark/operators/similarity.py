@@ -81,6 +81,117 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_PROBES = 4
+
+
+def _centroids(n: "DataFrame") -> "DataFrame":
+    """Deterministic coarse quantizer: the first IVF_CELLS vectors seed
+    the cells (one k-means assignment step; at scale you'd iterate a few
+    rounds — the plan shape is identical)."""
+    return n.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+
+
+def assign_cells(n: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine.  The
+    centroid side is broadcast; at 100 TB the output is written
+    partitioned by cell_id so probes become partition pruning."""
+    cents = _centroids(n)
+    scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cell_id")
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF layout: embeddings parquet partitioned by
+    cell_id.  Reading with a cell filter then prunes whole partitions —
+    Catalyst does the index probe."""
+    assign_cells(_normed(spark, sf_dir)).withColumn(
+        "v", F.col("v").cast("array<double>")
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
+
+
+def ivf_search(spark: SparkSession, index_dir: str, sf_dir: str, probes: int = IVF_PROBES) -> DataFrame:
+    """Top-k over the partitioned index: per query, rank cells by
+    centroid cosine, read only the nearest ``probes`` cells (partition
+    pruning via the cell_id filter), exact re-rank within candidates."""
+    n = _normed(spark, sf_dir)
+    cents = _centroids(n)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcells = (
+        q.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("rn") <= probes)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+    probe_cells = [r.cell_id for r in qcells.select("cell_id").distinct().collect()]
+    index = spark.read.parquet(index_dir).filter(F.col("cell_id").isin(probe_cells))
+    cands = index.join(qcells, "cell_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.withColumn("cosine", F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+@REG.add(
+    "sim_ann_ivf",
+    None,  # approximate by design → rows-only; recall vs brute force in tests
+    doc=f"IVF ANN: {IVF_CELLS}-cell coarse quantizer (broadcast centroids, one "
+    f"assignment step), probe {IVF_PROBES} nearest cells per query, exact re-rank. "
+    "The indexed layout (build_ivf_index) partitions by cell so probes are pure "
+    "partition pruning at scale.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory variant of the IVF search (no index materialization —
+    the driver-facing query); the partitioned-layout path is exercised
+    by tests/test_llm_ops.py."""
+    n = _normed(spark, sf_dir)
+    assigned = assign_cells(n)
+    cents = _centroids(n)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcells = (
+        q.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+    cands = assigned.join(qcells, "cell_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.withColumn("cosine", F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def _hyperplane_weight(bit: int, dim: int) -> int:
     """Deterministic ±1 hyperplane weights from md5 parity — reproducible
     in any engine with md5 (used by both the Spark impl and tests)."""
