@@ -343,6 +343,25 @@ def smp2_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s5_console_dry_run",
+    _PRELUDE
+    + """
+    SELECT '[' || strftime(epoch_ms(CAST(timestamp AS BIGINT)), '%H:%M:%S') || '] '
+           || upper(status) || ': ' || CAST(phone_number AS VARCHAR)
+           || ' (' || carrier || ')' AS line
+    FROM gen_events
+    """,
+    doc="S5 (py:740-756): the dry-run console projection "
+    "`[HH:MM:SS] STATUS: phone (carrier)` — format-string parity hash-checked "
+    "over the generated stream.",
+)
+def s5_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import console_dry_run
+
+    return console_dry_run(generate_events(spark, CFG))
+
+
+@REG.add(
     "gen_status_histogram",
     _PRELUDE
     + """
