@@ -643,6 +643,77 @@ def f8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "a7_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+           CAST(AVG(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS avg_qty,
+           CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shape pricing summary: the canonical scan-heavy multi-aggregate — "
+    "single pass over lineitem, partial+final hash agg, filter pushed to the scan. "
+    "DECIMAL arithmetic keeps sums exact/order-insensitive for the oracle hash.",
+)
+def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        F.avg(qty).cast("double").alias("avg_qty"),
+        F.avg(disc).cast("double").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@REG.add(
+    "w3_event_gaps",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id) AS gap_ms
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(gap_ms AS DECIMAL(18,0))) AS BIGINT) AS total_gap_ms,
+           COUNT(gap_ms) AS n_gaps
+    FROM gaps GROUP BY event_type
+    """,
+    doc="Analytic window breadth: per-user inter-event gaps via LAG over an "
+    "event-time window (the reference's heartbeat-interval bookkeeping P5/U4 "
+    "generalized), rolled up per event type.",
+)
+def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ms = epoch_ms(F.col("ts"))
+    gaps = _t(spark, sf_dir, "events").select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.sum(F.col("gap_ms").cast("decimal(18,0)")).cast("bigint").alias("total_gap_ms"),
+        F.count("gap_ms").alias("n_gaps"),
+    )
+
+
+@REG.add(
     "w1_hourly_event_counts",
     """
     SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, COUNT(*) AS cnt

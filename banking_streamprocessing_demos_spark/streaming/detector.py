@@ -110,24 +110,27 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
                 yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
             return
 
+        # hot path: one invocation per key per batch — stay in numpy
+        # (pandas label slicing here costs ~3x at 100k keys/s)
         new_delivered_events = []
         for pdf in pdfs:
-            sent = pdf.loc[pdf["status"] == "sent"]
-            if len(sent):
-                m = int(sent["timestamp"].min())
+            status = pdf["status"].to_numpy()
+            ts = pdf["timestamp"].to_numpy()
+            sent_mask = status == "sent"
+            if sent_mask.any():
+                m = int(ts[sent_mask].min())
                 if first_sent is None or m < first_sent:
                     first_sent = m
-                row = sent.iloc[0]
-                phone = int(row["phone_number"])
-                carrier = str(row["carrier"])
-            del_ev = pdf.loc[pdf["status"] == "delivered"]
-            if len(del_ev):
-                m = int(del_ev["timestamp"].min())
-                new_delivered_events.append(m)
+                i = int(sent_mask.argmax())
+                phone = int(pdf["phone_number"].iat[i])
+                carrier = str(pdf["carrier"].iat[i])
+            del_mask = status == "delivered"
+            if del_mask.any():
+                new_delivered_events.append(int(ts[del_mask].min()))
                 if phone is None:
-                    row = del_ev.iloc[0]
-                    phone = int(row["phone_number"])
-                    carrier = str(row["carrier"])
+                    i = int(del_mask.argmax())
+                    phone = int(pdf["phone_number"].iat[i])
+                    carrier = str(pdf["carrier"].iat[i])
 
         deadline = (first_sent + timeout_ms) if first_sent is not None else None
 

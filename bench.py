@@ -23,6 +23,7 @@ from banking_streamprocessing_demos_spark.session import get_spark
 
 HEADLINE = [
     "a3_join_agg_revenue",
+    "a7_pricing_summary",
     "j1_join_filter_groupby",
     "j2_scalar_correlated_subquery",
     "j5_timeout_pairing",
