@@ -30,6 +30,20 @@ REG = Registry()
 CFG = GeneratorConfig(n_phones=300, n_messages=2000, seed="42")
 TIMEOUT_MS = (CFG.normal_delivery_ms + CFG.delayed_delivery_ms) // 2  # 105 s
 
+# The driver runs every registered query in one session; regenerating
+# (and re-shuffling) the fixture per query would dominate the gate's
+# wall-clock.  Memoize the generated event DataFrame per (session, cfg).
+_EVENTS_CACHE: dict[tuple[int, str], "DataFrame"] = {}
+
+
+def _events(spark: SparkSession, cfg: GeneratorConfig) -> "DataFrame":
+    key = (id(spark), cfg.seed + str(cfg.n_messages))
+    df = _EVENTS_CACHE.get(key)
+    if df is None:
+        df = generate_events(spark, cfg).cache()
+        _EVENTS_CACHE[key] = df
+    return df
+
 # ---------------------------------------------------------------------------
 # DuckDB re-implementation of the generator (same md5 derivations)
 # ---------------------------------------------------------------------------
@@ -136,7 +150,7 @@ _PRELUDE = _gen_prelude(CFG)
     "from the event stream, idempotent under at-least-once duplicates.",
 )
 def gen_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return messages_snapshot(generate_events(spark, CFG))
+    return messages_snapshot(_events(spark, CFG))
 
 
 @REG.add(
@@ -162,7 +176,7 @@ def gen_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "undelivered-message alert set at timeout=105s.",
 )
 def gen_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeout_alerts_batch(generate_events(spark, CFG), TIMEOUT_MS)
+    return timeout_alerts_batch(_events(spark, CFG), TIMEOUT_MS)
 
 
 @REG.add(
@@ -181,7 +195,7 @@ def gen_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per carrier from the reconstructed snapshot.",
 )
 def gen_carrier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return carrier_active_counts(generate_events(spark, CFG))
+    return carrier_active_counts(_events(spark, CFG))
 
 
 @REG.add(
@@ -226,7 +240,7 @@ def st1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_dir = tempfile.mkdtemp(prefix="st1-events-")
     ckpt = tempfile.mkdtemp(prefix="st1-ckpt-")
-    generate_events(spark, CFG).coalesce(4).write.mode("overwrite").parquet(events_dir)
+    _events(spark, CFG).coalesce(4).write.mode("overwrite").parquet(events_dir)
 
     stream = read_event_stream_from_files(spark, events_dir)
     detected = detect_undelivered(stream, TIMEOUT_MS, watermark_delay="30 seconds")
@@ -275,7 +289,7 @@ _PRELUDE_NORMAL = _gen_prelude(CFG_NORMAL)
 def gen_normal_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    snap = messages_snapshot(generate_events(spark, CFG_NORMAL))
+    snap = messages_snapshot(_events(spark, CFG_NORMAL))
     return snap.select(
         "message_id",
         "sent_time",
@@ -307,7 +321,7 @@ def gen_normal_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gen_alert_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    alerts = timeout_alerts_batch(generate_events(spark, CFG), TIMEOUT_MS)
+    alerts = timeout_alerts_batch(_events(spark, CFG), TIMEOUT_MS)
     return alerts.groupBy(
         "carrier",
         (F.floor(F.col("alert_time") / 60000) * 60000).alias("window_ms"),
@@ -334,7 +348,7 @@ def gen_alert_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def smp2_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    snap = messages_snapshot(generate_events(spark, CFG))
+    snap = messages_snapshot(_events(spark, CFG))
     active = snap.filter(F.col("status") != "delivered").agg(F.count("*").alias("active_count"))
     return active.select(
         "active_count",
@@ -358,7 +372,7 @@ def smp2_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s5_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import console_dry_run
 
-    return console_dry_run(generate_events(spark, CFG))
+    return console_dry_run(_events(spark, CFG))
 
 
 @REG.add(
@@ -373,4 +387,4 @@ def s5_console(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gen_status_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    return generate_events(spark, CFG).groupBy("status").agg(F.count("*").alias("cnt"))
+    return _events(spark, CFG).groupBy("status").agg(F.count("*").alias("cnt"))

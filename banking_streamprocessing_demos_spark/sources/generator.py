@@ -86,7 +86,6 @@ def generate_messages(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
         # engines can't flip the final millisecond rounding
         import math
 
-        from .. import functions as _f  # noqa: F401  (module anchor)
         from ..functions.expressions import det_hash_hex, hex4_to_int
 
         u1 = (hex4_to_int(det_hash_hex("msg_seq", seed=cfg.seed + "-n1")) + 1) / F.lit(65536.0)
