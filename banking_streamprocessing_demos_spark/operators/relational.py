@@ -393,7 +393,7 @@ def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-           CAST(AVG(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY event_type
     """,
     doc="A4 (py:915-918): dict-accumulation carrier stats analog as hash agg.",
@@ -406,7 +406,7 @@ def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum(v).cast("double").alias("total_value"),
-            F.avg(v).cast("double").alias("avg_value"),
+            (F.sum(v).cast("double") / F.count("*")).alias("avg_value"),
         )
     )
 
@@ -653,8 +653,8 @@ def f8(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
                     * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-           CAST(AVG(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS avg_qty,
-           CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -677,8 +677,10 @@ def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).cast("double").alias("sum_base_price"),
         F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
         F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
-        F.avg(qty).cast("double").alias("avg_qty"),
-        F.avg(disc).cast("double").alias("avg_disc"),
+        # averages as exact-decimal sum / count in double: AVG(DECIMAL)
+        # rounds its quotient at engine-specific scales and hash-mismatches
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
