@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import HEX_DIGITS as HEX
 from ..sources.tables import load_table
 from . import Registry
 
@@ -36,7 +37,6 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 COSINE_TAU = 0.45
 SIMHASH_BITS = 32
-HEX = "0123456789abcdef"
 
 
 # ---------------------------------------------------------------------------
@@ -89,10 +89,10 @@ def _pair_jaccard(shingles: DataFrame) -> DataFrame:
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
-        )
+        # threshold filters must use the RAW ratio (like the oracle's
+        # WHERE clause); only the output column is rounded for hashing
+        .withColumn("jaccard_raw", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .withColumn("jaccard", F.round(F.col("jaccard_raw"), 6))
     )
 
 
@@ -142,7 +142,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _pair_jaccard(_shingles(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .filter(F.col("jaccard_raw") >= JACCARD_TAU)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
@@ -245,7 +245,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         _pair_jaccard(sh_cand)
         .join(cands, ["doc_a", "doc_b"], "left_semi")
-        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .filter(F.col("jaccard_raw") >= JACCARD_TAU)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
 
@@ -330,17 +330,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity.py is the scale path.",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    dot_self = F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    n = e.withColumn("nrm", F.sqrt(dot_self))
+    # same normalization/dot-product expressions as the ANN paths — one
+    # definition (similarity._normed/_dot) so the exact verifier can
+    # never drift from what it verifies
+    from .similarity import _dot, _normed
+
+    n = _normed(spark, sf_dir)
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .withColumn("cos_raw", _dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_raw") >= COSINE_TAU)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )

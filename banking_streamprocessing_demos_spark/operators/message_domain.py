@@ -33,11 +33,13 @@ TIMEOUT_MS = (CFG.normal_delivery_ms + CFG.delayed_delivery_ms) // 2  # 105 s
 # The driver runs every registered query in one session; regenerating
 # (and re-shuffling) the fixture per query would dominate the gate's
 # wall-clock.  Memoize the generated event DataFrame per (session, cfg).
-_EVENTS_CACHE: dict[tuple[int, str], "DataFrame"] = {}
+_EVENTS_CACHE: dict[tuple[int, GeneratorConfig], "DataFrame"] = {}
 
 
 def _events(spark: SparkSession, cfg: GeneratorConfig) -> "DataFrame":
-    key = (id(spark), cfg.seed + str(cfg.n_messages))
+    # frozen dataclass → hashable: the WHOLE config is the key (a seed+size
+    # key would silently alias configs differing in other fields)
+    key = (id(spark), cfg)
     df = _EVENTS_CACHE.get(key)
     if df is None:
         df = generate_events(spark, cfg).cache()
@@ -48,7 +50,7 @@ def _events(spark: SparkSession, cfg: GeneratorConfig) -> "DataFrame":
 # DuckDB re-implementation of the generator (same md5 derivations)
 # ---------------------------------------------------------------------------
 
-_HEX = "0123456789abcdef"
+from ..functions.expressions import HEX_DIGITS as _HEX  # noqa: E402
 
 
 def _u(prefix: str, key_expr: str) -> str:
@@ -256,6 +258,9 @@ def st1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(240)
     if q.isActive:
         q.stop()
+        # a partial memory table would masquerade as a detector-semantics
+        # bug in the correctness gate — fail loudly instead
+        raise TimeoutError("st1 streaming detector did not finish within 240s")
     return spark.table(name)
 
 

@@ -32,7 +32,13 @@ def salted_join(
     salt from a hash of the full row so the scatter is stable across
     retries (no rand() → no recompute nondeterminism under task retry,
     which matters for exactly-once sinks).
+
+    Only join types where the replicated small side cannot surface
+    unmatched are allowed: right/full outer would emit ``salt_buckets``
+    null-extended copies of an unmatched small row.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(f"salted_join does not support how={how!r} (small side is replicated)")
     salt = (F.abs(F.xxhash64(*big.columns)) % salt_buckets).alias("__salt")
     big_salted = big.withColumn("__salt", salt)
     small_salted = small.withColumn(

@@ -153,7 +153,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
     exploded = doc.select(
-        "doc_id", (spaces + 1).cast("long").alias("n_tokens_ws"), F.explode(F.split("text", " ")).alias("w")
+        "doc_id", (spaces + 1).cast("long").alias("n_tokens_ws"), F.explode_outer(F.split("text", " ")).alias("w")
     )
     return exploded.groupBy("doc_id", "n_tokens_ws").agg(
         F.sum(F.ceil(F.length("w") / 4.0).cast("long")).cast("long").alias("n_tokens_subword")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     BinaryType,
     DoubleType,
     FloatType,
@@ -111,7 +112,7 @@ ALERT_SCHEMA = StructType(
         StructField("carrier", StringType(), False),
         StructField("first_sent_time", LongType(), False),
         StructField("alert_time", LongType(), False),
-        StructField("resolved_late", StringType(), True),
+        StructField("resolved_late", BooleanType(), True),
     ]
 )
 

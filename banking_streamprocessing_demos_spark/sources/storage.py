@@ -54,14 +54,21 @@ def insert_or_ignore(
     """
     existing = read_table(spark, base_dir, name).select(key)
     fresh = (
-        rows.dropDuplicates([key])
+        rows.dropDuplicates([key])  # one arbitrary row per in-batch key
         .join(existing, key, "left_anti")
+        .persist()  # pin ONE evaluation: count and write must see the
+        # same rows (the plan re-reads the stored table and may contain
+        # non-deterministic ids; recomputation between count and write
+        # could write rows that were never counted)
     )
-    n = fresh.count()
-    if n:
-        fresh.select(*[f.name for f in TABLE_SCHEMAS[name].fields]).write.mode("append").parquet(
-            os.path.join(base_dir, name)
-        )
+    try:
+        n = fresh.count()
+        if n:
+            fresh.select(*[f.name for f in TABLE_SCHEMAS[name].fields]).write.mode(
+                "append"
+            ).parquet(os.path.join(base_dir, name))
+    finally:
+        fresh.unpersist()
     return n
 
 

@@ -65,7 +65,9 @@ def main() -> None:
         for name in names:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            n = df.count() if len(df.columns) > 8 else len(df.collect())
+            # collect, never count(): count() lets Catalyst prune every
+            # aggregate/projection and would time a gutted plan
+            n = len(df.collect())
             dt = time.perf_counter() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 3)

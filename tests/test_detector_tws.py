@@ -23,13 +23,15 @@ from tests.test_streaming_detector import CFG, TIMEOUT_MS, _write_time_ordered_c
 
 @pytest.fixture(scope="module")
 def rocks_spark():
-    # TWS requires the RocksDB state store provider; a separate session
-    # (different app) keeps the default-provider tests untouched
-    s = get_spark(
-        "tws-tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        rocksdb_state=True,
+    # TWS requires the RocksDB state store provider.  getOrCreate would
+    # reuse (and permanently mutate) the shared test session, so clone an
+    # isolated session: newSession() shares the SparkContext but has its
+    # own conf, keeping default-provider tests untouched
+    base = get_spark("tws-tests", master="local[4]", shuffle_partitions=4)
+    s = base.newSession()
+    s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     yield s
 
