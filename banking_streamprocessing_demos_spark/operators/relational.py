@@ -716,6 +716,53 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "w4_sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                    OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts_ms,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap) via lag + running sum — the batch "
+    "twin of Structured Streaming's session_window, built from the same window "
+    "machinery as U3; one shuffle on user_id serves both window and final agg.",
+)
+def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ms = epoch_ms(F.col("ts"))
+    flagged = _t(spark, sf_dir, "events").select(
+        "user_id",
+        ms.alias("ts_ms"),
+        F.when(
+            (ms - F.lag(ms).over(w) > 1_800_000) | F.lag(ms).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ms").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+@REG.add(
     "w1_hourly_event_counts",
     """
     SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, COUNT(*) AS cnt

@@ -78,6 +78,54 @@ def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> None:
         raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
 
 
+def dedup_within_watermark(events: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """ST2 alternative to first-sent-min state: drop duplicate
+    (message_id, status, timestamp) events inside the watermark window —
+    Spark keeps the dedup keys in the state store only until the
+    watermark passes them, so state is bounded (unlike a global
+    dropDuplicates)."""
+    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    if with_time.isStreaming:
+        with_time = with_time.withWatermark("event_time", delay)
+        return with_time.dropDuplicatesWithinWatermark(["message_id", "status", "timestamp"])
+    return with_time.dropDuplicates(["message_id", "status", "timestamp"])
+
+
+def run_detector_pipeline(
+    detected: DataFrame,
+    alerts_path: str,
+    summary_path: str,
+    checkpoint: str,
+):
+    """ST8 unified pipeline via foreachBatch: one streaming query fans a
+    micro-batch into two sinks transactionally-enough (batch id dedup on
+    restart is the foreachBatch contract) — alert rows to one parquet
+    table, a per-kind summary to another.  Replaces the reference's three
+    shared-state daemon threads (py:616-653) with a single checkpointed
+    query."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter(F.col("kind") == "alert").write.mode("append").parquet(alerts_path)
+            (
+                batch_df.groupBy("kind")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(summary_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        detected.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def console_dry_run(events: DataFrame) -> DataFrame:
     """S5 (py:740-756): the dry-run console projection
     `[HH:MM:SS] STATUS: phone (carrier)` as a formatted column."""

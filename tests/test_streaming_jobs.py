@@ -57,6 +57,43 @@ def test_console_dry_run_format(spark):
     assert re.fullmatch(r"\[\d{2}:\d{2}:\d{2}\] (SENT|DELIVERED): \d+ \([a-z-]+\)", line), line
 
 
+def test_dedup_within_watermark(spark, tmp_path):
+    from banking_streamprocessing_demos_spark.streaming.jobs import dedup_within_watermark
+
+    events = generate_events(spark, CFG)  # contains injected duplicates
+    events.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    stream = read_event_stream_from_files(spark, str(tmp_path / "ev"))
+    run_to_memory(dedup_within_watermark(stream), "dedup_wm_out")
+    out = spark.table("dedup_wm_out")
+    distinct_events = events.dropDuplicates(["message_id", "status", "timestamp"]).count()
+    assert out.count() == distinct_events
+    assert out.groupBy("message_id", "status", "timestamp").count().filter("count > 1").count() == 0
+
+
+def test_foreachbatch_pipeline(spark, tmp_path):
+    from banking_streamprocessing_demos_spark.streaming.detector import detect_undelivered
+    from banking_streamprocessing_demos_spark.streaming.jobs import run_detector_pipeline
+
+    events = generate_events(spark, CFG)
+    events.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    stream = read_event_stream_from_files(spark, str(tmp_path / "ev"))
+    detected = detect_undelivered(stream, timeout_ms=105_000, watermark_delay="10 seconds")
+    q = run_detector_pipeline(
+        detected,
+        str(tmp_path / "alerts"),
+        str(tmp_path / "summary"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    alerts = spark.read.parquet(str(tmp_path / "alerts"))
+    summary = spark.read.parquet(str(tmp_path / "summary"))
+    assert alerts.filter("kind <> 'alert'").count() == 0
+    # the summary's alert total equals the alert sink's row count
+    total = summary.filter("kind = 'alert'").agg(F.sum("cnt")).first()[0]
+    assert total == alerts.count() > 0
+
+
 def test_rate_stream_produces_lifecycle(spark):
     cfg = GeneratorConfig(seed="rate-test")
     stream = message_rate_stream(
