@@ -223,11 +223,13 @@ def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J2 (py:219-223): scalar correlated subquery — Catalyst decorrelates natively.",
 )
 def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # dedicated view name: registering plain "orders" could clobber a
+    # concurrently-registered view for a different sf_dir
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("j2_orders")
     return spark.sql(
         """
-        SELECT o_orderkey FROM orders o
-        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+        SELECT o_orderkey FROM j2_orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM j2_orders o2
                                   WHERE o2.o_custkey = o.o_custkey)
         """
     )
@@ -712,6 +714,55 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("event_type").agg(
         F.sum(F.col("gap_ms").cast("decimal(18,0)")).cast("bigint").alias("total_gap_ms"),
         F.count("gap_ms").alias("n_gaps"),
+    )
+
+
+@REG.add(
+    "a8_rollup_counts",
+    """
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+    doc="Aggregation breadth beyond the reference: ROLLUP hierarchy "
+    "(type, bucket) → (type) → () in one pass — Catalyst expands to a "
+    "single Expand+hash-agg, no re-scan per level.",
+)
+def a8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@REG.add(
+    "a9_distinct_aggs",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT epoch_ms(ts) // 86400000) AS n_active_days,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Distinct aggregates (multiple per group): Catalyst's Expand-based "
+    "multi-distinct rewrite — one input pass, no self-joins.",
+)
+def a9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = (epoch_ms(F.col("ts")) / 86_400_000).cast("bigint")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count_distinct(day).alias("n_active_days"),
+            F.count("*").alias("n_events"),
+        )
     )
 
 
