@@ -74,6 +74,8 @@ def main() -> None:
             print(f"# pass{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
     total = sum(timings.values())
 
+    streaming = _streaming_throughput()
+
     print(
         json.dumps(
             {
@@ -82,9 +84,46 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
             }
         )
     )
+
+
+def _streaming_throughput(measure_s: int = 20) -> dict:
+    """Sustained events/s through the stateful detector: rate source at
+    100k rows/s → applyInPandasWithState, measured over completed
+    micro-batches (excludes the empty bootstrap batch)."""
+    import tempfile
+    import time
+
+    from banking_streamprocessing_demos_spark.config import GeneratorConfig
+    from banking_streamprocessing_demos_spark.sources.rate_stream import message_rate_stream
+    from banking_streamprocessing_demos_spark.streaming.detector import detect_undelivered
+
+    spark = get_spark("bench-streaming")
+    stream = message_rate_stream(
+        spark,
+        GeneratorConfig(seed="bench"),
+        rows_per_second=100_000,
+        max_forks=10_000,
+        ticks_per_message=100,
+        delivery_delay_ticks=20,
+    )
+    det = detect_undelivered(stream, timeout_ms=60_000, watermark_delay="5 seconds")
+    q = (
+        det.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-stream-ckpt-"))
+        .start()
+    )
+    time.sleep(measure_s)
+    progress = list(q.recentProgress)
+    q.stop()
+    rows = sum(p["numInputRows"] for p in progress)
+    busy = sum(p["durationMs"]["triggerExecution"] for p in progress) / 1000
+    eps = int(rows / busy) if busy > 0 else 0
+    print(f"# streaming: {rows} rows / {busy:.1f}s busy -> {eps} ev/s", file=sys.stderr)
+    return {"events_per_sec": eps, "input_rows": rows, "busy_sec": round(busy, 1)}
 
 
 if __name__ == "__main__":
