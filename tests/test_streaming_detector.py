@@ -118,6 +118,40 @@ def test_late_delivery_resolves_alert(replayed):
     assert (late["latency_ms"] == CFG.delayed_delivery_ms).all()
 
 
+def test_rocksdb_state_store_same_output(spark, replayed, tmp_path_factory):
+    """The detector must produce identical output on the RocksDB state
+    store provider (the 100 TB-scale provider) as on the default HDFS
+    provider.  Isolated newSession so the conf can't leak."""
+    out_default, _ = replayed
+    rocks = spark.newSession()
+    rocks.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events_dir = str(tmp_path_factory.mktemp("rocks_events"))
+    ckpt = str(tmp_path_factory.mktemp("rocks_ckpt"))
+    pdf = generate_events(rocks, CFG).toPandas()
+    _write_time_ordered_chunks(pdf, events_dir)
+    stream = read_event_stream_from_files(rocks, events_dir, max_files_per_trigger=1)
+    q = (
+        detect_undelivered(stream, TIMEOUT_MS, watermark_delay="10 seconds")
+        .writeStream.format("memory")
+        .queryName("rocks_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out_rocks = rocks.table("rocks_out").toPandas()
+    key = ["message_id", "kind"]
+    a = out_default.sort_values(key).reset_index(drop=True)
+    b = out_rocks.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ["message_id", "kind", "first_sent_ms", "event_ms"]:
+        assert list(a[col]) == list(b[col]), col
+
+
 def test_alert_times(replayed):
     out, truth = replayed
     alerts = out.loc[out["kind"] == "alert"].set_index("message_id")
