@@ -1,0 +1,106 @@
+"""ST1 fallback plan (SURVEY §2.4 J5): the undelivered-message detector
+as a watermarked stream-stream OUTER join instead of custom state.
+
+Mechanics: first-sent events (deduplicated within the watermark) left-
+outer-joined to deliveries under a time-range condition
+``delivered.ts BETWEEN sent.ts AND sent.ts + timeout``.  Spark buffers
+both sides in the state store and emits the unmatched (alert) rows only
+once the watermark proves no match can arrive — so alerts surface one
+watermark delay after the deadline, vs exactly at the deadline for the
+stateful detector.  Late deliveries (past the timeout) fall outside the
+join window by construction and surface only through the stateful
+detector's `late_delivered` records.
+
+This variant exists because it is all built-in operators — no Python in
+the loop, every row stays JVM-side — making it the highest-throughput
+plan when only the alert/delivered-within-timeout classification is
+needed.  The stateful detector (detector.py) remains the primary plan:
+it additionally emits latency records, late-delivery resolutions, and
+exact-deadline alert times.
+
+Observed emission caveat (Spark 4.1): unmatched (alert) rows flush on
+watermark advances driven by NEW DATA; a stream that simply stops
+leaves the tail buffered even through availableNow's no-data batch.
+In production the topic always carries heartbeats, so the watermark
+keeps moving; in replay tests a trailing watermark-pusher event serves
+the same role.  One more reason the stateful detector is primary — its
+timers fire in no-data batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_undelivered_join(
+    events: DataFrame,
+    timeout_ms: int,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Alert/delivered classification via stream-stream left outer join.
+
+    Returns rows (message_id, phone_number, carrier, first_sent_ms,
+    delivered_ms, alerted) — one per message; ``alerted`` is true when
+    no delivery arrived within ``timeout_ms`` of the first `sent`.
+    """
+    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+
+    sent = (
+        with_time.filter(F.col("status") == "sent")
+        .select("message_id", "phone_number", "carrier", "timestamp", "event_time")
+    )
+    delivered = with_time.filter(F.col("status") == "delivered").select(
+        F.col("message_id").alias("d_message_id"),
+        F.col("timestamp").alias("d_timestamp"),
+        F.col("event_time").alias("d_event_time"),
+    )
+
+    if events.isStreaming:
+        sent = sent.withWatermark("event_time", watermark_delay)
+        delivered = delivered.withWatermark("d_event_time", watermark_delay)
+        # at-least-once dedup on BOTH sides.  Constraint of this plan:
+        # dropDuplicatesWithinWatermark only deduplicates inside the
+        # watermark window, so heartbeat re-emissions spaced wider than
+        # the watermark delay produce one left row each — this variant
+        # needs heartbeats filtered upstream (or watermark >= heartbeat
+        # span).  The stateful detector has no such constraint, which is
+        # one reason it is the primary plan.
+        sent = sent.dropDuplicatesWithinWatermark(["message_id"])
+        delivered = delivered.dropDuplicatesWithinWatermark(["d_message_id"])
+    else:
+        sent = (
+            sent.groupBy("message_id")
+            .agg(
+                F.min("timestamp").alias("timestamp"),
+                F.first("phone_number").alias("phone_number"),
+                F.first("carrier").alias("carrier"),
+            )
+            .withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        )
+        # batch twin of the streaming-side dedup: at-least-once re-sends
+        # of `delivered` must not produce duplicate join matches
+        delivered = (
+            delivered.groupBy("d_message_id")
+            .agg(F.min("d_timestamp").alias("d_timestamp"))
+            .withColumn("d_event_time", F.timestamp_millis(F.col("d_timestamp")))
+        )
+
+    joined = sent.join(
+        delivered,
+        (F.col("message_id") == F.col("d_message_id"))
+        & (F.col("d_event_time") >= F.col("event_time"))
+        & (
+            F.col("d_event_time")
+            <= F.col("event_time") + F.expr(f"INTERVAL {timeout_ms} MILLISECONDS")
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "message_id",
+        "phone_number",
+        "carrier",
+        F.col("timestamp").alias("first_sent_ms"),
+        F.col("d_timestamp").alias("delivered_ms"),
+        F.col("d_timestamp").isNull().alias("alerted"),
+    )
