@@ -21,7 +21,7 @@ on shingles), which both engines compute identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.expressions import HEX_DIGITS as HEX
