@@ -381,6 +381,35 @@ def s5_console(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "st1_join_variant",
+    _PRELUDE
+    + f"""
+    , snap AS (
+        SELECT message_id,
+               MIN(phone_number) AS phone_number,
+               MIN(carrier) AS carrier,
+               MIN(CASE WHEN status='sent' THEN timestamp END) AS first_sent_ms,
+               MIN(CASE WHEN status='delivered' THEN timestamp END) AS raw_delivered
+        FROM gen_events GROUP BY message_id
+    )
+    SELECT message_id, phone_number, carrier, first_sent_ms,
+           CASE WHEN raw_delivered - first_sent_ms <= {TIMEOUT_MS}
+                THEN raw_delivered END AS delivered_ms,
+           (raw_delivered IS NULL OR raw_delivered - first_sent_ms > {TIMEOUT_MS})
+               AS alerted
+    FROM snap
+    """,
+    doc="ST1 fallback plan (SURVEY J5) hash-checked: the stream-stream-join "
+    "detector's batch twin — deliveries joined under the time-range condition, "
+    "out-of-window (late) deliveries surface as alerts with NULL delivered_ms.",
+)
+def st1_join_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.detector_join import detect_undelivered_join
+
+    return detect_undelivered_join(_events(spark, CFG), TIMEOUT_MS)
+
+
+@REG.add(
     "gen_status_histogram",
     _PRELUDE
     + """
