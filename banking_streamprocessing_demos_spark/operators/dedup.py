@@ -312,6 +312,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= {JACCARD_TAU}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM nd
+        UNION ALL SELECT doc_b, doc_a FROM nd
+    ),
+    walk(doc, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc
+    )
+    SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)
+    """,
+    doc="Near-duplicate CLUSTERING: connected components over the exact-Jaccard "
+    "pair graph via iterative min-label propagation (the Spark pattern for "
+    "fixpoint algorithms — converges in O(component diameter) joins); cluster "
+    "id = min doc_id. Oracle recomputes components with a recursive CTE.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _pair_jaccard(_shingles(spark, sf_dir))
+        .filter(F.col("jaccard_raw") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    edges = edges.cache()
+
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    # min-label propagation to fixpoint; near-dup components are shallow
+    # (pairs/triples), so this converges in a couple of iterations — the
+    # cap is a safety net, convergence is checked each round
+    for _ in range(20):
+        propagated = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            .unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        changed = (
+            propagated.alias("p")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("p.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = propagated.localCheckpoint()  # truncate the iterative lineage
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+@REG.add(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (
