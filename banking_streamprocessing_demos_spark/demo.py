@@ -22,8 +22,6 @@ import sys
 import tempfile
 import time
 
-from pyspark.sql import functions as F
-
 from .config import GeneratorConfig, engine_config_from_env
 from .session import get_spark
 from .sources.generator import generate_events
@@ -62,6 +60,9 @@ def dry_run(args: argparse.Namespace) -> None:
         .start()
     )
     q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("demo detector replay did not finish within 300s")
     out = spark.table("demo_out").cache()
 
     print(f"\n== detector (timeout {ecfg.timeout_s}s) ==")

@@ -360,6 +360,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-label propagation to fixpoint; near-dup components are shallow
     # (pairs/triples), so this converges in a couple of iterations — the
     # cap is a safety net, convergence is checked each round
+    converged = False
     for _ in range(20):
         propagated = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -368,15 +369,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
+        # checkpoint FIRST (eager) so the changed-count reads the
+        # materialized result instead of re-executing the round's plan
+        new_labels = propagated.localCheckpoint()
         changed = (
-            propagated.alias("p")
+            new_labels.alias("p")
             .join(labels.alias("l"), "doc_id")
             .filter(F.col("p.cluster_id") != F.col("l.cluster_id"))
             .count()
         )
-        labels = propagated.localCheckpoint()  # truncate the iterative lineage
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in 20 rounds "
+            "(component diameter > 20) — raise the cap for chain-shaped corpora"
+        )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 

@@ -770,7 +770,7 @@ def a9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4_sessionization",
     """
     WITH flagged AS (
-        SELECT user_id, epoch_ms(ts) AS ts_ms,
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
                CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
                     OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -778,7 +778,7 @@ def a9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts_ms,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -797,6 +797,7 @@ def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = epoch_ms(F.col("ts"))
     flagged = _t(spark, sf_dir, "events").select(
         "user_id",
+        "event_id",
         ms.alias("ts_ms"),
         F.when(
             (ms - F.lag(ms).over(w) > 1_800_000) | F.lag(ms).over(w).isNull(), 1
@@ -804,7 +805,13 @@ def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_ms").rowsBetween(Window.unboundedPreceding, 0)
+    # unique (ts_ms, event_id) ordering: a bare ts_ms order would make
+    # session assignment nondeterministic under timestamp ties
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),

@@ -37,7 +37,7 @@ def salted_join(
     unmatched are allowed: right/full outer would emit ``salt_buckets``
     null-extended copies of an unmatched small row.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+    if how.lower().replace("_", "") in ("right", "rightouter", "full", "fullouter", "outer", "cross"):
         raise ValueError(f"salted_join does not support how={how!r} (small side is replicated)")
     salt = (F.abs(F.xxhash64(*big.columns)) % salt_buckets).alias("__salt")
     big_salted = big.withColumn("__salt", salt)

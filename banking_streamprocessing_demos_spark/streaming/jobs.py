@@ -98,21 +98,32 @@ def run_detector_pipeline(
     checkpoint: str,
 ):
     """ST8 unified pipeline via foreachBatch: one streaming query fans a
-    micro-batch into two sinks transactionally-enough (batch id dedup on
-    restart is the foreachBatch contract) — alert rows to one parquet
-    table, a per-kind summary to another.  Replaces the reference's three
-    shared-state daemon threads (py:616-653) with a single checkpointed
-    query."""
+    micro-batch into two sinks — alert rows to one parquet table, a
+    per-kind summary to another.  foreachBatch is at-least-once (a crash
+    between a sink write and the checkpoint commit replays the batch), so
+    BOTH sinks partition by batch_id and dynamically overwrite their own
+    partition: a replayed batch rewrites the same files instead of
+    appending duplicates.  Replaces the reference's three shared-state
+    daemon threads (py:616-653) with a single checkpointed query."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df.persist()
         try:
-            batch_df.filter(F.col("kind") == "alert").write.mode("append").parquet(alerts_path)
+            (
+                batch_df.filter(F.col("kind") == "alert")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(alerts_path)
+            )
             (
                 batch_df.groupBy("kind")
                 .agg(F.count("*").alias("cnt"))
                 .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
                 .parquet(summary_path)
             )
         finally:

@@ -35,11 +35,13 @@ class EngineQueryListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.stats: dict[str, QueryStats] = {}
+        self._id_to_name: dict[str, str] = {}
 
     def _for(self, name: str | None) -> QueryStats:
         return self.stats.setdefault(name or "<unnamed>", QueryStats())
 
     def onQueryStarted(self, event) -> None:
+        self._id_to_name[str(event.id)] = event.name or "<unnamed>"
         self._for(event.name)
 
     def onQueryProgress(self, event) -> None:
@@ -54,10 +56,12 @@ class EngineQueryListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         if event.exception:
-            # error bookkeeping (py:294-296, 446-450)
-            for s in self.stats.values():
-                s.error_count += 1
-                s.last_error = str(event.exception)
+            # error bookkeeping (py:294-296, 446-450) — attributed to the
+            # terminating query only, via the id→name map from start time
+            name = self._id_to_name.get(str(event.id), "<unnamed>")
+            s = self._for(name)
+            s.error_count += 1
+            s.last_error = str(event.exception)
 
     def onQueryIdle(self, event) -> None:
         pass
@@ -67,9 +71,7 @@ def status_snapshot(detector_output: DataFrame) -> DataFrame:
     """status() analog over the detector's output table: counts by kind
     and per-carrier alert counts in one grouping-sets pass."""
     return (
-        detector_output.groupBy("kind", "carrier")
+        detector_output.rollup("kind", "carrier")
         .agg(F.count("*").alias("cnt"))
-        .rollup("kind", "carrier")
-        .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("kind").asc_nulls_first(), F.col("carrier").asc_nulls_first())
     )

@@ -119,8 +119,9 @@ def _streaming_throughput(measure_s: int = 20) -> dict:
     time.sleep(measure_s)
     progress = list(q.recentProgress)
     q.stop()
-    rows = sum(p["numInputRows"] for p in progress)
-    busy = sum(p["durationMs"]["triggerExecution"] for p in progress) / 1000
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    rows = sum(p["numInputRows"] for p in data_batches)
+    busy = sum(p["durationMs"]["triggerExecution"] for p in data_batches) / 1000
     eps = int(rows / busy) if busy > 0 else 0
     print(f"# streaming: {rows} rows / {busy:.1f}s busy -> {eps} ev/s", file=sys.stderr)
     return {"events_per_sec": eps, "input_rows": rows, "busy_sec": round(busy, 1)}
