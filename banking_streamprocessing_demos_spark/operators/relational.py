@@ -767,6 +767,59 @@ def a9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "a10_pivot_counts",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix via groupBy().pivot() with "
+    "explicit value list (one pass, no per-column scans; an unpinned pivot "
+    "would need an extra distinct-values job).",
+)
+def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}") for k in kinds]
+    )
+    return out
+
+
+@REG.add(
+    "s8_set_operations",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+    """,
+    doc="Set operations: engaged users with no purchase in the first week via "
+    "INTERSECT/EXCEPT (distinct set semantics — Catalyst plans both as "
+    "aggregates + joins).",
+)
+def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    early_purchasers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    ).select("user_id")
+    return clickers.intersect(viewers).subtract(early_purchasers)
+
+
+@REG.add(
     "w4_sessionization",
     """
     WITH flagged AS (
