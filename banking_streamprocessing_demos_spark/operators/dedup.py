@@ -57,7 +57,9 @@ _SHINGLES_SQL = f"""
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document.  transform over a
-    sequence keeps the n-gram construction inside codegen; one explode."""
+    sequence keeps the n-gram construction inside codegen; dedup happens
+    IN-ROW via array_distinct (a document's shingles all live in its own
+    array), so no corpus-wide distinct shuffle is ever needed."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
     grams = F.transform(
         F.sequence(F.lit(0), F.size("words") - NGRAM_N),
@@ -67,8 +69,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         doc.filter(F.size("words") >= NGRAM_N)
-        .select("doc_id", F.explode(grams).alias("s"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
     )
 
 
@@ -287,10 +288,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary entry (32 columns, no row explosion), join onto the
     # (doc, word) pairs, and take 32 map-side-combined sums per doc.
     # This is 32x fewer rows than exploding a bit dimension.
-    doc_words = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .distinct()
+    doc_words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     vocab = doc_words.select("w").distinct()
     h = F.md5(F.concat(F.lit("sh-"), F.col("w")))
@@ -300,7 +299,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit_set = (digit / F.lit(2 ** (3 - bit % 4))).cast("int") % 2 == 1
         vote_cols.append(F.when(bit_set, 1).otherwise(-1).alias(f"v{bit}"))
     word_votes = vocab.select("w", *vote_cols)
-    joined = doc_words.join(word_votes, "w")
+    # the vocabulary is orders of magnitude smaller than the doc-word
+    # pairs — broadcast it so the vote join never shuffles the big side
+    joined = doc_words.join(F.broadcast(word_votes), "w")
     sums = joined.groupBy("doc_id").agg(
         *[F.sum(f"v{bit}").alias(f"s{bit}") for bit in range(SIMHASH_BITS)]
     )
