@@ -94,6 +94,105 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("out_width", LongType(), True),
+        StructField("out_height", LongType(), True),
+        StructField("n_bytes_out", LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", LongType(), True),
+        StructField("frame_offset_bytes", LongType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def resize_media(spark: SparkSession, sf_dir: str, target_w: int = 224, target_h: int = 224) -> "DataFrame":
+    """Resize stage (STUB decode): real pixel resampling needs PIL/ffmpeg;
+    the Spark-side plumbing — Arrow batches in, per-row byte payloads,
+    deterministic output dims — is real and tested.  The stub 'resize'
+    keeps a deterministic byte subsample so output size scales with the
+    target dims."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
+                b = decode_media(bytes(content), mtype)
+                # deterministic fake: output bytes proportional to target area
+                stride = max(1, len(b) * 4 // (target_w * target_h) or 1)
+                resized = b[::stride]
+                out_rows.append((int(mid), mtype, target_w, target_h, len(resized)))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "media_type", "out_width", "out_height", "n_bytes_out"],
+            )
+
+    return as_media_table(spark, sf_dir).mapInPandas(do_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> "DataFrame":
+    """Frame-sampling stage for 'video' media (STUB decode): emits
+    n_frames evenly-spaced byte offsets with a content hash per frame —
+    the exact row-explosion shape a real keyframe extractor produces
+    (one input row → N output rows through mapInPandas)."""
+    import hashlib as _hl
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
+                if mtype != "video":
+                    continue
+                b = bytes(content)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    off = i * step
+                    frame = b[off : off + step]
+                    rows.append((int(mid), i, off, _hl.md5(frame).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_offset_bytes", "frame_md5"]
+            )
+
+    return as_media_table(spark, sf_dir).mapInPandas(do_sample, FRAME_SCHEMA)
+
+
+@REG.add(
+    "mm_resize",
+    f"""
+    SELECT doc_id AS media_id,
+           list_extract(['text','image','audio','video'], CAST(doc_id % 4 AS INT) + 1) AS media_type,
+           224 AS out_width, 224 AS out_height,
+           CAST(CEIL(octet_length(encode(text))
+                 / CAST(GREATEST(octet_length(encode(text)) * 4 // (224*224), 1) AS DOUBLE))
+                AS BIGINT) AS n_bytes_out
+    FROM documents
+    """,
+    doc="Multimodal resize stage: mapInPandas over binary payloads with stubbed "
+    "pixel decode; deterministic output size hash-checked against SQL.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(spark, sf_dir)
+
+
+@REG.add(
+    "mm_frame_sample",
+    None,  # per-frame md5 of python byte-slices is not portably SQL-expressible
+    doc="Multimodal frame sampling: one video row → N frame rows (offset + "
+    "content hash) through mapInPandas — rows-only check; shape/determinism "
+    "asserted in tests.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(spark, sf_dir)
+
+
 @REG.add(
     "mm_feature_extract",
     """

@@ -137,27 +137,40 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # word / number / symbol runs
+
+
 @REG.add(
     "text_token_counts",
-    """
+    f"""
     SELECT doc_id,
            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws,
            (SELECT CAST(SUM(CAST(CEIL(length(w) / 4.0) AS BIGINT)) AS BIGINT)
-            FROM UNNEST(string_split(d.text, ' ')) AS t(w)) AS n_tokens_subword
+            FROM UNNEST(string_split(d.text, ' ')) AS t(w)) AS n_tokens_subword,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_tokens_bpe
     FROM documents d
     """,
-    doc="Token counting: whitespace tokens + a BPE-ish subword estimate "
-    "(ceil(len/4) per word, summed via explode + map-side-combined aggregation).",
+    doc="Token counting: whitespace tokens, a subword estimate (ceil(len/4) per "
+    "word via explode + map-side combine), and a BPE-ish regex tokenizer "
+    "(word/number/symbol runs — class-only pattern, identical under Java regex "
+    "and RE2 so the count is oracle-checkable).",
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
     exploded = doc.select(
-        "doc_id", (spaces + 1).cast("long").alias("n_tokens_ws"), F.explode_outer(F.split("text", " ")).alias("w")
+        "doc_id",
+        (spaces + 1).cast("long").alias("n_tokens_ws"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_tokens_bpe"),
+        F.explode_outer(F.split("text", " ")).alias("w"),
     )
-    return exploded.groupBy("doc_id", "n_tokens_ws").agg(
-        F.sum(F.ceil(F.length("w") / 4.0).cast("long")).cast("long").alias("n_tokens_subword")
-    ).select("doc_id", "n_tokens_ws", "n_tokens_subword")
+    return (
+        exploded.groupBy("doc_id", "n_tokens_ws", "n_tokens_bpe")
+        .agg(
+            F.sum(F.ceil(F.length("w") / 4.0).cast("long")).cast("long").alias("n_tokens_subword")
+        )
+        .select("doc_id", "n_tokens_ws", "n_tokens_subword", "n_tokens_bpe")
+    )
 
 
 @REG.add(
