@@ -71,6 +71,23 @@ def build_phone_number(area: Column, exchange: Column, number: Column) -> Column
     )
 
 
+def fmt_hhmmss_ms(ms: Column) -> Column:
+    """F4 (py:755): ms-epoch → 'HH:MM:SS' (UTC) display string.
+
+    Pure arithmetic (floor-div/mod/lpad), NOT date_format: the result is
+    independent of the session timezone, so oracle parity holds under
+    any caller-built SparkSession without mutating session config."""
+    total_s = F.floor(ms / 1000).cast("long") % 86400
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    return F.concat(
+        two((total_s / 3600).cast("int")),
+        F.lit(":"),
+        two(((total_s % 3600) / 60).cast("int")),
+        F.lit(":"),
+        two((total_s % 60).cast("int")),
+    )
+
+
 def fmt_hhmmss(ts: Column) -> Column:
-    """F4 (py:755): epoch → 'HH:MM:SS' display string."""
-    return F.date_format(ts, "HH:mm:ss")
+    """F4 over a TimestampType column."""
+    return fmt_hhmmss_ms(F.unix_millis(ts))

@@ -299,9 +299,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit_set = (digit / F.lit(2 ** (3 - bit % 4))).cast("int") % 2 == 1
         vote_cols.append(F.when(bit_set, 1).otherwise(-1).alias(f"v{bit}"))
     word_votes = vocab.select("w", *vote_cols)
-    # the vocabulary is orders of magnitude smaller than the doc-word
-    # pairs — broadcast it so the vote join never shuffles the big side
-    joined = doc_words.join(F.broadcast(word_votes), "w")
+    # no broadcast HINT: the vocabulary is tiny for this corpus but can
+    # reach hundreds of millions of tokens on web text — let AQE pick
+    # broadcast-by-size at runtime instead of forcing a driver collect
+    joined = doc_words.join(word_votes, "w")
     sums = joined.groupBy("doc_id").agg(
         *[F.sum(f"v{bit}").alias(f"s{bit}") for bit in range(SIMHASH_BITS)]
     )

@@ -365,7 +365,9 @@ def smp2_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s5_console_dry_run",
     _PRELUDE
     + """
-    SELECT '[' || strftime(epoch_ms(CAST(timestamp AS BIGINT)), '%H:%M:%S') || '] '
+    SELECT '[' || lpad(CAST((timestamp // 1000 % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST((timestamp // 1000 % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST(timestamp // 1000 % 60 AS VARCHAR), 2, '0') || '] '
            || upper(status) || ': ' || CAST(phone_number AS VARCHAR)
            || ' (' || carrier || ')' AS line
     FROM gen_events

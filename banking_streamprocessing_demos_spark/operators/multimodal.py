@@ -127,7 +127,7 @@ def resize_media(spark: SparkSession, sf_dir: str, target_w: int = 224, target_h
             for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
                 b = decode_media(bytes(content), mtype)
                 # deterministic fake: output bytes proportional to target area
-                stride = max(1, len(b) * 4 // (target_w * target_h) or 1)
+                stride = max(1, len(b) * 4 // (target_w * target_h))
                 resized = b[::stride]
                 out_rows.append((int(mid), mtype, target_w, target_h, len(resized)))
             yield pd.DataFrame(
@@ -143,8 +143,6 @@ def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> "DataF
     n_frames evenly-spaced byte offsets with a content hash per frame —
     the exact row-explosion shape a real keyframe extractor produces
     (one input row → N output rows through mapInPandas)."""
-    import hashlib as _hl
-
     def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -152,11 +150,15 @@ def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> "DataF
                 if mtype != "video":
                     continue
                 b = bytes(content)
-                step = max(1, len(b) // n_frames)
-                for i in range(n_frames):
+                # payloads shorter than n_frames yield fewer frames; the
+                # LAST frame absorbs the remainder so every byte belongs
+                # to exactly one frame
+                k = min(n_frames, len(b)) or 1
+                step = len(b) // k if k else 1
+                for i in range(k):
                     off = i * step
-                    frame = b[off : off + step]
-                    rows.append((int(mid), i, off, _hl.md5(frame).hexdigest()))
+                    frame = b[off:] if i == k - 1 else b[off : off + step]
+                    rows.append((int(mid), i, off, hashlib.md5(frame).hexdigest()))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_index", "frame_offset_bytes", "frame_md5"]
             )
@@ -186,8 +188,8 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     None,  # per-frame md5 of python byte-slices is not portably SQL-expressible
     doc="Multimodal frame sampling: one video row → N frame rows (offset + "
-    "content hash) through mapInPandas — rows-only check; shape/determinism "
-    "asserted in tests.",
+    "content hash) through mapInPandas — rows-only driver check; shape and "
+    "byte-coverage asserted in tests/test_llm_ops.py.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(spark, sf_dir)

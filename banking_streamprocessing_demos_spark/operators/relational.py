@@ -576,7 +576,9 @@ def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_expressions",
     """
     SELECT event_id,
-           strftime(ts, '%H:%M:%S') AS hhmmss,
+           lpad(CAST((epoch_ms(ts) // 1000 % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST((epoch_ms(ts) // 1000 % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(epoch_ms(ts) // 1000 % 60 AS VARCHAR), 2, '0') AS hhmmss,
            CAST(CONCAT(CAST(212 + (user_id % 6) AS VARCHAR),
                        CAST(200 + (user_id % 800) AS VARCHAR),
                        CAST(1000 + (event_id % 9000) AS VARCHAR)) AS BIGINT) AS phone_concat,
@@ -876,7 +878,7 @@ def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "w1_hourly_event_counts",
     """
-    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, COUNT(*) AS cnt
+    SELECT epoch_ms(ts) // 3600000 * 3600000 AS hour_ms, event_type, COUNT(*) AS cnt
     FROM events GROUP BY 1, 2
     """,
     doc="ST9-analog monitoring rollup: tumbling 1h window counts (batch twin of the "
@@ -886,7 +888,9 @@ def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
-            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            # arithmetic hour-truncation: timezone-independent, unlike
+            # date_trunc which floors in the session zone
+            (F.floor(epoch_ms(F.col("ts")) / 3600000).cast("long") * 3600000).alias("hour_ms"),
             "event_type",
         )
         .agg(F.count("*").alias("cnt"))

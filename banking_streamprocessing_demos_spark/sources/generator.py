@@ -141,9 +141,6 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
     first ``sent`` + heartbeat ``sent`` re-emissions + optional
     ``delivered``, plus injected exact duplicates.  Columns match
     MESSAGE_EVENT_SCHEMA."""
-    # downstream consumers format event time (console lines, windows);
-    # oracle parity assumes UTC regardless of who built the session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     msgs = generate_messages(spark, cfg)
 
     first_sent = msgs.select(

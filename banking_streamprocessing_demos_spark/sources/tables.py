@@ -35,10 +35,6 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # oracle parity for time formatting (HH:mm:ss, date_trunc) assumes
-    # UTC; pin it here so queries are correct even under a caller-built
-    # session that didn't set it
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
         # natively; read nanos as long, then floor to microseconds.  All

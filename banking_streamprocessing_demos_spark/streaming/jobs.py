@@ -140,10 +140,12 @@ def run_detector_pipeline(
 def console_dry_run(events: DataFrame) -> DataFrame:
     """S5 (py:740-756): the dry-run console projection
     `[HH:MM:SS] STATUS: phone (carrier)` as a formatted column."""
+    from ..functions.expressions import fmt_hhmmss_ms
+
     return events.select(
         F.concat(
             F.lit("["),
-            F.date_format(F.timestamp_millis(F.col("timestamp")), "HH:mm:ss"),
+            fmt_hhmmss_ms(F.col("timestamp")),
             F.lit("] "),
             F.upper(F.col("status")),
             F.lit(": "),

@@ -91,10 +91,10 @@ def main() -> None:
 
 
 def _streaming_throughput(measure_s: int = 35) -> dict:
-    """Sustained events/s through the stateful detector: rate source at
-    100k rows/s → applyInPandasWithState.  Measured over completed
-    micro-batches, excluding empty bootstrap batches and the first two
-    data batches (python-worker + state-store warm-up dominates them)."""
+    """Throughput through the stateful detector: rate source at 100k
+    rows/s → applyInPandasWithState.  Reports BOTH sustained rate
+    (rows/busy over completed data batches after one warm-up batch) and
+    the best single-batch rate (stable under host contention)."""
     import tempfile
     import time
 
@@ -132,9 +132,18 @@ def _streaming_throughput(measure_s: int = 35) -> dict:
         for p in steady
         if p["durationMs"]["triggerExecution"] > 0
     ]
-    eps = int(max(rates)) if rates else 0
-    print(f"# streaming: {rows} rows / {busy:.1f}s busy -> best batch {eps} ev/s", file=sys.stderr)
-    return {"events_per_sec": eps, "input_rows": rows, "busy_sec": round(busy, 1)}
+    sustained = int(rows / busy) if busy > 0 else 0
+    best = int(max(rates)) if rates else 0
+    print(
+        f"# streaming: {rows} rows / {busy:.1f}s busy -> sustained {sustained}, best batch {best} ev/s",
+        file=sys.stderr,
+    )
+    return {
+        "events_per_sec": sustained,
+        "best_batch_events_per_sec": best,
+        "input_rows": rows,
+        "busy_sec": round(busy, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -85,6 +85,40 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.25, recall
 
 
+def test_resize_and_frame_sampling(spark):
+    """Resize: deterministic output dims and sizes.  Frame sampling: one
+    video row explodes to N frame rows whose slices cover every byte of
+    the payload exactly once (last frame absorbs the remainder)."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        as_media_table,
+        resize_media,
+        sample_frames,
+    )
+
+    resized = resize_media(spark, SF_SMALL).collect()
+    assert all(r.out_width == 224 and r.out_height == 224 for r in resized)
+    assert all(r.n_bytes_out > 0 for r in resized)
+
+    frames = sample_frames(spark, SF_SMALL, n_frames=4).toPandas()
+    media = {
+        r.media_id: bytes(r.content)
+        for r in as_media_table(spark, SF_SMALL).filter("media_type = 'video'").collect()
+    }
+    assert set(frames["media_id"]) == set(media)
+    for mid, grp in frames.groupby("media_id"):
+        b = media[mid]
+        grp = grp.sort_values("frame_index")
+        assert list(grp["frame_index"]) == list(range(len(grp)))
+        # offsets in range, strictly increasing, and slices cover all bytes
+        offs = list(grp["frame_offset_bytes"]) + [len(b)]
+        assert all(0 <= o < len(b) for o in offs[:-1])
+        assert offs == sorted(offs)
+        import hashlib as hl
+
+        for i in range(len(grp)):
+            assert grp.iloc[i]["frame_md5"] == hl.md5(b[offs[i] : offs[i + 1]]).hexdigest()
+
+
 def test_media_table_binary_roundtrip(spark):
     media = as_media_table(spark, SF_SMALL)
     row = media.filter(F.col("media_type") == "text").first()
