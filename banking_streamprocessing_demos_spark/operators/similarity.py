@@ -25,7 +25,8 @@ REG = Registry()
 
 TOPK = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
-LSH_BITS = 6
+LSH_BITS = 4
+LSH_TABLES = 6  # L independent tables: recall = 1-(1-p^b)^L per neighbor
 DIMS = 64
 
 
@@ -204,43 +205,61 @@ def _hyperplane_weight(bit: int, dim: int) -> int:
 @REG.add(
     "sim_ann_lsh",
     None,  # ANN is approximate by design → rows-only driver check;
-    # recall vs the exact baseline is asserted in tests/test_similarity.py
-    doc=f"Random-hyperplane LSH ANN: {LSH_BITS} deterministic ±1 hyperplanes → "
-    "sign-pattern bucket per vector; candidates = bucket collisions; exact "
-    "cosine re-rank within bucket. Scale path for similarity search — the "
-    "bucket join replaces the all-pairs product.",
+    # recall vs the exact baseline is asserted in tests/test_llm_ops.py
+    doc=f"Random-hyperplane LSH ANN: {LSH_TABLES} independent tables of "
+    f"{LSH_BITS} deterministic ±1 hyperplanes each; a pair is a candidate if "
+    "it collides in ANY table (multi-table union is the standard recall "
+    "amplifier: miss probability decays exponentially in L); exact cosine "
+    "re-rank over the union. Scale path — bucket joins replace all-pairs.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normed(spark, sf_dir)
-    # bucket id = sign pattern over LSH_BITS hyperplanes (weights ±1)
-    bucket = None
-    for bit in range(LSH_BITS):
-        weights = F.array(*[F.lit(float(_hyperplane_weight(bit, d))) for d in range(DIMS)])
-        proj = F.aggregate(
-            F.zip_with("v", weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
-        )
-        bit_col = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bit_col if bucket is None else bucket * 2 + bit_col
-    bucketed = n.withColumn("bucket", bucket)
-    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+    # per table: bucket id = sign pattern over LSH_BITS hyperplanes;
+    # emit (table, bucket) pairs via a single explode — one pass over
+    # the vectors regardless of L
+    table_buckets = []
+    for t in range(LSH_TABLES):
+        bucket = None
+        for bit in range(LSH_BITS):
+            weights = F.array(
+                *[F.lit(float(_hyperplane_weight(t * LSH_BITS + bit, d))) for d in range(DIMS)]
+            )
+            proj = F.aggregate(
+                F.zip_with("v", weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+            )
+            bit_col = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bit_col if bucket is None else bucket * 2 + bit_col
+        table_buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    hashed = n.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*table_buckets)).alias("tb")
+    ).select("vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    c = bucketed.select(
+    c = hashed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
+        F.col("tbl").alias("ctbl"),
         F.col("bucket").alias("cbucket"),
     )
-    scored = (
+    # candidate = collision in ANY table → distinct over the union
+    cands = (
         c.join(
             F.broadcast(q),
-            (F.col("cbucket") == F.col("qbucket")) & (F.col("neighbor_id") != F.col("query_id")),
+            (F.col("ctbl") == F.col("qtbl"))
+            & (F.col("cbucket") == F.col("qbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cands.withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

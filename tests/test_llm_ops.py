@@ -31,20 +31,20 @@ def test_ngram_pairs_above_tau(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    """ANN trades recall for candidate reduction; with 6 hyperplanes over
-    near-orthogonal synthetic vectors recall@5 is modest — assert the
-    contract instead: every ANN hit is a true neighbor ranked correctly,
-    and every rank-1 bucket-mate matches brute force when present."""
+    """Multi-table LSH (6 tables x 4 bits): recall@5 must clear 0.3 even
+    on near-orthogonal synthetic vectors (the hard case for LSH), every
+    ANN cosine must agree with the exact computation, and ranks must be
+    dense per query."""
     exact = sim_topk(spark, SF_SMALL).collect()
     ann = sim_ann_lsh(spark, SF_SMALL).collect()
     exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    hits = 0
     for r in ann:
         assert r.rank <= 5
-        # cosine must agree with the exact computation when the pair
-        # appears in both result sets
         if (r.query_id, r.neighbor_id) in exact_pairs:
+            hits += 1
             assert abs(r.cosine - exact_pairs[(r.query_id, r.neighbor_id)]) < 1e-9
-    # ANN returns at most k per query and only bucket collisions
+    assert hits / len(exact_pairs) >= 0.3, f"recall {hits / len(exact_pairs):.2f}"
     per_q = {}
     for r in ann:
         per_q.setdefault(r.query_id, []).append(r.rank)
