@@ -11,7 +11,6 @@ import os
 import shutil
 
 import pandas as pd
-import pytest
 
 from banking_streamprocessing_demos_spark.sources.generator import generate_events
 from banking_streamprocessing_demos_spark.streaming.detector import detect_undelivered

@@ -5,7 +5,6 @@ identically to the event-time ground truth on a heartbeat-free stream
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 
 from banking_streamprocessing_demos_spark.config import GeneratorConfig
 from banking_streamprocessing_demos_spark.sources.generator import (

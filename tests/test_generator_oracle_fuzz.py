@@ -6,7 +6,6 @@ determinism contract (SURVEY §5)."""
 from __future__ import annotations
 
 import duckdb
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -3,7 +3,6 @@ state size; status_snapshot must roll up detector output."""
 
 from __future__ import annotations
 
-import tempfile
 import time
 
 from banking_streamprocessing_demos_spark.config import GeneratorConfig
