@@ -926,3 +926,181 @@ def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(lat, F.lit(0.95)), 2).alias("p95_ms"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J6/J7/W5: as-of join, range join, native session windows — the custom
+# time-join operators a stream-analytics engine needs that plain equi-join
+# can't express (SURVEY §2.4's J5 family, generalized)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "j6_asof_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_ms(ts) AS click_ms, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ms,
+           c.click_ms, c.click_id,
+           p.purchase_ms - c.click_ms AS ms_since_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.purchase_ms >= c.click_ms
+    """,
+    doc="AS-OF join (most recent click at-or-before each purchase, per user): "
+    "Spark lacks a native ASOF operator, so it's built as the scalable "
+    "merge-asof composition — tag both sides, ONE shuffle on the key, sort "
+    "within partition, last_value(ignorenulls) window carries the right side "
+    "forward.  No range explosion, no per-row subquery; at 100 TB this is a "
+    "single sort-shuffle, the same cost as a sort-merge join.  Right side is "
+    "pre-deduped per (key, ts) so ties are deterministic.  Oracle: DuckDB's "
+    "native ASOF LEFT JOIN.",
+)
+def j6_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ms = epoch_ms(F.col("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        ms.alias("t_ms"),
+        F.lit(None).cast("bigint").alias("rhs_click_id"),
+        F.lit(1).alias("side"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", ms.alias("t_ms"))
+        .agg(F.max("event_id").alias("rhs_click_id"))
+        .select(
+            F.lit(None).cast("bigint").alias("purchase_id"),
+            "user_id",
+            "t_ms",
+            "rhs_click_id",
+            F.lit(0).alias("side"),
+        )
+    )
+    # side=0 (click) sorts before side=1 (purchase) at equal t_ms → the
+    # inclusive ">=" as-of semantics of the oracle
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_ms = F.last(F.when(F.col("side") == 0, F.col("t_ms")), ignorenulls=True).over(w)
+    carried_id = F.last(F.col("rhs_click_id"), ignorenulls=True).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("click_ms", carried_ms)
+        .withColumn("click_id", carried_id)
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("t_ms").alias("purchase_ms"),
+            "click_ms",
+            "click_id",
+            (F.col("t_ms") - F.col("click_ms")).alias("ms_since_click"),
+        )
+    )
+
+
+@REG.add(
+    "j7_range_join",
+    """
+    WITH inc AS (
+        SELECT MIN(epoch_ms(ts)) AS win_start_ms, COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY epoch_ms(ts) // 60000
+        ORDER BY n_errors DESC, win_start_ms LIMIT 20
+    )
+    SELECT i.win_start_ms, i.n_errors,
+           COUNT(*) AS n_events_in_window,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM inc i JOIN events e
+      ON epoch_ms(e.ts) >= i.win_start_ms AND epoch_ms(e.ts) < i.win_start_ms + 90000
+    GROUP BY 1, 2
+    """,
+    doc="RANGE (interval) join: all events falling inside the top-20 error-burst "
+    "windows [first_error, first_error + 90 s) — a pure non-equi time-range "
+    "join.  The incident side is LIMIT-bounded and broadcast, so the plan is a "
+    "BroadcastNestedLoopJoin probing 20 windows per event — linear in the fact "
+    "side, no shuffle.  When BOTH sides are large, the scale path is bucketing "
+    "each interval to its overlapping coarse time buckets and equi-joining on "
+    "the bucket id (turns O(n·m) into a co-partitioned join); here the small "
+    "side makes broadcast strictly better.",
+)
+def j7_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", epoch_ms(F.col("ts")).alias("e_ms")
+    )
+    inc = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        # positive ms epochs: truncating cast == DuckDB's // floor division
+        .groupBy((epoch_ms(F.col("ts")) / 60000).cast("bigint").alias("minute"))
+        .agg(F.min(epoch_ms(F.col("ts"))).alias("win_start_ms"), F.count("*").alias("n_errors"))
+        .orderBy(F.col("n_errors").desc(), "win_start_ms")
+        .limit(20)
+        .select("win_start_ms", "n_errors")
+    )
+    joined = ev.join(
+        F.broadcast(inc),
+        (F.col("e_ms") >= F.col("win_start_ms")) & (F.col("e_ms") < F.col("win_start_ms") + 90000),
+    )
+    return joined.groupBy("win_start_ms", "n_errors").agg(
+        F.count("*").alias("n_events_in_window"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@REG.add(
+    "w5_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+               CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= 7200000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts_ms,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) + 7200000 AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="NATIVE session windows: Spark's built-in session_window(ts, gap) — the "
+    "idiomatic twin of w4's hand-rolled lag+running-sum (same results, and the "
+    "same operator Structured Streaming uses for streaming sessionization with "
+    "state-store merging).  Event time is truncated to ms BEFORE windowing in "
+    "both engines so merge decisions are precision-identical.  Gap 2 h; "
+    "session end = last event + gap (session_window's close semantics).",
+)
+def w5_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_millis(epoch_ms(F.col("ts"))).alias("ts_ms_t")
+    )
+    sw = F.session_window("ts_ms_t", "2 hours")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
