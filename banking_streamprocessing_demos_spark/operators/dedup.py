@@ -60,7 +60,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence keeps the n-gram construction inside codegen; dedup happens
     IN-ROW via array_distinct (a document's shingles all live in its own
     array), so no corpus-wide distinct shuffle is ever needed."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    # repartition BEFORE the explode/hash pipeline: the local corpus is a
+    # single input split, which would serialize shingling (and minhash's
+    # 12 md5s per shingle) onto one task; at cluster scale the scan is
+    # already parallel and this moves raw text once
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
     grams = F.transform(
         F.sequence(F.lit(0), F.size("words") - NGRAM_N),
         lambda i: F.concat_ws(
@@ -284,33 +292,51 @@ def _simhash_sql() -> str:
     "(banded the same way as MinHash at scale); sketch itself is hash-checked.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bit votes are a property of the WORD alone → compute them once per
-    # vocabulary entry (32 columns, no row explosion), join onto the
-    # (doc, word) pairs, and take 32 map-side-combined sums per doc.
-    # This is 32x fewer rows than exploding a bit dimension.
-    doc_words = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    # A document's simhash depends ONLY on its own words → compute it
+    # entirely IN-ROW with higher-order functions: distinct words → one
+    # md5 per word (materialized once as an array column) → 32 aggregate()
+    # folds summing ±1 votes → majority bits packed to a bigint.  The plan
+    # is scan → project: ZERO shuffles, no row explosion, no join — each
+    # partition sketches its documents independently, which is the ideal
+    # shape at 100 TB (an earlier explode→vocab-join→groupBy version paid
+    # two shuffles and a 100x row blowup for the same answer).
+    # one md5 per distinct word, packed to a 32-bit integer: hex digit
+    # b//4 at value-bit 3-b%4 (the oracle's layout) is exactly packed bit
+    # 31-b, so each per-bit vote below is a single bitwiseAND — no string
+    # ops inside the 32 folds
+    hash32 = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda w: F.conv(F.substring(F.md5(F.concat(F.lit("sh-"), w)), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
     )
-    vocab = doc_words.select("w").distinct()
-    h = F.md5(F.concat(F.lit("sh-"), F.col("w")))
-    vote_cols = []
-    for bit in range(SIMHASH_BITS):
-        digit = F.instr(F.lit(HEX), F.substring(h, bit // 4 + 1, 1)) - 1
-        bit_set = (digit / F.lit(2 ** (3 - bit % 4))).cast("int") % 2 == 1
-        vote_cols.append(F.when(bit_set, 1).otherwise(-1).alias(f"v{bit}"))
-    word_votes = vocab.select("w", *vote_cols)
-    # no broadcast HINT: the vocabulary is tiny for this corpus but can
-    # reach hundreds of millions of tokens on web text — let AQE pick
-    # broadcast-by-size at runtime instead of forcing a driver collect
-    joined = doc_words.join(word_votes, "w")
-    sums = joined.groupBy("doc_id").agg(
-        *[F.sum(f"v{bit}").alias(f"s{bit}") for bit in range(SIMHASH_BITS)]
+    # fan the compute-heavy map across all cores: the corpus here is one
+    # small parquet file (one input split), which would serialize the
+    # whole sketch onto a single task; a cluster-scale corpus has natural
+    # scan parallelism and the repartition collapses to a no-op cost-wise
+    # (it moves raw text once, before the 32-fold hash work)
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", hash32.alias("hv"))
     )
+
+    def fold(bit: int):
+        # closure (not a lambda default arg: pyspark treats extra lambda
+        # params as lambda variables) binding the bit mask per fold
+        mask = F.lit(1 << (31 - bit)).cast("bigint")
+        return F.aggregate(
+            F.col("hv"),
+            F.lit(0),
+            lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
     simhash = None
     for bit in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{bit}") > 0, F.lit(2**bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        s = fold(bit)
+        term = F.when(s > 0, F.lit(2**bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         simhash = term if simhash is None else simhash + term
-    return sums.select("doc_id", simhash.alias("simhash"))
+    return doc.select("doc_id", simhash.alias("simhash"))
 
 
 @REG.add(
