@@ -38,6 +38,19 @@ MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 COSINE_TAU = 0.45
 SIMHASH_BITS = 32
 
+# MinHash permutation family: each shingle is md5-hashed ONCE to a 32-bit
+# integer v, and the K "permutations" are h_i(v) = (a_i*v + b_i) mod P —
+# the standard universal-hashing construction, 12x less hashing than K
+# independent md5s.  a_i < 2^20 keeps a_i*v < 2^52: exact in int64 for
+# both engines, no overflow under ANSI arithmetic.
+MH_P = 1_000_000_007
+MH_A = [((i + 1) * 604_171) % 1_048_573 | 1 for i in range(MINHASH_K)]
+MH_B = [((i + 1) * 390_419) % MH_P for i in range(MINHASH_K)]
+# DuckDB twin of Spark's conv(substr(md5,1,8),16,10): positional hex decode
+_HEX_DECODE = " + ".join(
+    f"(strpos('{HEX}', substr(h, {p + 1}, 1)) - 1) * {16 ** (7 - p)}" for p in range(8)
+)
+
 
 # ---------------------------------------------------------------------------
 # shared shingle SQL / DataFrame builders
@@ -55,15 +68,15 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document.  transform over a
-    sequence keeps the n-gram construction inside codegen; dedup happens
-    IN-ROW via array_distinct (a document's shingles all live in its own
-    array), so no corpus-wide distinct shuffle is ever needed."""
+def _gram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document array of DISTINCT word-3-gram shingles.  transform
+    over a sequence keeps the n-gram construction inside codegen; dedup
+    happens IN-ROW via array_distinct (a document's shingles all live in
+    its own array), so no corpus-wide distinct shuffle is ever needed."""
     # repartition BEFORE the explode/hash pipeline: the local corpus is a
-    # single input split, which would serialize shingling (and minhash's
-    # 12 md5s per shingle) onto one task; at cluster scale the scan is
-    # already parallel and this moves raw text once
+    # single input split, which would serialize shingling/hashing onto
+    # one task; at cluster scale the scan is already parallel and this
+    # moves raw text once
     doc = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -75,10 +88,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.get("words", i), F.get("words", i + 1), F.get("words", i + 2)
         ),
     )
-    return (
-        doc.filter(F.size("words") >= NGRAM_N)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+    return doc.filter(F.size("words") >= NGRAM_N).select(
+        "doc_id", F.array_distinct(grams).alias("grams")
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) pairs — the join-shaped view used by the
+    exact-Jaccard verifier stages."""
+    return _gram_docs(spark, sf_dir).select("doc_id", F.explode("grams").alias("s"))
 
 
 def _pair_jaccard(shingles: DataFrame) -> DataFrame:
@@ -158,13 +176,17 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
-        f"MIN(md5('mh{i}-' || s)) AS h{i}" for i in range(MINHASH_K)
+        f"MIN(({MH_A[i]} * v + {MH_B[i]}) % {MH_P}) AS h{i}" for i in range(MINHASH_K)
     )
-    return f"sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
+    return f"""hv AS (
+        SELECT doc_id, {_HEX_DECODE} AS v
+        FROM (SELECT doc_id, md5('mh-' || s) AS h FROM shingles)
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)"""
 
 
 def _band_sql(b: int) -> str:
-    cols = " || ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS))
+    cols = " || '-' || ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS))
     return f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
 
 
@@ -199,11 +221,30 @@ def _band_sql(b: int) -> str:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"mh{i}-"), F.col("s")))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
+    # signatures computed IN-ROW (a doc's minhashes depend only on its own
+    # shingles): one md5 per distinct shingle packed to a 32-bit int, then
+    # K affine permutations + array_min — no explode and no groupBy
+    # shuffle for the signature stage, unlike the K-independent-md5s
+    # formulation it replaces
+    shingle_hash32 = F.transform(
+        F.col("grams"),
+        lambda s: F.conv(F.substring(F.md5(F.concat(F.lit("mh-"), s)), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+
+    def sig(i: int):
+        # closure binding the permutation index (not a lambda default arg)
+        return F.array_min(
+            F.transform(
+                F.col("vs"), lambda v: (v * F.lit(MH_A[i]) + F.lit(MH_B[i])) % F.lit(MH_P)
+            )
+        ).alias(f"h{i}")
+
+    sigs = (
+        _gram_docs(spark, sf_dir)
+        .select("doc_id", shingle_hash32.alias("vs"))
+        .select("doc_id", *[sig(i) for i in range(MINHASH_K)])
     )
     # bands via a single explode (NOT a 4-way union, which would recompute
     # the shingle→signature pipeline once per band); the per-doc band
@@ -215,7 +256,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat(*[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)])
+                    F.concat_ws(
+                        "-", *[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                    )
                 ).alias("bucket"),
             )
             for b in range(MINHASH_BANDS)
