@@ -3,7 +3,16 @@ properties must hold, or a 100 TB deployment degrades silently."""
 
 from __future__ import annotations
 
-from banking_streamprocessing_demos_spark.operators.relational import a3, j1, j3, p2, p4
+from banking_streamprocessing_demos_spark.operators.dedup import dedup_simhash
+from banking_streamprocessing_demos_spark.operators.relational import (
+    a3,
+    j1,
+    j3,
+    j6_asof,
+    j7_range,
+    p2,
+    p4,
+)
 from banking_streamprocessing_demos_spark.plans.explain import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -50,3 +59,35 @@ def test_anti_join_not_cartesian(spark):
     df = j3(spark, SF_SMALL)
     assert_no_cartesian(df)
     assert_broadcast_join(df)
+
+
+def test_j6_asof_single_shuffle(spark):
+    """The merge-asof composition must cost ONE data shuffle (the window
+    partitioning on user_id) after the right side's tiny pre-dedup agg —
+    never a range-join explosion or per-row subquery."""
+    df = j6_asof(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    # shuffles: right-side (user_id, ts) dedup agg + the window sort;
+    # anything beyond that means the asof degenerated
+    assert count_shuffles(df) <= 3, formatted_plan(df)
+    assert "Window" in formatted_plan(df)
+
+
+def test_j7_range_join_broadcasts_incidents(spark):
+    """The LIMIT-bounded incident side must broadcast: the non-equi
+    range predicate then costs a BroadcastNestedLoopJoin probe per event,
+    not a shuffle or cartesian of the fact table."""
+    plan = formatted_plan(j7_range(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_simhash_no_shuffle(spark):
+    """The in-row sketch must stay a narrow map: scan → repartition →
+    project, with NO aggregation exchange (a doc's simhash never needs
+    other docs)."""
+    df = dedup_simhash(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "HashAggregate" not in plan, plan[:2000]
+    # the single Exchange is the explicit small-file fan-out repartition
+    assert count_shuffles(df) <= 1, plan[:2000]
