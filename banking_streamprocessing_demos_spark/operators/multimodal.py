@@ -186,10 +186,24 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "mm_frame_sample",
-    None,  # per-frame md5 of python byte-slices is not portably SQL-expressible
+    """
+    WITH v AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) AS n,
+               LEAST(4, octet_length(encode(text))) AS k
+        FROM documents WHERE doc_id % 4 = 3
+    )
+    SELECT media_id, i AS frame_index,
+           i * (n // k) AS frame_offset_bytes,
+           CASE WHEN i = k - 1 THEN md5(substr(text, i * (n // k) + 1))
+                ELSE md5(substr(text, i * (n // k) + 1, n // k)) END AS frame_md5
+    FROM v, UNNEST(range(k)) AS t(i)
+    """,
     doc="Multimodal frame sampling: one video row → N frame rows (offset + "
-    "content hash) through mapInPandas — rows-only driver check; shape and "
-    "byte-coverage asserted in tests/test_llm_ops.py.",
+    "content hash) through mapInPandas.  The corpus is ASCII (byte offsets == "
+    "char offsets, asserted in tests), so the python byte-slice md5s are "
+    "SQL-recomputable and the driver hash-checks them; shape and byte-coverage "
+    "also asserted in tests/test_llm_ops.py.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(spark, sf_dir)

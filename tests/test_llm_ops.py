@@ -105,6 +105,10 @@ def test_resize_and_frame_sampling(spark):
         for r in as_media_table(spark, SF_SMALL).filter("media_type = 'video'").collect()
     }
     assert set(frames["media_id"]) == set(media)
+    # the mm_frame_sample DuckDB oracle recomputes byte-slice md5s via
+    # substr, which is only byte-exact while the corpus stays ASCII —
+    # fail loudly here if the testdata ever grows multibyte text
+    assert all(b.decode("utf-8").isascii() for b in media.values())
     for mid, grp in frames.groupby("media_id"):
         b = media[mid]
         grp = grp.sort_values("frame_index")
