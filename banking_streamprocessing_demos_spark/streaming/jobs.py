@@ -62,6 +62,30 @@ def carrier_counts(events: DataFrame, window: str = "30 seconds") -> DataFrame:
     )
 
 
+def phone_sessions(events: DataFrame, gap: str = "45 seconds") -> DataFrame:
+    """Streaming sessionization with the NATIVE session_window operator:
+    bursts of per-phone activity separated by ≥gap of silence — the
+    streaming twin of the batch `w5_session_window` query.  The state
+    store merges out-of-order events into open sessions until the
+    watermark passes session end (append mode then emits the closed
+    session exactly once).  Scale: state is one open session per active
+    phone, partitioned by the group key — the same per-key state budget
+    as the detector (ST1)."""
+    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    if with_time.isStreaming:
+        with_time = with_time.withWatermark("event_time", "1 minute")
+    return (
+        with_time.groupBy(F.session_window("event_time", gap), "phone_number")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "phone_number",
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Execute a streaming DataFrame to completion (availableNow) into an
     in-memory table ``name`` — the test sink."""

@@ -13,6 +13,7 @@ from banking_streamprocessing_demos_spark.sources.rate_stream import message_rat
 from banking_streamprocessing_demos_spark.streaming.jobs import (
     carrier_counts,
     console_dry_run,
+    phone_sessions,
     read_event_stream_from_files,
     run_to_memory,
     status_counts,
@@ -129,3 +130,35 @@ def test_rate_stream_produces_lifecycle(spark):
         .count()
     )
     assert dupes == 0
+
+
+def test_phone_sessions_batch_equals_stream(spark, tmp_path):
+    """Native session_window sessionization must produce identical closed
+    sessions run as a batch plan or as a streaming query (unified
+    semantics), with one emission per closed session in append mode."""
+    events = generate_events(spark, CFG)
+    events.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "sev"))
+
+    # gap below the 30 s heartbeat cadence so undelivered chains split
+    # into per-heartbeat sessions (45 s default would merge every phone
+    # into one unbroken session on this fixture)
+    batch = phone_sessions(events, gap="25 seconds").collect()
+    stream = read_event_stream_from_files(spark, str(tmp_path / "sev"))
+    run_to_memory(phone_sessions(stream, gap="25 seconds"), "phone_sessions_out")
+    streamed = spark.table("phone_sessions_out").collect()
+
+    # append mode emits only sessions the final watermark closed
+    max_ms = events.agg(F.max("timestamp")).first()[0]
+    closed = max_ms - 60_000
+    batch_closed = [tuple(r) for r in batch if r.session_end_ms <= closed]
+    assert sorted(batch_closed) == sorted(map(tuple, streamed))
+    assert batch_closed, "fixture must close at least one session"
+    # sessions for one phone never overlap and respect the gap
+    by_phone = {}
+    for r in batch:
+        by_phone.setdefault(r.phone_number, []).append(r)
+    assert any(len(v) > 1 for v in by_phone.values()), "gap must split sessions"
+    for rows in by_phone.values():
+        rows.sort(key=lambda r: r.session_start_ms)
+        for a, b in zip(rows, rows[1:]):
+            assert a.session_end_ms <= b.session_start_ms
