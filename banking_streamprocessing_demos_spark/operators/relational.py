@@ -477,6 +477,46 @@ def smp1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_U = """(4096 * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+     + 256 * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+     + 16  * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+     +       (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+    ) / 65536.0"""
+
+
+@REG.add(
+    "smp3_stratified_split",
+    f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
+                    WHEN {_SPLIT_U} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+    doc="Stratified train/val/test split (80/10/10) for dataset curation: "
+    "membership is a pure hash of the stable doc_id (md5-derived uniform, the "
+    "SMP1 family), so the assignment is reproducible on any cluster, needs no "
+    "shuffle or global sort, and every stratum (lang) splits at the same "
+    "rates.  Rolled up per (lang, split) for the correctness check; the "
+    "assignment column itself is what a pipeline would write.",
+)
+def smp3_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    u = det_uniform("doc_id", seed="split")
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        doc.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # U-series: upsert / snapshot semantics (SURVEY §2.7) — event-sourced, no
 # in-place mutation (risk register §7 item 5).

@@ -194,3 +194,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bow.alias("bow_fp"),
         F.substring(F.md5(F.col("text")), 1, 16).alias("short_fp"),
     )
+
+
+@REG.add(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfq FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               ROUND(tf * LN((n + 1.0) / (dfq + 1.0)), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))): "
+    "the standard keyword-extraction stage of a text pipeline.  Dataflow is "
+    "three map-side-combined shuffles (tf by (doc,term), df by term, rank by "
+    "doc) — each keyed on what it aggregates, nothing quadratic.  Ranking "
+    "orders by the 6dp-ROUNDED score with the term as tiebreaker so both "
+    "engines rank identically despite libm ULP differences.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("dfq"))
+    n = doc.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("dfq") + 1.0)), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )
