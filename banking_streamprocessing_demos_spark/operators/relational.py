@@ -477,6 +477,35 @@ def smp1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "j8_salted_skew_join",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-resistant join (SURVEY §4 / 100 TB stance): the engine's "
+    "salted_join — small side replicated per salt bucket, big side scattered "
+    "by a deterministic row hash, join on (key, salt) — must be ROW-FOR-ROW "
+    "equivalent to the plain equi-join; the oracle is that plain join, so the "
+    "driver hash-checks semantic preservation.  For hot keys AQE's runtime "
+    "skew split can't fix (both sides hot, or skewed agg keys), this spreads "
+    "one straggler's work across salt_buckets tasks.",
+)
+def j8_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = salted_join(orders, customer, key="o_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+    )
+
+
 _SPLIT_U = """(4096 * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
      + 256 * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
      + 16  * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
