@@ -75,6 +75,7 @@ def main() -> None:
     total = sum(timings.values())
 
     streaming = _streaming_throughput()
+    streaming_join = _streaming_throughput(variant="join", rows_per_second=500_000)
 
     print(
         json.dumps(
@@ -85,39 +86,59 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming": streaming,
+                "streaming_join_variant": streaming_join,
             }
         )
     )
 
 
-def _streaming_throughput(measure_s: int = 35) -> dict:
-    """Throughput through the stateful detector: rate source at 100k
-    rows/s → applyInPandasWithState.  Reports BOTH sustained rate
-    (rows/busy over completed data batches after one warm-up batch) and
-    the best single-batch rate (stable under host contention)."""
+def _streaming_throughput(
+    measure_s: int = 35, variant: str = "state", rows_per_second: int = 100_000
+) -> dict:
+    """Throughput through the detector: rate source → detector plan.
+    variant='state' is the primary applyInPandasWithState path;
+    variant='join' is the all-JVM stream-stream outer-join plan (no
+    Python in the loop → higher ceiling, classification-only output).
+    Reports BOTH sustained rate (rows/busy over completed data batches
+    after one warm-up batch) and the best single-batch rate (stable
+    under host contention)."""
     import tempfile
     import time
 
     from banking_streamprocessing_demos_spark.config import GeneratorConfig
     from banking_streamprocessing_demos_spark.sources.rate_stream import message_rate_stream
     from banking_streamprocessing_demos_spark.streaming.detector import detect_undelivered
+    from banking_streamprocessing_demos_spark.streaming.detector_join import (
+        detect_undelivered_join,
+    )
 
-    spark = get_spark("bench-streaming")
+    spark = get_spark(f"bench-streaming-{variant}")
     stream = message_rate_stream(
         spark,
         GeneratorConfig(seed="bench"),
-        rows_per_second=100_000,
+        rows_per_second=rows_per_second,
         max_forks=10_000,
         ticks_per_message=100,
         delivery_delay_ticks=20,
     )
-    det = detect_undelivered(stream, timeout_ms=60_000, watermark_delay="5 seconds")
+    if variant == "join":
+        det = detect_undelivered_join(stream, timeout_ms=60_000, watermark_delay="5 seconds")
+    else:
+        det = detect_undelivered(stream, timeout_ms=60_000, watermark_delay="5 seconds")
     q = (
         det.writeStream.format("noop")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-stream-ckpt-"))
         .start()
     )
+    # poll until enough DATA batches completed (warm-up + ≥2 measured);
+    # a fixed sleep under host contention can catch zero finished batches
+    deadline = time.monotonic() + max(measure_s, 90)
     time.sleep(measure_s)
+    while time.monotonic() < deadline:
+        done = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        if done >= 3:
+            break
+        time.sleep(5)
     progress = list(q.recentProgress)
     q.stop()
     data_batches = [p for p in progress if p["numInputRows"] > 0]
@@ -135,7 +156,8 @@ def _streaming_throughput(measure_s: int = 35) -> dict:
     sustained = int(rows / busy) if busy > 0 else 0
     best = int(max(rates)) if rates else 0
     print(
-        f"# streaming: {rows} rows / {busy:.1f}s busy -> sustained {sustained}, best batch {best} ev/s",
+        f"# streaming[{variant}]: {rows} rows / {busy:.1f}s busy -> "
+        f"sustained {sustained}, best batch {best} ev/s",
         file=sys.stderr,
     )
     return {
