@@ -1013,6 +1013,58 @@ def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def merge_asof(
+    left: DataFrame, right: DataFrame, key: str, ts: str, right_prefix: str = "asof_"
+) -> DataFrame:
+    """AS-OF enrich: each ``left`` row gains the most recent ``right`` row
+    with ``right.ts <= left.ts`` for the same ``key`` (inclusive), or
+    nulls when none precedes it.
+
+    The scalable merge-asof composition — Spark has no native ASOF join:
+    tag both sides, union, ONE shuffle on the key, sort within partition
+    by (ts, side), and carry the right side forward with
+    last_value(ignorenulls).  Cost equals a sort-merge join; no range
+    explosion, no per-row subquery.
+
+    Requirements: ``right`` unique per (key, ts) — pre-aggregate ties —
+    and right payload columns non-null (the null-skipping carry would
+    look past a legitimately-null payload to an older row).
+    """
+    lcols = [c for c in left.columns if c not in (key, ts)]
+    rcols = [c for c in right.columns if c not in (key, ts)]
+    l2 = left.select(
+        key,
+        ts,
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        F.lit(1).alias("__side"),
+    )
+    r2 = right.select(
+        key,
+        ts,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.col(ts).alias("__r_ts"),
+        F.lit(0).alias("__side"),
+    )
+    # side=0 (right) sorts before side=1 (left) at equal ts → inclusive
+    # "at-or-before" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2)
+    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}") for c in rcols]
+    carried.append(F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_prefix}{ts}"))
+    return (
+        u.select(key, ts, *lcols, "__side", *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
 @REG.add(
     "j6_asof_join",
     """
@@ -1043,46 +1095,20 @@ def j6_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     ms = epoch_ms(F.col("ts"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        ms.alias("t_ms"),
-        F.lit(None).cast("bigint").alias("rhs_click_id"),
-        F.lit(1).alias("side"),
+        "user_id", ms.alias("t_ms"), F.col("event_id").alias("purchase_id")
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", ms.alias("t_ms"))
-        .agg(F.max("event_id").alias("rhs_click_id"))
-        .select(
-            F.lit(None).cast("bigint").alias("purchase_id"),
-            "user_id",
-            "t_ms",
-            "rhs_click_id",
-            F.lit(0).alias("side"),
-        )
+        .agg(F.max("event_id").alias("click_id"))
     )
-    # side=0 (click) sorts before side=1 (purchase) at equal t_ms → the
-    # inclusive ">=" as-of semantics of the oracle
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_ms", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried_ms = F.last(F.when(F.col("side") == 0, F.col("t_ms")), ignorenulls=True).over(w)
-    carried_id = F.last(F.col("rhs_click_id"), ignorenulls=True).over(w)
-    return (
-        clicks.unionByName(purchases)
-        .withColumn("click_ms", carried_ms)
-        .withColumn("click_id", carried_id)
-        .filter(F.col("side") == 1)
-        .select(
-            "purchase_id",
-            "user_id",
-            F.col("t_ms").alias("purchase_ms"),
-            "click_ms",
-            "click_id",
-            (F.col("t_ms") - F.col("click_ms")).alias("ms_since_click"),
-        )
+    return merge_asof(purchases, clicks, key="user_id", ts="t_ms").select(
+        "purchase_id",
+        "user_id",
+        F.col("t_ms").alias("purchase_ms"),
+        F.col("asof_t_ms").alias("click_ms"),
+        F.col("asof_click_id").alias("click_id"),
+        (F.col("t_ms") - F.col("asof_t_ms")).alias("ms_since_click"),
     )
 
 

@@ -247,3 +247,64 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+def _split_u_sql() -> str:
+    from .message_domain import _u
+
+    return _u("split", "CAST(doc_id AS VARCHAR)")
+
+
+def _curation_sql() -> str:
+    u = _split_u_sql()
+    return f"""
+    WITH canonical AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang,
+               length(d.text) - length(replace(d.text, ' ', '')) + 1 AS wc
+        FROM documents d JOIN canonical c ON d.doc_id = c.doc_id
+        WHERE length(d.text) - length(replace(d.text, ' ', '')) + 1 >= 25
+    ),
+    assigned AS (
+        SELECT lang, wc,
+               CASE WHEN {u} < 0.8 THEN 'train'
+                    WHEN {u} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+    )
+    SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS total_words
+    FROM assigned GROUP BY lang, split
+    """
+
+
+@REG.add(
+    "pipe_curation",
+    _curation_sql(),
+    doc="End-to-end curation pipeline COMPOSED from the checked operators: "
+    "exact dedup (md5 canonical, semi-join survivors) → quality gate "
+    "(word_count >= 25) → reproducible stratified split (same md5 assignment "
+    "as smp3, so pipeline splits agree with standalone splits) → per-"
+    "(lang, split) rollup.  One narrow scan feeds everything; the only "
+    "shuffles are the dedup groupBy and the final rollup.",
+)
+def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_uniform
+
+    doc = load_table(spark, sf_dir, "documents")
+    canonical = doc.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    wc = (spaces + 1).cast("long")
+    kept = (
+        doc.join(canonical.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("wc", wc)
+        .filter(F.col("wc") >= 25)
+    )
+    u = det_uniform("doc_id", seed="split")
+    split = F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    return (
+        kept.select("lang", split.alias("split"), "wc")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("wc").cast("bigint").alias("total_words"))
+    )
