@@ -27,6 +27,10 @@ HEADLINE = [
     "j1_join_filter_groupby",
     "j2_scalar_correlated_subquery",
     "j5_timeout_pairing",
+    "j6_asof_join",
+    "j7_range_join",
+    "j8_salted_skew_join",
+    "w5_session_window",
     "u3_snapshot_last_event_wins",
     "a6_running_counters",
     "w1_hourly_event_counts",
@@ -36,6 +40,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "text_stats_quality",
+    "text_tfidf_topk",
+    "pipe_curation",
     "mm_feature_extract",
     # message-domain state machine (generator-backed)
     "gen_messages_snapshot",
