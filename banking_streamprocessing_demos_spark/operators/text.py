@@ -231,7 +231,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("dfq"))
+    # document frequency derives from tf (one row per (doc, term)), so a
+    # plain COUNT replaces a count_distinct over raw tokens and the
+    # second explode disappears; the shared tf stage materializes once
+    # via ReuseExchange
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfq"))
     n = doc.agg(F.count("*").alias("n"))
     scored = (
         tf.join(dfreq, "term")
