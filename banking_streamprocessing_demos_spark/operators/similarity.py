@@ -266,3 +266,54 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@REG.add(
+    "emb_quantize_int8",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ),
+    err AS (
+        SELECT vec_id, label, ROUND(scale, 9) AS scale9,
+               list_sum(list_transform(v, x -> (x - ROUND(x / scale) * scale)
+                                            * (x - ROUND(x / scale) * scale))) AS sse,
+               len(v) AS n_dims
+        FROM scaled
+    )
+    SELECT vec_id, label, scale9 AS scale, n_dims,
+           ROUND(sse / n_dims * 1000000, 6) AS mse_ppm
+    FROM err
+    """,
+    doc="Embedding compression: symmetric int8 scalar quantization (scale = "
+    "max|x|/127 per vector) with reconstruction-error stats — the standard "
+    "storage/bandwidth stage before ANN serving.  Entirely in-row "
+    "(transform/aggregate over the array): a narrow map with zero shuffles at "
+    "any scale.  MSE surfaces in ppm rounded to 6dp; both engines run the "
+    "identical double-precision expression chain.",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0
+    scaled = e.withColumn("scale_raw", scale)
+    resid = F.transform(
+        "v",
+        lambda x: (x - F.round(x / F.col("scale_raw")) * F.col("scale_raw"))
+        * (x - F.round(x / F.col("scale_raw")) * F.col("scale_raw")),
+    )
+    sse = F.aggregate(resid, F.lit(0.0), lambda acc, x: acc + x)
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale_raw"), 9).alias("scale"),
+        # bigint to mirror DuckDB len() in case the driver compares types
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.round(sse / F.size("v") * 1_000_000, 6).alias("mse_ppm"),
+    )
