@@ -374,10 +374,13 @@ def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer.c_nationkey == nation.n_nationkey,
         )
     ).select("c_custkey", "n_name")
+    # domain-narrow casts keep the product at decimal(18,8) — the widest
+    # long-backed precision — instead of BigDecimal-boxed decimal(38,8);
+    # values exact either way (same a7 rationale)
     rev = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
-    )
+        F.col("l_extendedprice").cast("decimal(11,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(5,4)"))
+    ).cast("decimal(18,8)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
