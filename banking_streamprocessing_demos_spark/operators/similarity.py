@@ -234,12 +234,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", "nrm", F.explode(F.array(*table_buckets)).alias("tb")
     ).select("vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
+    # multi-probe on the QUERY side only: probe the exact bucket plus all
+    # Hamming-1 neighbors (flip each bit) — the standard recall amplifier
+    # on top of multi-table, and free at scale because the probe fan-out
+    # multiplies the tiny broadcast side, never the corpus
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(LSH_BITS)],
+        )
+    )
     q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
         F.col("tbl").alias("qtbl"),
-        F.col("bucket").alias("qbucket"),
+        probes.alias("qbucket"),
     )
     c = hashed.select(
         F.col("vec_id").alias("neighbor_id"),

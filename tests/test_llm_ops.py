@@ -31,10 +31,10 @@ def test_ngram_pairs_above_tau(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    """Multi-table LSH (6 tables x 4 bits): recall@5 must clear 0.3 even
-    on near-orthogonal synthetic vectors (the hard case for LSH), every
-    ANN cosine must agree with the exact computation, and ranks must be
-    dense per query."""
+    """Multi-table multi-probe LSH (6 tables x 4 bits, Hamming-1 query
+    probes): recall@5 must clear 0.8 even on near-orthogonal synthetic
+    vectors (the hard case for LSH), every ANN cosine must agree with
+    the exact computation, and ranks must be dense per query."""
     exact = sim_topk(spark, SF_SMALL).collect()
     ann = sim_ann_lsh(spark, SF_SMALL).collect()
     exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
@@ -44,7 +44,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         if (r.query_id, r.neighbor_id) in exact_pairs:
             hits += 1
             assert abs(r.cosine - exact_pairs[(r.query_id, r.neighbor_id)]) < 1e-9
-    assert hits / len(exact_pairs) >= 0.3, f"recall {hits / len(exact_pairs):.2f}"
+    assert hits / len(exact_pairs) >= 0.8, f"recall {hits / len(exact_pairs):.2f}"
     per_q = {}
     for r in ann:
         per_q.setdefault(r.query_id, []).append(r.rank)
