@@ -36,3 +36,49 @@ def test_million_message_reconstruction(spark):
     assert 0.13 < rate < 0.17
     # spot invariant at scale: no delivered message without a sent time
     assert snap.filter(F.col("sent_time").isNull()).count() == 0
+
+
+def test_dedup_minhash_100k_docs(spark, tmp_path):
+    """MinHash-LSH dedup at 20x the sf0.1 corpus: 100k synthetic docs
+    with planted near-duplicates (last word of 20 changed → only the
+    final 3-gram differs: Jaccard 17/19 ≈ 0.895).  Planted pairs must
+    surface through the band-collision path at the theoretical LSH
+    recall (~0.99 at J=0.895 for 4 bands x 3 rows), with no quadratic
+    stage in sight."""
+    import time
+
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_minhash
+
+    n = 100_000
+    base_id = F.when(F.col("id") % 1000 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(18)),
+        lambda i: F.substring(
+            F.md5(F.concat(base_id.cast("string"), F.lit("-"), i.cast("string"))), 1, 6
+        ),
+    )
+    last = F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit("-w19"))), 1, 6)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.concat_ws(" ", words), F.lit(" "), last).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+    )
+    docs = docs.withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    t0 = time.perf_counter()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_minhash(spark, sf_dir).collect()}
+    dt = time.perf_counter() - t0
+    print(f"\n100k-doc minhash dedup: {len(pairs)} pairs in {dt:.1f}s")
+
+    planted = {(i - 1, i) for i in range(1, n, 1000)}
+    found = planted & set(pairs)
+    # collision prob at J=17/19 with 4 bands x 3 rows ~ 0.99
+    recall = len(found) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below theory-margin floor"
+    # one of 19 distinct shingles differs: J = 17/19
+    assert all(abs(pairs[p] - round(17 / 19, 6)) < 1e-6 for p in found)
+    # random 6-hex-char word docs should produce (almost) no false pairs
+    assert len(pairs) <= len(planted) * 1.1
