@@ -155,11 +155,48 @@ def ivf_search(spark: SparkSession, index_dir: str, sf_dir: str, probes: int = I
 
 @REG.add(
     "sim_ann_ivf",
-    None,  # approximate by design → rows-only; recall vs brute force in tests
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
+    assigned AS (
+        SELECT vec_id, v, nrm, cell_id FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+    qcells AS (
+        SELECT query_id, qv, qn, cell_id FROM (
+            SELECT q.query_id, q.qv, q.qn, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= {IVF_PROBES}
+    ),
+    scored AS (
+        SELECT qc.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qc.qv, a.v) / (qc.qn * a.nrm), 6) AS cosine
+        FROM assigned a JOIN qcells qc USING (cell_id)
+        WHERE a.vec_id <> qc.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """,
     doc=f"IVF ANN: {IVF_CELLS}-cell coarse quantizer (broadcast centroids, one "
     f"assignment step), probe {IVF_PROBES} nearest cells per query, exact re-rank. "
     "The indexed layout (build_ivf_index) partitions by cell so probes are pure "
-    "partition pruning at scale.",
+    "partition pruning at scale.  Fully deterministic (seeded centroids, argmax "
+    "with cell tiebreak, sequential-fold dot products identical across engines) "
+    "— so unlike most ANN it is HASH-CHECKED against a full SQL oracle, not "
+    "just recall-tested.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-memory variant of the IVF search (no index materialization —
@@ -202,15 +239,63 @@ def _hyperplane_weight(bit: int, dim: int) -> int:
     return 1 if HEX_DIGITS.index(h[0]) % 2 == 1 else -1
 
 
+def _lsh_oracle_sql() -> str:
+    """Full SQL twin of the LSH search: the ±1 hyperplane weights are
+    deterministic constants (md5 parity), so they are baked into the
+    oracle as literal arrays and DuckDB recomputes the identical
+    buckets, probes, candidates and re-rank."""
+    tables = []
+    for t in range(LSH_TABLES):
+        bucket = None
+        for b in range(LSH_BITS):
+            w = [float(_hyperplane_weight(t * LSH_BITS + b, d)) for d in range(DIMS)]
+            arr = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+            bit = f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN 1 ELSE 0 END)"
+            bucket = bit if bucket is None else f"(({bucket}) * 2 + {bit})"
+        tables.append(f"SELECT vec_id, v, nrm, {t} AS tbl, {bucket} AS bucket FROM n")
+    hashed = " UNION ALL ".join(tables)
+    masks = ", ".join(str(m) for m in [0] + [1 << b for b in range(LSH_BITS)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    hashed AS ({hashed}),
+    probes AS (
+        SELECT query_id, tbl, xor(bucket, m) AS qbucket FROM (
+            SELECT vec_id AS query_id, tbl, bucket FROM hashed
+            WHERE vec_id < {N_QUERIES}
+        ) CROSS JOIN (SELECT UNNEST([{masks}]) AS m)
+    ),
+    cands AS (
+        SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id
+        FROM hashed h JOIN probes p
+          ON h.tbl = p.tbl AND h.bucket = p.qbucket AND h.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm), 6) AS cosine
+        FROM cands c
+        JOIN n qn ON qn.vec_id = c.query_id
+        JOIN n nn ON nn.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
 @REG.add(
     "sim_ann_lsh",
-    None,  # ANN is approximate by design → rows-only driver check;
-    # recall vs the exact baseline is asserted in tests/test_llm_ops.py
+    _lsh_oracle_sql(),
     doc=f"Random-hyperplane LSH ANN: {LSH_TABLES} independent tables of "
-    f"{LSH_BITS} deterministic ±1 hyperplanes each; a pair is a candidate if "
-    "it collides in ANY table (multi-table union is the standard recall "
-    "amplifier: miss probability decays exponentially in L); exact cosine "
-    "re-rank over the union. Scale path — bucket joins replace all-pairs.",
+    f"{LSH_BITS} deterministic ±1 hyperplanes each + Hamming-1 multi-probe on "
+    "the query side; a pair is a candidate if it collides in ANY probed "
+    "bucket (multi-table × multi-probe: miss probability decays "
+    "exponentially); exact cosine re-rank over the union.  Scale path — "
+    "bucket joins replace all-pairs.  Deterministic end-to-end, so the "
+    "driver HASH-CHECKS it against a full SQL oracle with the hyperplane "
+    "constants baked in; recall vs brute force is tested separately.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normed(spark, sf_dir)
