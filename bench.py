@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_ann_ivf",
+    "emb_quantize_int8",
     "text_stats_quality",
     "text_tfidf_topk",
     "pipe_curation",
