@@ -1172,7 +1172,7 @@ def j7_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
                CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
-                    OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= 7200000
+                    OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 7200000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1193,8 +1193,10 @@ def j7_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idiomatic twin of w4's hand-rolled lag+running-sum (same results, and the "
     "same operator Structured Streaming uses for streaming sessionization with "
     "state-store merging).  Event time is truncated to ms BEFORE windowing in "
-    "both engines so merge decisions are precision-identical.  Gap 2 h; "
-    "session end = last event + gap (session_window's close semantics).",
+    "both engines so merge decisions are precision-identical; an event exactly "
+    "one gap after its predecessor MERGES (split only when diff > gap — "
+    "session_window's touch-merges semantics, pinned by the boundary test in "
+    "test_streaming_jobs).  Gap 2 h; session end = last event + gap.",
 )
 def w5_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(

@@ -162,3 +162,34 @@ def test_phone_sessions_batch_equals_stream(spark, tmp_path):
         rows.sort(key=lambda r: r.session_start_ms)
         for a, b in zip(rows, rows[1:]):
             assert a.session_end_ms <= b.session_start_ms
+
+
+def test_phone_sessions_gap_boundary(spark):
+    """Exact-boundary semantics: session_window MERGES an event landing
+    precisely one gap after its predecessor (a session splits only when
+    the difference is strictly GREATER than the gap).  This test exists
+    because random µs-precision data never hits the boundary, so oracle
+    parity alone cannot distinguish > from >= — and the w5 oracle
+    encodes the same strict-> rule this test pins."""
+    gap_ms = 45_000
+    rows = [
+        # phone 1: second event at gap-1 ms -> one session
+        (1_000, 0), (1_000, gap_ms - 1),
+        # phone 2: second event exactly at gap -> still ONE session
+        (2_000, 0), (2_000, gap_ms),
+        # phone 3: second event at gap+1 ms -> TWO sessions
+        (3_000, 0), (3_000, gap_ms + 1),
+    ]
+    events = spark.createDataFrame(
+        [(p, t) for p, t in rows], "phone_number long, timestamp long"
+    )
+    got = {
+        (r.phone_number, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in phone_sessions(events, gap="45 seconds").collect()
+    }
+    assert got == {
+        (1_000, 0, (gap_ms - 1) + gap_ms, 2),
+        (2_000, 0, 2 * gap_ms, 2),
+        (3_000, 0, gap_ms, 1),
+        (3_000, gap_ms + 1, 2 * gap_ms + 1, 1),
+    }
