@@ -190,7 +190,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT doc_id AS media_id, text,
                octet_length(encode(text)) AS n,
-               LEAST(4, octet_length(encode(text))) AS k
+               GREATEST(LEAST(4, octet_length(encode(text))), 1) AS k
         FROM documents WHERE doc_id % 4 = 3
     )
     SELECT media_id, i AS frame_index,

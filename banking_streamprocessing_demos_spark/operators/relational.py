@@ -509,11 +509,16 @@ def j8_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_U = """(4096 * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-     + 256 * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-     + 16  * (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
-     +       (strpos('0123456789abcdef', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
-    ) / 65536.0"""
+def _split_u() -> str:
+    # the ONE definition of the split uniform's SQL twin, shared with
+    # pipe_curation's oracle so pipeline and standalone splits can never
+    # desynchronize
+    from .message_domain import _u
+
+    return _u("split", "CAST(doc_id AS VARCHAR)")
+
+
+_SPLIT_U = _split_u()
 
 
 @REG.add(
@@ -776,7 +781,7 @@ def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT event_type,
                epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
-                                                      ORDER BY ts, event_id) AS gap_ms
+                                                      ORDER BY epoch_ms(ts), event_id) AS gap_ms
         FROM events
     )
     SELECT event_type,
@@ -789,7 +794,9 @@ def a7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generalized), rolled up per event type.",
 )
 def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # order by ms-epoch, not raw ts: the oracle's ts is ns-precision and
+    # Spark's is µs — (epoch_ms, event_id) is identical in both engines
+    w = Window.partitionBy("user_id").orderBy(epoch_ms(F.col("ts")), F.col("event_id"))
     ms = epoch_ms(F.col("ts"))
     gaps = _t(spark, sf_dir, "events").select(
         "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
@@ -910,7 +917,7 @@ def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
                     OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     ),
     sessions AS (
         SELECT user_id, ts_ms,
@@ -929,7 +936,8 @@ def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery as U3; one shuffle on user_id serves both window and final agg.",
 )
 def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # (epoch_ms, event_id) ordering: cross-engine stable under sub-ms ties
+    w = Window.partitionBy("user_id").orderBy(epoch_ms(F.col("ts")), F.col("event_id"))
     ms = epoch_ms(F.col("ts"))
     flagged = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -1175,7 +1183,7 @@ def j7_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 7200000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     ),
     sessions AS (
         SELECT user_id, ts_ms,

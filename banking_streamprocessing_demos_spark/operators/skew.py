@@ -39,7 +39,9 @@ def salted_join(
     """
     if how.lower().replace("_", "") in ("right", "rightouter", "full", "fullouter", "outer", "cross"):
         raise ValueError(f"salted_join does not support how={how!r} (small side is replicated)")
-    salt = (F.abs(F.xxhash64(*big.columns)) % salt_buckets).alias("__salt")
+    # pmod, not abs(...)%n: abs(Long.MIN_VALUE) stays negative in two's
+    # complement and would produce a salt no replicated bucket matches
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).alias("__salt")
     big_salted = big.withColumn("__salt", salt)
     small_salted = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

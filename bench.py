@@ -143,6 +143,8 @@ def _streaming_throughput(
     deadline = time.monotonic() + max(measure_s, 90)
     time.sleep(measure_s)
     while time.monotonic() < deadline:
+        if q.exception() is not None:
+            raise q.exception()  # surface a failed plan, don't report 0 ev/s
         done = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
         if done >= 3:
             break
