@@ -832,6 +832,33 @@ def a8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "a11_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS BIGINT)), ())
+    """,
+    doc="Aggregation breadth: GROUPING SETS with disjoint set shapes — "
+    "per-type totals, per-bucket totals, and the grand total in ONE pass "
+    "(Catalyst expands to a single Expand + hash aggregate, no re-scan per "
+    "set), complementing a8's ROLLUP hierarchy and a10's pivot.",
+)
+def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    return ev.groupingSets(
+        [["event_type"], ["user_bucket"], []], "event_type", "user_bucket"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@REG.add(
     "a9_distinct_aggs",
     """
     SELECT event_type,
