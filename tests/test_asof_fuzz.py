@@ -55,3 +55,36 @@ def test_merge_asof_matches_bruteforce(spark, lrows, rrows):
         for r in merge_asof(ldf, rdf, key="key", ts="ts").collect()
     )
     assert got == brute_force(left, right)
+
+
+def brute_join(big, small):
+    out = []
+    for bk, bv in big:
+        for sk, sv in small:
+            if bk is not None and bk == sk:
+                out.append((bk, bv, sv))
+    return sorted(out)
+
+
+@given(
+    big=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 99)),
+        max_size=20,
+    ),
+    small=st.lists(st.tuples(st.integers(0, 5), st.integers(100, 199)), max_size=8),
+)
+@settings(max_examples=8, deadline=None)
+def test_salted_join_matches_plain_join(spark, big, small):
+    """salted_join must equal the plain inner join on arbitrary inputs —
+    null keys dropped, duplicate keys multiplied, hot keys included (the
+    pmod salt can never produce an unmatched bucket)."""
+    from banking_streamprocessing_demos_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(big or [(0, 0)], "k int, bv int")
+    if not big:
+        bdf = bdf.limit(0)
+    sdf = spark.createDataFrame(small or [(0, 100)], "k int, sv int")
+    if not small:
+        sdf = sdf.limit(0)
+    got = sorted((r.k, r.bv, r.sv) for r in salted_join(bdf, sdf, "k", salt_buckets=4).collect())
+    assert got == brute_join(big, small)
