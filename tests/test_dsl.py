@@ -80,3 +80,27 @@ def test_spec_drives_generator(spark):
     assert lat, "some delayed deliveries expected"
     # N(120 s, 10 s): all draws within 6 sigma
     assert all(60_000 < v < 180_000 for v in lat)
+
+
+def test_parse_reference_spec_file():
+    """The parser must understand the REFERENCE's actual declarative spec
+    (undelivered-message-alert/message-tracking.json), not just
+    same-shaped fixtures — pinning the extracted semantics to the file's
+    values: 100 forks x 1 event/s staggered 250 ms (json:5-13, 85-87)
+    and 3% of deliveries delayed ~N(120 s, 10 s) (json:73-81)."""
+    import json
+    import os
+
+    path = "/root/reference/undelivered-message-alert/message-tracking.json"
+    if not os.path.exists(path):
+        pytest.skip("reference repo not mounted")
+    cfg, runtime = parse_generator_spec(json.load(open(path)))
+    assert runtime["max_forks"] == 100
+    assert runtime["rows_per_second"] == 100  # 100 forks x throttleMs 1000
+    assert cfg.stagger_ms == 250
+    assert cfg.delayed_rate == 0.03
+    assert cfg.delayed_delay_model == "normal"
+    assert cfg.delayed_mean_ms == 120_000
+    assert cfg.delayed_sd_ms == 10_000
+    # the parsed config must be directly usable by the engine's generator
+    assert abs(cfg.normal_rate + cfg.delayed_rate + cfg.never_rate - 1.0) < 1e-9
