@@ -68,3 +68,28 @@ def test_dataframe_wire_roundtrip(spark):
     assert back.columns == events.columns
     assert events.exceptAll(back).count() == 0
     assert back.exceptAll(events).count() == 0
+
+
+def test_wire_schemas_match_reference_source():
+    """The engine's Avro schema JSON must equal the REFERENCE's inline
+    schema literals (phone_message_producer.py:302-323) — extracted from
+    the actual source at test time, so wire-contract drift fails CI."""
+    import json
+    import os
+
+    src_path = "/root/reference/undelivered-message-alert/phone_message_producer.py"
+    if not os.path.exists(src_path):
+        pytest.skip("reference repo not mounted")
+    src = open(src_path).read()
+
+    def extract(attr: str) -> dict:
+        blob = src.split(f'self.{attr} = """', 1)[1].split('"""', 1)[0]
+        return json.loads(blob)
+
+    from banking_streamprocessing_demos_spark.schemas import (
+        MESSAGE_KEY_AVRO_JSON,
+        MESSAGE_STATUS_AVRO_JSON,
+    )
+
+    assert json.loads(MESSAGE_KEY_AVRO_JSON) == extract("key_schema")
+    assert json.loads(MESSAGE_STATUS_AVRO_JSON) == extract("value_schema")
