@@ -91,3 +91,24 @@ def test_simhash_no_shuffle(spark):
     assert "HashAggregate" not in plan, plan[:2000]
     # the single Exchange is the explicit small-file fan-out repartition
     assert count_shuffles(df) <= 1, plan[:2000]
+
+
+def test_quantize_no_shuffle(spark):
+    """emb_quantize_int8 must stay a narrow map: scan → project, no
+    Exchange and no aggregation (each vector quantizes in-row)."""
+    from banking_streamprocessing_demos_spark.operators.similarity import emb_quantize
+
+    df = emb_quantize(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 0, plan[:2000]
+    assert "HashAggregate" not in plan, plan[:2000]
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    """pipe_curation's exchanges are exactly its two keyed stages (dedup
+    groupBy + final rollup, plus the dedup semi-join's distribution) —
+    the hash-membership split must add none."""
+    from banking_streamprocessing_demos_spark.operators.text import pipe_curation
+
+    df = pipe_curation(spark, SF_SMALL)
+    assert count_shuffles(df) <= 3, formatted_plan(df)
