@@ -1,0 +1,89 @@
+"""Differential edge-case corpus: the text/dedup/multimodal operators
+must agree with their oracles (same normalization as the driver gate)
+on pathological documents — empty text, single word, repeated words,
+whitespace runs — not just the generated corpus.  NULL text is excluded
+by contract (documents.text is NOT NULL in the testdata; the generators
+never produce it) but empty-after-split shapes are covered."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+EDGE_DOCS = [
+    (0, "", "en", "edge", 0),
+    (1, "one", "en", "edge", 3),
+    (2, "a a a a a a", "en", "edge", 11),
+    (3, "the quick brown fox jumps over the lazy dog", "en", "edge", 43),
+    (4, "the quick brown fox jumps over the lazy cat", "en", "edge", 43),
+    (5, "x y", "de", "edge", 3),
+    (6, "one two three four five six seven eight nine ten", "es", "edge", 48),
+    (7, "one two three four five six seven eight nine zen", "es", "edge", 48),
+]
+
+# text/dedup queries that read ONLY the documents table
+DOC_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "text_stats_quality",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_tfidf_topk",
+    "pipe_curation",
+    "smp3_stratified_split",
+]
+
+
+def _normalize(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append("nan" if math.isnan(v) else f"{v:.6g}")
+            elif isinstance(v, bool):
+                vals.append(str(v).lower())
+            elif v is None:
+                vals.append("\0null")
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge")
+    spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, edge_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet/*.parquet'"
+    )
+    rel = con.execute(oracles[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+
+    assert sorted(sdf.columns) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row counts differ"
+    assert _normalize(srows, sdf.columns) == _normalize(orows, ocols), f"{name}: values"
