@@ -447,15 +447,18 @@ def a6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "srt1_topn_by_time",
     """
     SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
-    ORDER BY ts DESC, event_id DESC LIMIT 50
+    ORDER BY epoch_ms(ts) DESC, event_id DESC LIMIT 50
     """,
     doc="SRT1/SRT2 (py:120-122): ORDER BY time + LIMIT with unique tiebreaker. "
     "Spark executes as TakeOrderedAndProject — no full sort at scale.",
 )
 def srt1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # order by ms-epoch, not raw ts: sub-ms precision differs across
+    # engines (ns in the oracle, µs in Spark) and would make the LIMIT
+    # cutoff engine-dependent under same-ms ties
     return (
-        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ev.orderBy(epoch_ms(F.col("ts")).desc(), F.col("event_id").desc())
         .limit(50)
         .select("event_id", epoch_ms(F.col("ts")).alias("ts_ms"))
     )
@@ -596,7 +599,7 @@ def u1(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(ts) AS last_ts_ms
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                     ORDER BY ts DESC, event_id DESC) AS rn
+                                     ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         FROM events
     ) WHERE rn = 1
     """,
@@ -604,7 +607,10 @@ def u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last-event-wins snapshot over the event log (window row_number=1).",
 )
 def u3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # (epoch_ms, event_id) ordering: cross-engine stable under sub-ms ties
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_ms(F.col("ts")).desc(), F.col("event_id").desc()
+    )
     return (
         _t(spark, sf_dir, "events")
         .withColumn("rn", F.row_number().over(w))
