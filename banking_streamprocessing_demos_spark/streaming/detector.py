@@ -182,6 +182,12 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
             emit_alert()
             alerted = True
 
+        if not state.exists and first_sent is None and delivered is None:
+            # batch carried no sent/delivered for a fresh key (unknown or
+            # malformed status): creating state here would arm NO timer —
+            # an immortal state-store entry.  Emit nothing, keep no state.
+            return
+
         state.update((first_sent, phone, carrier, delivered, alerted, resolved))
         # the timeout timestamp does not survive an invocation — re-arm
         # the timer on every call that keeps state alive
@@ -207,12 +213,23 @@ def detect_undelivered(
     watermark_delay: str = "30 seconds",
     late_slack_ms: int | None = None,
 ) -> DataFrame:
-    """Wire the detector onto a (streaming or batch) MESSAGE_EVENT_SCHEMA
-    DataFrame.  Adds ``event_time`` from the ms-epoch wire timestamp,
-    watermarks it, groups by key, applies the stateful function."""
-    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
-    if with_time.isStreaming:
-        with_time = with_time.withWatermark("event_time", watermark_delay)
+    """Wire the detector onto a STREAMING MESSAGE_EVENT_SCHEMA DataFrame.
+    Adds ``event_time`` from the ms-epoch wire timestamp, watermarks it,
+    groups by key, applies the stateful function.
+
+    Streaming-only by Spark's contract: applyInPandasWithState raises in
+    batch queries — the batch twin is
+    ``operators.snapshot.timeout_alerts_batch`` (hash-checked against
+    the same semantics)."""
+    if not events.isStreaming:
+        raise ValueError(
+            "detect_undelivered requires a streaming DataFrame "
+            "(applyInPandasWithState is unsupported in batch); use "
+            "operators.snapshot.timeout_alerts_batch for the batch twin"
+        )
+    from .jobs import with_event_time
+
+    with_time = with_event_time(events, watermark_delay)
     return (
         with_time.groupBy("message_id")
         .applyInPandasWithState(

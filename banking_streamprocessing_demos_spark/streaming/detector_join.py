@@ -19,6 +19,18 @@ detector).  The stateful detector (detector.py) remains the primary plan:
 it additionally emits latency records, late-delivery resolutions, and
 exact-deadline alert times.
 
+First-sent caveat: the sent side is deduplicated with
+dropDuplicatesWithinWatermark, which keeps the first-ARRIVING row per
+message_id — under in-watermark reordering (a heartbeat arriving before
+the original sent) the join deadline anchors to that row's timestamp,
+not the true minimum.  The pandas-stateful detector takes min() over
+all arrivals and is authoritative; this variant trades exact deadline
+anchoring for all-JVM throughput (a streaming min() aggregation before
+a stream-stream join is unsupported by Spark, so the dedup is the only
+bounded-state option).  With ordered per-key input (Kafka's per-key
+ordering guarantee) the two agree exactly — the condition the batch
+twin and tests replay.
+
 Observed emission caveat (Spark 4.1): unmatched (alert) rows flush on
 watermark advances driven by NEW DATA; a stream that simply stops
 leaves the tail buffered even through availableNow's no-data batch.

@@ -97,6 +97,7 @@ class UndeliveredDetector(StatefulProcessor):
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         (message_id,) = key
+        had_state = self.state.exists()
         first_sent, phone, carrier, delivered, alerted, resolved = self._get()
         watermark = timerValues.getCurrentWatermarkInMs()
 
@@ -132,9 +133,17 @@ class UndeliveredDetector(StatefulProcessor):
             yield self._row(message_id, "alert", phone, carrier, first_sent, deadline, None)
             alerted = True
 
+        if not had_state and first_sent is None and delivered is None:
+            # no sent/delivered for a fresh key: creating state would arm
+            # no timer → immortal entry (mirrors detector.py's guard)
+            return
+
         self.state.update((first_sent, phone, carrier, delivered, alerted, resolved))
         if resolved:
-            self._set_timer((delivered or first_sent or 0) + self.slack, watermark)
+            # explicit None check: `delivered or ...` would skip a
+            # legitimate epoch-0 delivered timestamp
+            anchor = delivered if delivered is not None else (first_sent or 0)
+            self._set_timer(anchor + self.slack, watermark)
         elif alerted:
             self._set_timer((first_sent or 0) + self.timeout_ms + self.slack, watermark)
         elif first_sent is not None:

@@ -29,12 +29,21 @@ def read_event_stream_from_files(
     return reader.parquet(path)
 
 
+def with_event_time(events: DataFrame, watermark_delay: str | None = "1 minute") -> DataFrame:
+    """The ONE event-time preamble: derive ``event_time`` from the
+    ms-epoch wire timestamp and (for streams) watermark it.  Every
+    streaming job in the package goes through here so the derivation
+    can never drift between sites."""
+    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    if with_time.isStreaming and watermark_delay is not None:
+        with_time = with_time.withWatermark("event_time", watermark_delay)
+    return with_time
+
+
 def status_counts(events: DataFrame, window: str = "30 seconds") -> DataFrame:
     """ST9 (py:674-697): the status() monitoring snapshot as a windowed
     streaming aggregation — counts by status per tumbling window."""
-    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
-    if with_time.isStreaming:
-        with_time = with_time.withWatermark("event_time", "1 minute")
+    with_time = with_event_time(events)
     return (
         with_time.groupBy(F.window("event_time", window), "status")
         .agg(F.count("*").alias("cnt"))
@@ -48,9 +57,7 @@ def status_counts(events: DataFrame, window: str = "30 seconds") -> DataFrame:
 
 def carrier_counts(events: DataFrame, window: str = "30 seconds") -> DataFrame:
     """ST9 carrier breakdown (py:688-697)."""
-    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
-    if with_time.isStreaming:
-        with_time = with_time.withWatermark("event_time", "1 minute")
+    with_time = with_event_time(events)
     return (
         with_time.groupBy(F.window("event_time", window), "carrier")
         .agg(F.count("*").alias("cnt"))
@@ -71,9 +78,7 @@ def phone_sessions(events: DataFrame, gap: str = "45 seconds") -> DataFrame:
     session exactly once).  Scale: state is one open session per active
     phone, partitioned by the group key — the same per-key state budget
     as the detector (ST1)."""
-    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
-    if with_time.isStreaming:
-        with_time = with_time.withWatermark("event_time", "1 minute")
+    with_time = with_event_time(events)
     return (
         with_time.groupBy(F.session_window("event_time", gap), "phone_number")
         .agg(F.count("*").alias("n_events"))
@@ -108,9 +113,8 @@ def dedup_within_watermark(events: DataFrame, delay: str = "1 minute") -> DataFr
     Spark keeps the dedup keys in the state store only until the
     watermark passes them, so state is bounded (unlike a global
     dropDuplicates)."""
-    with_time = events.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    with_time = with_event_time(events, delay)
     if with_time.isStreaming:
-        with_time = with_time.withWatermark("event_time", delay)
         return with_time.dropDuplicatesWithinWatermark(["message_id", "status", "timestamp"])
     return with_time.dropDuplicates(["message_id", "status", "timestamp"])
 
@@ -131,14 +135,16 @@ def run_detector_pipeline(
     daemon threads (py:616-653) with a single checkpointed query."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df.persist()
         try:
             (
                 batch_df.filter(F.col("kind") == "alert")
                 .withColumn("batch_id", F.lit(batch_id))
+                # writer-scoped dynamic overwrite: a session-level conf
+                # set here would silently change overwrite semantics for
+                # every other write in the shared session
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(alerts_path)
             )
@@ -147,6 +153,7 @@ def run_detector_pipeline(
                 .agg(F.count("*").alias("cnt"))
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(summary_path)
             )

@@ -37,31 +37,41 @@ class EngineQueryListener(StreamingQueryListener):
         self.stats: dict[str, QueryStats] = {}
         self._id_to_name: dict[str, str] = {}
 
-    def _for(self, name: str | None) -> QueryStats:
-        return self.stats.setdefault(name or "<unnamed>", QueryStats())
+    def _key(self, name: str | None, qid) -> str:
+        # unnamed queries get per-id buckets: two concurrent anonymous
+        # queries must not sum into one shared "<unnamed>" row
+        return name if name else f"<unnamed:{qid}>"
+
+    def _for(self, name: str | None, qid) -> QueryStats:
+        return self.stats.setdefault(self._key(name, qid), QueryStats())
 
     def onQueryStarted(self, event) -> None:
-        self._id_to_name[str(event.id)] = event.name or "<unnamed>"
-        self._for(event.name)
+        self._id_to_name[str(event.id)] = self._key(event.name, event.id)
+        self._for(event.name, event.id)
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        s = self._for(p.name)
+        s = self._for(p.name, p.id)
         s.batches += 1
         s.input_rows += int(p.numInputRows)
         s.busy_ms += int(p.durationMs.get("triggerExecution", 0))
         s.last_watermark = str(p.eventTime.get("watermark", ""))
         if p.stateOperators:
-            s.state_rows = int(p.stateOperators[0].numRowsTotal)
+            # total across ALL stateful operators: a stream-stream join
+            # plan carries several (dedups + join buffers) and [0] alone
+            # hides the buffers that actually grow
+            s.state_rows = sum(int(op.numRowsTotal) for op in p.stateOperators)
 
     def onQueryTerminated(self, event) -> None:
         if event.exception:
             # error bookkeeping (py:294-296, 446-450) — attributed to the
             # terminating query only, via the id→name map from start time
-            name = self._id_to_name.get(str(event.id), "<unnamed>")
-            s = self._for(name)
+            key = self._id_to_name.get(str(event.id), f"<unnamed:{event.id}>")
+            s = self.stats.setdefault(key, QueryStats())
             s.error_count += 1
             s.last_error = str(event.exception)
+        # bound the id map: the query is gone
+        self._id_to_name.pop(str(event.id), None)
 
     def onQueryIdle(self, event) -> None:
         pass

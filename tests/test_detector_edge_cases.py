@@ -115,3 +115,48 @@ def test_alert_then_duplicate_late_delivery(spark, tmp_path):
     d = out.loc[out["message_id"] == "m3"].sort_values("event_ms")
     assert list(d["kind"]) == ["alert", "late_delivered"], d
     assert int(d.loc[d["kind"] == "late_delivered", "latency_ms"].iloc[0]) == 200_000
+
+
+def test_unknown_status_creates_no_state(spark, tmp_path):
+    """Events whose status is neither 'sent' nor 'delivered' (corrupt or
+    future producer values) must flow through without creating state: a
+    fresh key with no recognizable event would otherwise become an
+    immortal state-store entry (no timer is ever armed for it).  The
+    state-store row count at the end must equal the live keys from REAL
+    lifecycles only."""
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    chunks = [
+        # batch 1: three unknown-status keys + one real sent
+        [
+            ("junk-1", "failed", 1000, "att", T0),
+            ("junk-2", "queued", 1001, "att", T0 + 10),
+            ("junk-3", "", 1002, "verizon", T0 + 20),
+            ("real-1", "sent", 1003, "att", T0 + 30),
+        ],
+        # batch 2: deliver the real one; advance watermark far past
+        # real-1's eviction slack so its state is also dropped
+        [("real-1", "delivered", 1003, "att", T0 + 1_000)],
+        [("wm-pusher", "sent", 1004, "t-mobile", T0 + 10 * TIMEOUT)],
+    ]
+    _write_chunks(d, chunks)
+    stream = read_event_stream_from_files(spark, d, max_files_per_trigger=1)
+    det = detect_undelivered(stream, TIMEOUT, watermark_delay="5 seconds")
+    q = (
+        det.writeStream.format("memory")
+        .queryName("unknown_status_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("unknown_status_out").toPandas()
+    # junk keys never surface in output
+    assert not set(out["message_id"]) & {"junk-1", "junk-2", "junk-3"}
+    assert ("real-1", "delivered") in set(zip(out["message_id"], out["kind"]))
+    # state rows at the last batch: real-1 evicted (watermark passed its
+    # slack), junk keys never stored → only wm-pusher's state remains
+    progress = [p for p in (q.recentProgress or []) if p["stateOperators"]]
+    assert progress, "no state-operator progress recorded"
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 1
