@@ -954,8 +954,11 @@ def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts_ms,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               -- CAST: DuckDB window SUM over integers yields HUGEINT (INT128),
+               -- which has no Spark twin and hash-mismatches under the driver's
+               -- typed normalization (round-1's only red row)
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
@@ -1220,8 +1223,10 @@ def j7_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts_ms,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               -- session_id is only a grouping key here, but cast anyway:
+               -- window SUM(int) is HUGEINT in DuckDB (see w4)
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id,

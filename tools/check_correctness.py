@@ -1,7 +1,16 @@
 """Local mini-driver: run every __spark_entry__ query on Spark AND its
 DuckDB oracle at a given scale factor, compare row count + column names
-+ order-insensitive values.  Mimics the round driver's correctness gate
-so regressions surface before commit.
++ column TYPES + order-insensitive values.  Mimics the round driver's
+correctness gate so regressions surface before commit.
+
+Typed comparison (round-2 hardening): the round-1 driver failed
+w4_sessionization on value-hash because DuckDB's window SUM over
+integers yields HUGEINT (INT128) — a type with no Spark twin — while
+this gate's str(v) normalization erased the difference.  The oracle
+result is now fetched via Arrow and each output column's type must map
+onto the same type family as the Spark column, with any
+non-Spark-representable type (decimal128 wider than 38, int128
+surfaces) rejected outright.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -15,9 +24,76 @@ import time
 sys.path.insert(0, ".")
 
 import duckdb
+import pyarrow as pa
 
 from banking_streamprocessing_demos_spark.session import get_spark
 from banking_streamprocessing_demos_spark.sources.tables import TABLE_NAMES
+
+
+def _arrow_family(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the family the driver's typed
+    normalization distinguishes.  Returns 'UNREPRESENTABLE:<type>' for
+    anything with no Spark twin (the w4/HUGEINT class of bug)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        # DuckDB surfaces HUGEINT (INT128) as decimal128(38,0) over Arrow;
+        # honest DECIMAL(p,s) results would also stringify differently
+        # from Spark doubles ("3.0000" vs "3.0") — both are parity bugs
+        # in this repo, where every oracle casts money to DOUBLE/BIGINT.
+        return f"UNREPRESENTABLE:decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"array<{_arrow_family(t.value_type)}>"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        # repo rule: never return raw timestamps — surface ms-epoch BIGINT
+        return f"UNREPRESENTABLE:{t}"
+    return f"UNREPRESENTABLE:{t}"
+
+
+def _spark_family(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to the same families."""
+    dt = dt.strip().lower()
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long", "byte", "short"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return f"UNREPRESENTABLE:{dt}"
+    if dt in ("string", "varchar"):
+        return "string"
+    if dt == "boolean":
+        return "bool"
+    if dt == "binary":
+        return "binary"
+    if dt.startswith("array<"):
+        return f"array<{_spark_family(dt[6:-1])}>"
+    if dt.startswith(("timestamp", "date")):
+        return f"UNREPRESENTABLE:{dt}"
+    return f"UNREPRESENTABLE:{dt}"
+
+
+def type_problems(spark_dtypes, arrow_schema) -> list[str]:
+    """Family-compare Spark vs oracle output types by column name."""
+    sfam = {name: _spark_family(dt) for name, dt in spark_dtypes}
+    problems = []
+    for field in arrow_schema:
+        ofam = _arrow_family(field.type)
+        sf = sfam.get(field.name)
+        if ofam.startswith("UNREPRESENTABLE") or "UNREPRESENTABLE" in ofam:
+            problems.append(f"oracle col {field.name!r} has no Spark twin: {field.type}")
+        if sf is not None and ("UNREPRESENTABLE" in sf):
+            problems.append(f"spark col {field.name!r} type not hash-safe: {sf}")
+        if sf is not None and sf != ofam and "UNREPRESENTABLE" not in sf + ofam:
+            problems.append(f"col {field.name!r} family mismatch spark={sf} oracle={ofam}")
+    return problems
 
 
 def normalize(rows, cols):
@@ -66,6 +142,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
@@ -77,8 +154,11 @@ def main() -> int:
             continue
         try:
             rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            otable = rel.arrow()
+            ocols = otable.schema.names
+            orows = [tuple(r) for r in zip(*[c.to_pylist() for c in otable.columns])]
+            if not otable.columns:
+                orows = []
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -88,9 +168,10 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        problems.extend(type_problems(sdtypes, otable.schema))
         if not problems:
             s_norm = normalize([tuple(r) for r in srows], scols)
-            o_norm = normalize(orows, ocols)
+            o_norm = normalize(orows, list(ocols))
             if s_norm != o_norm:
                 diffs = [
                     (a, b) for a, b in zip(s_norm, o_norm) if a != b
