@@ -61,3 +61,61 @@ def test_every_query_has_fn():
         assert callable(QUERIES[name])
     # every oracle key must have a matching query
     assert set(ORACLES) <= set(QUERIES)
+
+
+DRIVER_WINDOW = 50  # the round driver checks only the first 50 queries()
+
+
+def test_driver_window_covers_every_family():
+    """Round-1 regression: the driver verifies only the first 50 entries
+    of queries() (insertion order), and the 19 LLM-pipeline queries all
+    sat past slot 50 — zero driver evidence.  Pin that every family and
+    every sole-evidence §2 query sits inside the window."""
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    in_window = set(window)
+    # all LLM-pipeline families, in full
+    for prefix, expected in [
+        ("dedup_", 6),
+        ("sim_", 3),
+        ("text_", 5),
+        ("mm_", 3),
+    ]:
+        got = [n for n in in_window if n.startswith(prefix)]
+        assert len(got) == expected, f"{prefix}* in driver window: {sorted(got)}"
+    assert "emb_quantize_int8" in in_window
+    assert "pipe_curation" in in_window
+    # round-1's only red row must be re-verified by the driver
+    assert "w4_sessionization" in in_window
+    # sole driver evidence for their §2 IDs
+    for name in [
+        "st1_streaming_detector",
+        "s5_console_dry_run",
+        "gen_messages_snapshot",
+        "smp2_backpressure_topup",
+        "gen_normal_delay_snapshot",
+    ]:
+        assert name in in_window, name
+    # every windowed query must have an oracle (full hash check, not rows-only)
+    assert in_window <= set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_schema_spark_representable(duck, name):
+    """Typed-schema gate (round-1's w4 lesson): every oracle output
+    column's Arrow type must map onto a Spark-representable family —
+    DuckDB HUGEINT/DECIMAL/timestamp surfaces hash-mismatch under the
+    driver's typed normalization even when str(v) looks identical."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.check_correctness import _arrow_family
+
+    schema = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    # DESCRIBE gives DuckDB type names; map via a LIMIT 0 arrow fetch
+    table = duck.execute(f"SELECT * FROM ({ORACLES[name]}) q LIMIT 0").arrow()
+    bad = {
+        f.name: str(f.type)
+        for f in table.schema
+        if "UNREPRESENTABLE" in _arrow_family(f.type)
+    }
+    assert not bad, f"{name}: oracle columns with no Spark twin: {bad} (describe={schema})"
