@@ -32,11 +32,24 @@ REG = Registry()
 
 NGRAM_N = 3
 JACCARD_TAU = 0.5
+# Shingles shared by more than this many documents are dropped before
+# any exact pair join: a stop-phrase shingle ("the end of") carries no
+# Jaccard signal but makes the equi-join quadratic on its key — at
+# corpus scale a single million-doc shingle is 10^12 pairs.  The cap
+# bounds every shingle key's join fan-out to DF_CAP^2; near-duplicate
+# pairs still share plenty of rarer shingles.  Applied identically in
+# the oracles, so parity holds by construction.
+SHINGLE_DF_CAP = 1000
 MINHASH_K = 12  # 4 bands x 3 rows
 MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 COSINE_TAU = 0.45
 SIMHASH_BITS = 32
+# dedup_embedding_cosine is the EXACT all-pairs verifier — O(N^2) by
+# design.  The guard refuses to run it past this corpus size so the
+# quadratic join can never be pointed at a real corpus by accident;
+# the scale paths are sim_ann_lsh / sim_ann_ivf in similarity.py.
+EXACT_COSINE_MAX_ROWS = 100_000
 
 # MinHash permutation family: each shingle is md5-hashed ONCE to a 32-bit
 # integer v, and the K "permutations" are h_i(v) = (a_i*v + b_i) mod P —
@@ -56,16 +69,26 @@ _HEX_DECODE = " + ".join(
 # shared shingle SQL / DataFrame builders
 # ---------------------------------------------------------------------------
 
-_SHINGLES_SQL = f"""
-    shingles AS (
+def _shingles_sql(df_cap: int = SHINGLE_DF_CAP) -> str:
+    """CTE chain: raw distinct shingles, hot (df > cap) stop-shingles,
+    df-capped ``shingles``, and per-doc ``sizes`` over the capped set.
+    MinHash signatures read ``shingles_raw`` (the sketch is in-row and
+    never joins); every exact pair join reads the capped ``shingles``."""
+    return f"""
+    shingles_raw AS (
         SELECT DISTINCT doc_id, s FROM (
             SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
                  UNNEST(range(1, len(words) - 1)) AS t(i)
         )
     ),
+    hot AS (SELECT s FROM shingles_raw GROUP BY s HAVING COUNT(*) > {df_cap}),
+    shingles AS (SELECT * FROM shingles_raw ANTI JOIN hot USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def _gram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,10 +122,31 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gram_docs(spark, sf_dir).select("doc_id", F.explode("grams").alias("s"))
 
 
+def _hot_shingles(shingles: DataFrame, df_cap: int) -> DataFrame:
+    """Shingle keys whose document frequency exceeds the cap — the
+    stop-phrase set.  One map-side-combined count per distinct shingle;
+    the surviving set is tiny (stop-phrases), so downstream anti-joins
+    broadcast it instead of shuffling the corpus."""
+    return (
+        shingles.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+
+
+def _kept_shingles(shingles: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop df>cap stop-shingles before any exact pair join (they carry
+    no Jaccard signal and make the equi-join quadratic on their key)."""
+    return shingles.join(F.broadcast(_hot_shingles(shingles, df_cap)), "s", "left_anti")
+
+
 def _pair_jaccard(shingles: DataFrame) -> DataFrame:
     """Exact Jaccard for all shingle-colliding pairs: equi-join on the
     shingle, count intersections, join sizes.  (The join IS the candidate
-    filter — non-overlapping pairs never materialize.)"""
+    filter — non-overlapping pairs never materialize.)  Callers pass the
+    df-capped shingle set (`_kept_shingles`) so no single shingle key can
+    fan out past SHINGLE_DF_CAP^2 pairs."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -147,10 +191,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH {_SHINGLES_SQL},
+def ngram_jaccard_oracle(df_cap: int = SHINGLE_DF_CAP) -> str:
+    """Oracle SQL, parameterized by df cap so tests can pin the cap
+    semantics with a small cap on a hot-shingle corpus."""
+    return f"""
+    WITH {_shingles_sql(df_cap)},
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
         FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -162,13 +207,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= {JACCARD_TAU}
-    """,
-    doc=f"n-gram Jaccard near-dup pairs (3-gram word shingles, tau={JACCARD_TAU}): "
-    "exact similarity via shingle equi-join — the verifier stage of LSH.",
+    """
+
+
+@REG.add(
+    "dedup_ngram_jaccard",
+    ngram_jaccard_oracle(),
+    doc=f"n-gram Jaccard near-dup pairs (3-gram word shingles, tau={JACCARD_TAU}, "
+    f"shingle df cap {SHINGLE_DF_CAP}): exact similarity via shingle equi-join — "
+    "the verifier stage of LSH.",
 )
-def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     return (
-        _pair_jaccard(_shingles(spark, sf_dir))
+        _pair_jaccard(_kept_shingles(_shingles(spark, sf_dir), df_cap))
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
@@ -178,9 +229,11 @@ def _minhash_sig_sql() -> str:
     mins = ", ".join(
         f"MIN(({MH_A[i]} * v + {MH_B[i]}) % {MH_P}) AS h{i}" for i in range(MINHASH_K)
     )
+    # signatures read shingles_RAW: the sketch is in-row (never joins),
+    # so it keeps full fidelity; only the exact verify join is df-capped
     return f"""hv AS (
         SELECT doc_id, {_HEX_DECODE} AS v
-        FROM (SELECT doc_id, md5('mh-' || s) AS h FROM shingles)
+        FROM (SELECT doc_id, md5('mh-' || s) AS h FROM shingles_raw)
     ),
     sigs AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)"""
 
@@ -190,10 +243,9 @@ def _band_sql(b: int) -> str:
     return f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
 
 
-@REG.add(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLES_SQL},
+def minhash_lsh_oracle(df_cap: int = SHINGLE_DF_CAP) -> str:
+    return f"""
+    WITH {_shingles_sql(df_cap)},
     {_minhash_sig_sql()},
     bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(MINHASH_BANDS))}),
     cands AS (
@@ -213,13 +265,19 @@ def _band_sql(b: int) -> str:
     JOIN sizes sa ON v.doc_a = sa.doc_id
     JOIN sizes sb ON v.doc_b = sb.doc_id
     WHERE v.inter / CAST(sa.n + sb.n - v.inter AS DOUBLE) >= {JACCARD_TAU}
-    """,
+    """
+
+
+@REG.add(
+    "dedup_minhash_lsh",
+    minhash_lsh_oracle(),
     doc=f"MinHash+LSH dedup ({MINHASH_K} hashes, {MINHASH_BANDS} bands x {MINHASH_ROWS}): "
     "shingle → per-permutation min (lexicographic md5 order) → band buckets → "
-    "candidate pairs by (band,bucket) equi-join → exact-Jaccard verify. The scale "
-    "path: collisions, not all-pairs.",
+    "candidate pairs by (band,bucket) equi-join → exact-Jaccard verify over "
+    f"df-capped shingles (cap {SHINGLE_DF_CAP}). The scale path: collisions, "
+    "not all-pairs.",
 )
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     # signatures computed IN-ROW (a doc's minhashes depend only on its own
     # shingles): one md5 per distinct shingle packed to a 32-bit int, then
@@ -292,8 +350,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache: _pair_jaccard reads this three times (both join sides +
     # sizes); it holds only candidate documents' shingles, a vanishing
-    # fraction of the corpus, so the materialization is cheap at any scale
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").cache()
+    # fraction of the corpus, so the materialization is cheap at any scale.
+    # df cap FIRST, computed over the FULL corpus (parity with the oracle's
+    # hot CTE over shingles_raw): a stop-shingle is hot corpus-wide even if
+    # rare within the candidate subset
+    sh_cand = (
+        _kept_shingles(sh, df_cap).join(F.broadcast(cand_docs), "doc_id", "left_semi").cache()
+    )
     verified = (
         _pair_jaccard(sh_cand)
         .join(cands, ["doc_a", "doc_b"], "left_semi")
@@ -416,7 +479,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
-        _pair_jaccard(_shingles(spark, sf_dir))
+        _pair_jaccard(_kept_shingles(_shingles(spark, sf_dir)))
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
         .select("doc_a", "doc_b")
     )
@@ -481,12 +544,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All-pairs here (the exact verifier); the ANN-bucketed variant in "
     "similarity.py is the scale path.",
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, max_rows: int = EXACT_COSINE_MAX_ROWS
+) -> DataFrame:
     # same normalization/dot-product expressions as the ANN paths — one
     # definition (similarity._normed/_dot) so the exact verifier can
     # never drift from what it verifies
     from .similarity import _dot, _normed
 
+    # size guard BEFORE the quadratic join: this is the exact verifier,
+    # never the scale path.  The count is parquet-metadata cheap.
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    if n_vecs > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact all-pairs verifier (O(N^2)) and "
+            f"refuses corpora over {max_rows} vectors (got {n_vecs}). Use the "
+            f"bucketed scale paths: sim_ann_lsh / sim_ann_ivf in operators/similarity.py, "
+            f"then verify only their candidate pairs."
+        )
     n = _normed(spark, sf_dir)
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -133,3 +133,17 @@ def test_media_table_binary_roundtrip(spark):
     # all four media types flow through the pandas stage
     types = {r.media_type for r in feats.select("media_type").distinct().collect()}
     assert types == {"text", "image", "audio", "video"}
+
+
+def test_exact_cosine_size_guard(spark):
+    """The exact all-pairs cosine verifier must refuse corpora past its
+    size bound with a pointer to the ANN scale paths (VERDICT r1 #4:
+    no unguarded O(N^2) join reachable from queries())."""
+    import pytest
+
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_embedding
+
+    with pytest.raises(ValueError, match="sim_ann_lsh / sim_ann_ivf"):
+        dedup_embedding(spark, SF_SMALL, max_rows=10)
+    # under the bound it still runs (guard is a count, not a plan change)
+    assert dedup_embedding(spark, SF_SMALL).count() >= 0
