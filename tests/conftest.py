@@ -30,3 +30,11 @@ def duck():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "integration: touches external infrastructure (Kafka connector/broker) "
+        "when present; self-gating when absent",
+    )
