@@ -20,11 +20,12 @@ from banking_streamprocessing_demos_spark.operators import merge_registries
 from banking_streamprocessing_demos_spark.operators.dedup import REG as DEDUP_REG
 from banking_streamprocessing_demos_spark.operators.message_domain import REG as MESSAGE_REG
 from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_REG
+from banking_streamprocessing_demos_spark.operators.packing import REG as PACKING_REG
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
 from banking_streamprocessing_demos_spark.operators.similarity import REG as SIM_REG
 from banking_streamprocessing_demos_spark.operators.text import REG as TEXT_REG
 
-_REGISTRIES = [RELATIONAL_REG, MESSAGE_REG, DEDUP_REG, SIM_REG, TEXT_REG, MM_REG]
+_REGISTRIES = [RELATIONAL_REG, MESSAGE_REG, DEDUP_REG, SIM_REG, TEXT_REG, MM_REG, PACKING_REG]
 
 # The round driver checks the FIRST 50 queries() entries in insertion
 # order (round 1: exactly the relational+message registries landed rows;
@@ -111,6 +112,11 @@ _DRIVER_PRIORITY = [
     "a11_grouping_sets",
     "s8_set_operations",
     "smp3_stratified_split",
+    # round-2 LLM-pipeline extensions (tail: locally hash-checked; the
+    # driver window stays reserved for sole-evidence queries)
+    "pack_sequences",
+    "contamination_check",
+    "text_repetition",
 ]
 
 

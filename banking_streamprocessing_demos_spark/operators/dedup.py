@@ -571,3 +571,67 @@ def dedup_embedding(
         .filter(F.col("cos_raw") >= COSINE_TAU)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (round-2 extension)
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in for an eval/benchmark suite: every 50th doc_id.
+# In production this is the real benchmark corpus (a few thousand docs);
+# the query shape is identical — the benchmark side stays tiny.
+CONTAM_BENCH_MOD = 50
+CONTAM_TAU = 0.2  # flag docs sharing >= 20% of their shingles with the benchmark
+
+
+@REG.add(
+    "contamination_check",
+    f"""
+    WITH {_shingles_sql()},
+    bench AS (
+        SELECT DISTINCT s FROM shingles_raw WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, s FROM shingles_raw WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_contaminated
+        FROM corpus c SEMI JOIN bench b ON c.s = b.s
+        GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, t.n_shingles, h.n_contaminated,
+           ROUND(h.n_contaminated / CAST(t.n_shingles AS DOUBLE), 6) AS contamination,
+           h.n_contaminated / CAST(t.n_shingles AS DOUBLE) >= {CONTAM_TAU} AS flagged
+    FROM hits h JOIN totals t USING (doc_id)
+    """,
+    doc=f"Benchmark contamination: for each training doc, the fraction of its "
+    f"word-3-gram shingles appearing anywhere in the benchmark set (here: every "
+    f"{CONTAM_BENCH_MOD}th doc, a deterministic stand-in).  Scale shape: the "
+    "benchmark shingle set is tiny and BROADCAST, so the probe is a map-side "
+    "semi-join — no corpus shuffle at all beyond the per-doc count; this is the "
+    "standard pre-training decontamination pass (n-gram overlap against eval "
+    f"suites), flagging at {CONTAM_TAU}.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    corpus = sh.filter(~is_bench)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    frac = F.col("n_contaminated") / F.col("n_shingles").cast("double")
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(frac, 6).alias("contamination"),
+            (frac >= CONTAM_TAU).alias("flagged"),
+        )
+    )

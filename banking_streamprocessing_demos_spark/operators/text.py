@@ -312,3 +312,70 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("wc").cast("bigint").alias("total_words"))
     )
+
+
+@REG.add(
+    "text_repetition",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, words, n_words,
+               CASE WHEN n_words >= 2
+                    THEN list_transform(range(1, n_words),
+                                        i -> words[i] || ' ' || words[i+1])
+               END AS grams2
+        FROM w
+    )
+    SELECT doc_id,
+           ROUND(1.0 - len(list_distinct(words)) / CAST(n_words AS DOUBLE), 6)
+             AS dup_word_frac,
+           ROUND(list_max(list_transform(list_distinct(words),
+                          u -> len(list_filter(words, x -> x = u))))
+                 / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+           CASE WHEN n_words >= 2
+                THEN ROUND(1.0 - len(list_distinct(grams2))
+                           / CAST(n_words - 1 AS DOUBLE), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+    FROM g
+    """,
+    doc="Repetition quality signals (Gopher-style): duplicate-word fraction, "
+    "most-frequent-word fraction, duplicate-2-gram fraction — the standard "
+    "filters for degenerate/boilerplate text.  Everything is IN-ROW "
+    "higher-order-function work over the word array (a document's repetition "
+    "depends only on itself): scan → project, zero shuffles at any scale.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n_words = F.size("words")
+    distinct_words = F.array_distinct(F.col("words"))
+    # per distinct word, count occurrences in the full array; max / total
+    # = top-word fraction.  O(distinct x total) per row, all in codegen.
+    top_count = F.array_max(
+        F.transform(
+            distinct_words,
+            lambda u: F.size(F.filter(F.col("words"), lambda x: x == u)),
+        )
+    )
+    grams2 = F.transform(
+        F.sequence(F.lit(0), n_words - 2),
+        lambda i: F.concat_ws(" ", F.get("words", i), F.get("words", i + 1)),
+    )
+    dup2 = F.when(
+        n_words >= 2,
+        F.round(1.0 - F.size(F.array_distinct(grams2)) / (n_words - 1).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return doc.select(
+        "doc_id",
+        F.round(1.0 - F.size(distinct_words) / n_words.cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(top_count / n_words.cast("double"), 6).alias("top_word_frac"),
+        dup2.cast("double").alias("dup_2gram_frac"),
+    )

@@ -112,3 +112,35 @@ def test_curation_pipeline_shuffle_budget(spark):
 
     df = pipe_curation(spark, SF_SMALL)
     assert count_shuffles(df) <= 3, formatted_plan(df)
+
+
+def test_text_repetition_no_shuffle(spark):
+    """Repetition signals are in-row HOF folds: scan -> project, zero
+    Exchanges (each document's repetition depends only on itself)."""
+    from banking_streamprocessing_demos_spark.operators.text import text_repetition
+
+    df = text_repetition(spark, SF_SMALL)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_pack_sequences_prefix_sum_shape(spark):
+    """The two-level prefix sum must keep the global (no-partition)
+    window on the SMALL bucket table only: exactly one SinglePartition
+    exchange, and three shuffles total (bucket agg, bucket prefix,
+    within-bucket window) -- never a corpus-wide single-partition sort."""
+    from banking_streamprocessing_demos_spark.operators.packing import pack_sequences
+
+    df = pack_sequences(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") == 1, plan
+    assert count_shuffles(df) <= 3, plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set is the tiny side: the probe must be a
+    broadcast (map-side) semi-join, not a corpus shuffle."""
+    from banking_streamprocessing_demos_spark.operators.dedup import contamination_check
+
+    df = contamination_check(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

@@ -37,8 +37,11 @@ DOC_QUERIES = [
     "text_token_counts",
     "text_fingerprint",
     "text_tfidf_topk",
+    "text_repetition",
     "pipe_curation",
     "smp3_stratified_split",
+    "pack_sequences",
+    "contamination_check",
 ]
 
 
