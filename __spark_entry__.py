@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     "pack_sequences",
     "contamination_check",
     "text_repetition",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -483,13 +483,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
         .select("doc_a", "doc_b")
     )
+    return min_label_components(pairs, "doc_id")
+
+
+def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Connected components over an undirected pair graph via iterative
+    min-label propagation — the Spark pattern for fixpoint algorithms,
+    converging in O(component diameter) joins.  ``pairs`` has columns
+    (doc_a, doc_b); output is (id_col, cluster_id, cluster_size) with
+    cluster_id = component-min id.  Shared by the Jaccard and semantic
+    (embedding) dedup clusterings."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
     edges = edges.cache()
 
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
+    labels = edges.select(F.col("src").alias(id_col)).distinct().withColumn(
+        "cluster_id", F.col(id_col)
     )
     # min-label propagation to fixpoint; near-dup components are shallow
     # (pairs/triples), so this converges in a couple of iterations — the
@@ -497,10 +507,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged = False
     for _ in range(20):
         propagated = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            edges.join(labels, edges.src == labels[id_col])
+            .select(F.col("dst").alias(id_col), "cluster_id")
             .unionByName(labels)
-            .groupBy("doc_id")
+            .groupBy(id_col)
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # checkpoint FIRST (eager) so the changed-count reads the
@@ -508,7 +518,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = propagated.localCheckpoint()
         changed = (
             new_labels.alias("p")
-            .join(labels.alias("l"), "doc_id")
+            .join(labels.alias("l"), id_col)
             .filter(F.col("p.cluster_id") != F.col("l.cluster_id"))
             .count()
         )
@@ -519,11 +529,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     if not converged:
         raise RuntimeError(
-            "dedup_clusters: min-label propagation did not converge in 20 rounds "
+            "min_label_components: propagation did not converge in 20 rounds "
             "(component diameter > 20) — raise the cap for chain-shaped corpora"
         )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    return labels.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
 
 
 @REG.add(
@@ -635,3 +645,87 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= CONTAM_TAU).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding) dedup clusters (round-2 extension)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_oracle_sql() -> str:
+    from .similarity import hashed_sql_union
+
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    hashed AS ({hashed_sql_union()}),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM hashed a JOIN hashed b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    nd AS (
+        SELECT c.vec_a, c.vec_b
+        FROM cands c
+        JOIN n x ON x.vec_id = c.vec_a
+        JOIN n y ON y.vec_id = c.vec_b
+        WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= {COSINE_TAU}
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM nd
+        UNION ALL SELECT vec_b, vec_a FROM nd
+    ),
+    walk(vec, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.vec
+    )
+    SELECT vec_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM (SELECT vec AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY vec)
+    """
+
+
+@REG.add(
+    "dedup_semantic_clusters",
+    _semantic_oracle_sql(),
+    doc=f"SEMANTIC dedup at scale: near-duplicate clusters over the embedding "
+    f"space.  Candidate pairs come from corpus-side LSH bucket collisions "
+    "(the same deterministic hyperplane tables as sim_ann_lsh — collisions "
+    "replace all-pairs), verified by exact cosine >= "
+    f"{COSINE_TAU} on candidates only, then clustered by min-label "
+    "propagation (shared with dedup_clusters).  This is the scale-path twin "
+    "of the guarded dedup_embedding_cosine verifier: at 10^10 vectors you "
+    "raise LSH_BITS so expected bucket size stays constant (bits ~ log2(N)) "
+    "and the collision join stays linear-ish; the checked configuration "
+    "pins the 4-bit/6-table family end-to-end against the oracle.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _dot, _normed, hashed_buckets
+
+    n = _normed(spark, sf_dir)
+    hashed = hashed_buckets(n).select("vec_id", "tbl", "bucket")
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-cosine verify on CANDIDATES only (never all-pairs): join the
+    # vectors back by id — the candidate set is the small relation here
+    x = n.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = n.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (
+        cands.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(_dot("va", "vb") / (F.col("na") * F.col("nb")) >= COSINE_TAU)
+        .select("doc_a", "doc_b")
+    )
+    return min_label_components(pairs, "vec_id")

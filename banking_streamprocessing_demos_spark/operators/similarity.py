@@ -239,11 +239,11 @@ def _hyperplane_weight(bit: int, dim: int) -> int:
     return 1 if HEX_DIGITS.index(h[0]) % 2 == 1 else -1
 
 
-def _lsh_oracle_sql() -> str:
-    """Full SQL twin of the LSH search: the ±1 hyperplane weights are
-    deterministic constants (md5 parity), so they are baked into the
-    oracle as literal arrays and DuckDB recomputes the identical
-    buckets, probes, candidates and re-rank."""
+def hashed_sql_union() -> str:
+    """The ``hashed`` relation (vec_id, v, nrm, tbl, bucket) as a SQL
+    UNION ALL over ``n``, with the deterministic ±1 hyperplane weights
+    baked in as literal arrays — shared by the ANN oracle here and the
+    semantic-dedup oracle in dedup.py."""
     tables = []
     for t in range(LSH_TABLES):
         bucket = None
@@ -253,7 +253,13 @@ def _lsh_oracle_sql() -> str:
             bit = f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN 1 ELSE 0 END)"
             bucket = bit if bucket is None else f"(({bucket}) * 2 + {bit})"
         tables.append(f"SELECT vec_id, v, nrm, {t} AS tbl, {bucket} AS bucket FROM n")
-    hashed = " UNION ALL ".join(tables)
+    return " UNION ALL ".join(tables)
+
+
+def _lsh_oracle_sql() -> str:
+    """Full SQL twin of the LSH search: deterministic buckets, probes,
+    candidates and re-rank recomputed identically by DuckDB."""
+    hashed = hashed_sql_union()
     masks = ", ".join(str(m) for m in [0] + [1 << b for b in range(LSH_BITS)])
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -285,23 +291,11 @@ def _lsh_oracle_sql() -> str:
     """
 
 
-@REG.add(
-    "sim_ann_lsh",
-    _lsh_oracle_sql(),
-    doc=f"Random-hyperplane LSH ANN: {LSH_TABLES} independent tables of "
-    f"{LSH_BITS} deterministic ±1 hyperplanes each + Hamming-1 multi-probe on "
-    "the query side; a pair is a candidate if it collides in ANY probed "
-    "bucket (multi-table × multi-probe: miss probability decays "
-    "exponentially); exact cosine re-rank over the union.  Scale path — "
-    "bucket joins replace all-pairs.  Deterministic end-to-end, so the "
-    "driver HASH-CHECKS it against a full SQL oracle with the hyperplane "
-    "constants baked in; recall vs brute force is tested separately.",
-)
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _normed(spark, sf_dir)
-    # per table: bucket id = sign pattern over LSH_BITS hyperplanes;
-    # emit (table, bucket) pairs via a single explode — one pass over
-    # the vectors regardless of L
+def hashed_buckets(n: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, tbl, bucket) for every vector × LSH table: bucket
+    id = sign pattern over LSH_BITS deterministic hyperplanes, emitted
+    via a single explode — one pass over the vectors regardless of L.
+    Shared by the ANN search here and dedup_semantic_clusters."""
     table_buckets = []
     for t in range(LSH_TABLES):
         bucket = None
@@ -315,9 +309,25 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit_col = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
             bucket = bit_col if bucket is None else bucket * 2 + bit_col
         table_buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    hashed = n.select(
+    return n.select(
         "vec_id", "v", "nrm", F.explode(F.array(*table_buckets)).alias("tb")
     ).select("vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+@REG.add(
+    "sim_ann_lsh",
+    _lsh_oracle_sql(),
+    doc=f"Random-hyperplane LSH ANN: {LSH_TABLES} independent tables of "
+    f"{LSH_BITS} deterministic ±1 hyperplanes each + Hamming-1 multi-probe on "
+    "the query side; a pair is a candidate if it collides in ANY probed "
+    "bucket (multi-table × multi-probe: miss probability decays "
+    "exponentially); exact cosine re-rank over the union.  Scale path — "
+    "bucket joins replace all-pairs.  Deterministic end-to-end, so the "
+    "driver HASH-CHECKS it against a full SQL oracle with the hyperplane "
+    "constants baked in; recall vs brute force is tested separately.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = hashed_buckets(_normed(spark, sf_dir))
 
     # multi-probe on the QUERY side only: probe the exact bucket plus all
     # Hamming-1 neighbors (flip each bit) — the standard recall amplifier

