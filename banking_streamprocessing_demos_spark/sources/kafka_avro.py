@@ -4,8 +4,10 @@ plain pyspark install, and tests run Kafka-less (SURVEY §7 Phase 3).
 
 When the connector is present (any real cluster), these helpers wire
 the same detector/monitoring jobs to the live topic with the exact
-Confluent-framed Avro serde from avro_wire.py.  Config comes from the
-environment like the reference (S6, phone_message_producer.py:930-953).
+Confluent-framed Avro serde from avro_wire.py; schema ids come from
+schema_registry.SchemaRegistryClient (register_message_schemas).
+Config comes from the environment like the reference (S6,
+phone_message_producer.py:930-953).
 """
 
 from __future__ import annotations
