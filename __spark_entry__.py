@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     "contamination_check",
     "text_repetition",
     "dedup_semantic_clusters",
+    "text_pii_scrub",
 ]
 
 

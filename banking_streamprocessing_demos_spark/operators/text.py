@@ -379,3 +379,55 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_count / n_words.cast("double"), 6).alias("top_word_frac"),
         dup2.cast("double").alias("dup_2gram_frac"),
     )
+
+
+# PII patterns: character classes + bounded quantifiers ONLY, so Java
+# regex (Spark) and RE2 (DuckDB) agree symbol-for-symbol — no
+# backrefs, lookaround, or dialect-specific escapes in checked paths.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+PII_SSN = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_PHONE = "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
+PII_TOKEN = "<PII>"
+
+
+@REG.add(
+    "text_pii_scrub",
+    f"""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT) AS n_ssn,
+               regexp_replace(regexp_replace(text, '{PII_EMAIL}', '{PII_TOKEN}', 'g'),
+                              '{PII_SSN}', '{PII_TOKEN}', 'g') AS t2
+        FROM documents
+    )
+    SELECT doc_id, n_emails, n_ssn,
+           CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t2, '{PII_PHONE}', '{PII_TOKEN}', 'g')) AS scrubbed_fp
+    FROM counted
+    """,
+    doc="PII scrubbing: redact emails, SSN-shaped and phone-shaped tokens with a "
+    "fixed replacement, reporting per-category counts and the md5 of the "
+    "scrubbed text (documents with no PII hash to md5(text) — pinned by the "
+    "oracle).  Patterns are class-only so Java regex and RE2 agree; replacement "
+    "order (email, ssn, phone) is applied identically in both engines, and "
+    "each count is computed at the same pipeline stage in both (email/ssn on "
+    "the original text, phone after the first two replacements).  Pure per-row "
+    "work: zero shuffles at any scale.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace("text", F.lit(PII_EMAIL), F.lit(PII_TOKEN))
+    counted = doc.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_SSN)).cast("long").alias("n_ssn"),
+        F.regexp_replace(t1, F.lit(PII_SSN), F.lit(PII_TOKEN)).alias("t2"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_ssn",
+        F.regexp_count("t2", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(F.regexp_replace("t2", F.lit(PII_PHONE), F.lit(PII_TOKEN))).alias("scrubbed_fp"),
+    )

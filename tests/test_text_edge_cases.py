@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "text_fingerprint",
     "text_tfidf_topk",
     "text_repetition",
+    "text_pii_scrub",
     "pipe_curation",
     "smp3_stratified_split",
     "pack_sequences",
