@@ -119,6 +119,8 @@ _DRIVER_PRIORITY = [
     "text_repetition",
     "dedup_semantic_clusters",
     "text_pii_scrub",
+    "w6_retention_cohorts",
+    "w7_funnel",
 ]
 
 

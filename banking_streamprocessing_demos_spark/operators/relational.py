@@ -1259,3 +1259,91 @@ def w5_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@REG.add(
+    "w6_retention_cohorts",
+    """
+    WITH ms AS (SELECT user_id, epoch_ms(ts) AS e FROM events),
+    firsts AS (
+        SELECT user_id, MIN(e) // 86400000 AS cohort_day FROM ms GROUP BY user_id
+    )
+    SELECT f.cohort_day * 86400000 AS cohort_day_ms,
+           m.e // 86400000 - f.cohort_day AS day_offset,
+           COUNT(DISTINCT m.user_id) AS n_active_users
+    FROM ms m JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-seen day, counted "
+    "distinct per (cohort, day-offset) — the standard growth-analytics rollup. "
+    "Two shuffles, both on user_id (first-seen agg, then the join is "
+    "co-partitioned with it), plus the final cohort-cell agg; day truncation "
+    "is pure epoch arithmetic (timezone-independent, floor-div parity per "
+    "the a9 rule: Spark floor(x/y) == DuckDB x//y for non-negative epochs).",
+)
+def w6_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = _t(spark, sf_dir, "events").select("user_id", epoch_ms(F.col("ts")).alias("e"))
+    day = lambda c: F.floor(c / 86_400_000).cast("long")  # noqa: E731
+    firsts = ms.groupBy("user_id").agg(day(F.min("e")).alias("cohort_day"))
+    return (
+        ms.join(firsts, "user_id")
+        .groupBy(
+            (F.col("cohort_day") * 86_400_000).alias("cohort_day_ms"),
+            (day(F.col("e")) - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+@REG.add(
+    "w7_funnel",
+    """
+    WITH ms AS (SELECT user_id, event_type, epoch_ms(ts) AS e FROM events),
+    v AS (SELECT user_id, MIN(e) AS first_view_ms FROM ms
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT m.user_id, MIN(m.e) AS first_click_ms
+          FROM ms m JOIN v USING (user_id)
+          WHERE m.event_type = 'click' AND m.e > v.first_view_ms
+          GROUP BY m.user_id),
+    p AS (SELECT m.user_id, MIN(m.e) AS first_purchase_ms
+          FROM ms m JOIN c USING (user_id)
+          WHERE m.event_type = 'purchase' AND m.e > c.first_click_ms
+          GROUP BY m.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    doc="Ordered funnel (view -> click -> purchase, strictly increasing event "
+    "time per user): per-stage first-timestamp joins keyed on user_id — every "
+    "join and aggregate shares the user_id partitioning, so the funnel costs "
+    "one logical shuffle reused across stages, never a per-user sort of the "
+    "full event log.  Output is the per-stage completion count.",
+)
+def w7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_ms(F.col("ts")).alias("e")
+    )
+    v = (
+        ms.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("e").alias("first_view_ms"))
+    )
+    c = (
+        ms.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("e") > F.col("first_view_ms"))
+        .groupBy("user_id")
+        .agg(F.min("e").alias("first_click_ms"))
+    )
+    p = (
+        ms.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("e") > F.col("first_click_ms"))
+        .groupBy("user_id")
+        .agg(F.min("e").alias("first_purchase_ms"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )

@@ -79,6 +79,10 @@ EVENT_QUERIES = [
     "w3_event_gaps",
     "w4_sessionization",
     "w5_session_window",
+    # funnel: user 1's view/click share one ms -> strict '>' excludes it;
+    # retention: day-offset floor-div boundary on the same-ms ties
+    "w6_retention_cohorts",
+    "w7_funnel",
     "f8_weighted_classify",
 ]
 
