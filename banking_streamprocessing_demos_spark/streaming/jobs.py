@@ -186,3 +186,27 @@ def console_dry_run(events: DataFrame) -> DataFrame:
             F.lit(")"),
         ).alias("line")
     )
+
+
+def streaming_doc_dedup(docs: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact DOCUMENT dedup — the ingestion-time twin of the
+    batch ``dedup_exact`` operator: drop every document whose content
+    hash was already seen inside the watermark window.  Input schema:
+    (doc_id, text, ingest_ts).  State = one md5 key per distinct
+    document seen within the watermark horizon, evicted as the watermark
+    passes — bounded regardless of stream length, which is the property
+    a global dropDuplicates cannot give an unbounded corpus ingest.  On
+    a batch frame the same call degrades to the deterministic
+    first-by-(ingest_ts, doc_id) winner per hash, so batch == stream is
+    testable (tests/test_streaming_jobs.py)."""
+    hashed = docs.withColumn("content_hash", F.md5("text"))
+    if hashed.isStreaming:
+        return hashed.withWatermark("ingest_ts", delay).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("ingest_ts", "doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )

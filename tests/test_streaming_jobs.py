@@ -193,3 +193,35 @@ def test_phone_sessions_gap_boundary(spark):
         (3_000, 0, gap_ms, 1),
         (3_000, gap_ms + 1, 2 * gap_ms + 1, 1),
     }
+
+
+def test_streaming_doc_dedup_batch_equals_stream(spark, tmp_path):
+    """streaming_doc_dedup must keep exactly one document per content
+    hash, the same set the batch twin keeps (first by ingest_ts/doc_id:
+    the replay file is written in that order, so stream arrival order
+    matches the batch winner rule), and pass distinct texts through."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_doc_dedup
+
+    rows = [
+        (0, "alpha beta gamma", "2024-01-01 00:00:00"),
+        (1, "alpha beta gamma", "2024-01-01 00:00:10"),   # dup of 0
+        (2, "delta epsilon", "2024-01-01 00:00:20"),
+        (3, "alpha beta gamma", "2024-01-01 00:00:30"),   # dup of 0
+        (4, "zeta eta theta", "2024-01-01 00:00:40"),
+        (5, "delta epsilon", "2024-01-01 00:00:50"),      # dup of 2
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts string"
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+
+    kept_batch = {r.doc_id for r in streaming_doc_dedup(batch).collect()}
+    assert kept_batch == {0, 2, 4}
+
+    path = str(tmp_path / "docs")
+    batch.orderBy("ingest_ts").coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(path)
+    run_to_memory(streaming_doc_dedup(stream), "doc_dedup_out")
+    kept_stream = {r.doc_id for r in spark.table("doc_dedup_out").collect()}
+    assert kept_stream == kept_batch
