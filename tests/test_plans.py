@@ -144,3 +144,29 @@ def test_contamination_broadcasts_benchmark(spark):
     df = contamination_check(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_hll_register_table_shape(spark):
+    """HLL must fold through partial aggregation: two map-side-combined
+    hash-agg shuffles (grp×bucket registers, then per-grp fold) and no
+    sort/window anywhere — the register table bounds shuffle width at
+    #groups×512 regardless of input size."""
+    from banking_streamprocessing_demos_spark.operators.sketches import sketch_hll_distinct
+
+    df = sketch_hll_distinct(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) <= 2, plan
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_cms_cells_broadcast(spark):
+    """The 4×1024 CMS cell table must broadcast to the probe side —
+    never a shuffle join keyed on (row, bucket)."""
+    from banking_streamprocessing_demos_spark.operators.sketches import (
+        sketch_cms_heavy_hitters,
+    )
+
+    df = sketch_cms_heavy_hitters(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

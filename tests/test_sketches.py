@@ -29,3 +29,38 @@ def test_approx_percentile_tolerance(spark):
         F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10_000))
     ).first()[0]
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_hll_estimate_within_error_bound(spark, duck):
+    """Deterministic HLL (m=512, rse ~4.6%): every per-group estimate
+    must land within 3x the published relative standard error of the
+    exact distinct count."""
+    from banking_streamprocessing_demos_spark.operators.sketches import sketch_hll_distinct
+
+    est = {r.o_orderpriority: r.est_distinct for r in sketch_hll_distinct(spark, SF_SMALL).collect()}
+    exact = dict(
+        duck.sql(
+            "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for grp, e in est.items():
+        assert abs(e - exact[grp]) / exact[grp] < 0.14, (grp, e, exact[grp])
+
+
+def test_cms_overestimates_and_finds_heavy_hitters(spark, duck):
+    """Count-Min guarantees est >= true count; the exact top-5 heavy
+    hitters must appear in the sketch's top-20."""
+    from banking_streamprocessing_demos_spark.operators.sketches import sketch_cms_heavy_hitters
+
+    est = {r.user_id: r.est_count for r in sketch_cms_heavy_hitters(spark, SF_SMALL).collect()}
+    exact = dict(
+        duck.sql("SELECT user_id, COUNT(*) FROM events GROUP BY 1").fetchall()
+    )
+    assert len(est) == min(20, len(exact))
+    for uid, e in est.items():
+        assert e >= exact[uid], (uid, e, exact[uid])
+    top5_exact = [
+        u for u, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    assert set(top5_exact) <= set(est)
