@@ -133,6 +133,7 @@ _DRIVER_PRIORITY = [
     "w7_funnel",
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
+    "dedup_substring_spans",
 ]
 
 

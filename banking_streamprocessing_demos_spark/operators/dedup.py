@@ -21,7 +21,7 @@ on shingles), which both engines compute identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import HEX_DIGITS as HEX
@@ -729,3 +729,122 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return min_label_components(pairs, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# substring-span dedup (suffix-array-style, Spark-shaped)
+# ---------------------------------------------------------------------------
+SPAN_N = 8  # tokens per duplicated-substring probe gram
+
+
+@REG.add(
+    "dedup_substring_spans",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5('sp-' || {" || ' ' || ".join(f"words[i+{k}]" for k in range(SPAN_N))}) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words) - {SPAN_N - 2})) AS t(i)
+    ),
+    freq AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM grams SEMI JOIN freq USING (h)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + {SPAN_N - 1}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) + 1 >= pos THEN 0 ELSE 1 END AS new_span
+        FROM dup
+    ),
+    sid AS (
+        SELECT doc_id, pos,
+               CAST(SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {SPAN_N - 1} AS e
+        FROM sid GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(ROUND(COALESCE(p.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6) AS DOUBLE)
+               AS dup_coverage
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc=f"Substring-level dedup à la suffix-array corpus dedup (Lee et al. 2022), "
+    f"re-expressed for Spark: every {SPAN_N}-token gram is position-hashed, grams "
+    "occurring ≥2 times corpus-wide mark their [pos, pos+7] token spans as "
+    "duplicated, and overlapping/adjacent spans merge via the gaps-and-islands "
+    "running-max window (partitioned by doc — fully parallel).  Output per doc: "
+    "merged span count, duplicated-token total, coverage ratio.  The corpus-wide "
+    "gram-frequency groupBy map-side-combines, and the dup filter is a semi-join "
+    "(no pair expansion), so no hot gram can go quadratic — the scale property "
+    "suffix arrays need a serial build to get.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring spans.  NULL-safe island rule:
+    the first dup gram of a doc has no preceding rows → running max is
+    NULL → `max+1 >= pos` is NULL → new_span=1 via the ELSE branch,
+    identical in both engines."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text", F.split("text", " ").alias("words"))
+    )
+    # gram hash: md5('sp-' || w[i] || ' ' || ... || w[i+7])
+    def gram_hash(i):
+        parts = [F.lit("sp-")]
+        for k in range(SPAN_N):
+            if k:
+                parts.append(F.lit(" "))
+            parts.append(F.get("words", i + k))
+        return F.md5(F.concat(*parts))
+
+    grams_arr = F.transform(F.sequence(F.lit(0), F.size("words") - SPAN_N), gram_hash)
+    grams = (
+        docs.filter(F.size("words") >= SPAN_N)
+        .select("doc_id", F.posexplode(grams_arr).alias("pos", "h"))
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
+    dup = grams.join(freq, "h", "left_semi").select("doc_id", "pos")
+
+    prev = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(F.max(F.col("pos") + (SPAN_N - 1)).over(prev) + 1 >= F.col("pos"), 0).otherwise(1),
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = flagged.withColumn("span_id", F.sum("new_span").over(run).cast("long"))
+    spans = sid.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (SPAN_N - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    toks = docs.select("doc_id", (spaces + 1).cast("long").alias("n_tokens"))
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"), 6)
+        .cast("double")
+        .alias("dup_coverage"),
+    )

@@ -171,3 +171,41 @@ def test_semantic_clusters_recall_vs_exact(spark):
         if a in clusters and b in clusters and clusters[a] == clusters[b]
     )
     assert recovered / len(exact_pairs) >= 0.5, (recovered, len(exact_pairs))
+
+
+def test_substring_spans_merge_semantics(spark, tmp_path):
+    """Pin the island rules random-corpus parity can't distinguish:
+    overlapping dup grams merge to ONE span; ADJACENT spans (next start
+    == prev end + 1) also merge; disjoint repeats stay separate; docs
+    with no duplicated 8-gram report zero coverage."""
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(1, 11))        # 10-token shared run
+    phrase = " ".join(f"d{i}" for i in range(1, 9))         # 8-token repeated phrase
+    x = " ".join(f"x{i}" for i in range(1, 9))
+    y = " ".join(f"y{i}" for i in range(1, 9))
+    rows = [
+        (0, f"a1 a2 a3 {shared} a4 a5"),                    # one merged 10-token span
+        (1, f"b1 {shared} b2 b3 b4"),                       # one merged 10-token span
+        (2, " ".join(f"c{i}" for i in range(1, 10))),       # no dup grams
+        (3, f"{phrase} " + " ".join(f"f{i}" for i in range(1, 10)) + f" {phrase}"),
+        (4, f"{x} {y}"),                                    # adjacent spans -> merge
+        (5, f"{x} u1 u2"),
+        (6, f"v1 {y}"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == (1, 10)
+    assert out[1] == (1, 10)
+    assert out[2] == (0, 0)
+    assert out[3] == (2, 16)   # disjoint in-doc repeats stay two spans
+    assert out[4] == (1, 16)   # adjacency merges x-span and y-span
+    assert out[5] == (1, 8)
+    assert out[6] == (1, 8)
