@@ -134,6 +134,8 @@ _DRIVER_PRIORITY = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "dedup_substring_spans",
+    "w8_funnel_windowed",
+    "pipe_domain_mix",
 ]
 
 

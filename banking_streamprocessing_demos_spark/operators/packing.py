@@ -98,3 +98,91 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_seq.cast("long").alias("end_seq"),
         (end_seq.cast("long") - start_seq + 1).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# domain mixing: deterministic up/down-sampling to target mix weights
+# ---------------------------------------------------------------------------
+# weight w per domain: every doc yields floor(w) replicas plus one more
+# for the deterministic fraction of docs selected by u16 < frac*65536 —
+# so fr (0.5) is DOWN-sampled to half and zh (3.0) up-sampled 3x, the
+# exact mechanics of pretraining data-mixture rebalancing
+PIPE_MIX = {"en": 1.0, "de": 1.5, "es": 2.25, "fr": 0.5, "zh": 3.0}
+
+_HEX = "0123456789abcdef"
+
+
+def _hex4_sql(hexpr: str) -> str:
+    """First 4 md5 hex digits -> int in [0, 65535] (DuckDB twin of
+    functions/expressions.py hex4_to_int)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('{_HEX}', substr({hexpr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+            for p in range(4)
+        )
+        + ")"
+    )
+
+
+def _mult_case_sql() -> str:
+    """Replica multiplier per domain: base + fractional Bernoulli via an
+    INTEGER threshold on u16 (frac*65536 is exact) — no float compares,
+    bit-identical across engines."""
+    branches = []
+    for lang, wgt in PIPE_MIX.items():
+        base = int(wgt)
+        thr = int(round((wgt - base) * 65536))
+        expr = f"{base} + CASE WHEN u16 < {thr} THEN 1 ELSE 0 END" if thr else str(base)
+        branches.append(f"WHEN '{lang}' THEN {expr}")
+    return "CASE lang " + " ".join(branches) + " ELSE 1 END"
+
+
+@REG.add(
+    "pipe_domain_mix",
+    f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, md5('mix-' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    u AS (SELECT doc_id, lang, {_hex4_sql('hx')} AS u16 FROM hashed),
+    m AS (SELECT doc_id, lang, {_mult_case_sql()} AS mult FROM u)
+    SELECT doc_id, lang AS domain, CAST(replica AS BIGINT) AS replica,
+           md5('mixrep-' || CAST(doc_id AS VARCHAR) || '-' || CAST(replica AS VARCHAR))
+               AS sample_id
+    FROM m, UNNEST(range(1, mult + 1)) AS t(replica)
+    """,
+    doc="Training-mixture rebalancing: per-domain target weights become "
+    "deterministic replica counts (floor + md5-thresholded fractional part), "
+    "materialized by exploding a per-row sequence — a NARROW map (no shuffle), "
+    "so remixing a 100 TB corpus costs one pass.  Replicas carry stable md5 "
+    "sample ids for downstream shuffling/sharding.",
+)
+def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = docs.withColumn("u16", hex4_to_int(det_hash_hex("doc_id", seed="mix")))
+    m = u.withColumn("mult", F.expr(_mult_case_sql()))
+    replicas = m.select(
+        "doc_id",
+        F.col("lang").alias("domain"),
+        F.explode(
+            F.when(F.col("mult") >= 1, F.sequence(F.lit(1), F.col("mult"))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("replica"),
+    )
+    return replicas.select(
+        "doc_id",
+        "domain",
+        F.col("replica").cast("long").alias("replica"),
+        F.md5(
+            F.concat(
+                F.lit("mixrep-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.col("replica").cast("string"),
+            )
+        ).alias("sample_id"),
+    )

@@ -1347,3 +1347,68 @@ def w7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+FUNNEL_WINDOW_MS = 3_600_000  # each step must follow the previous within 1h
+
+
+@REG.add(
+    "w8_funnel_windowed",
+    f"""
+    WITH ms AS (SELECT user_id, event_type, epoch_ms(ts) AS e FROM events),
+    v AS (SELECT user_id, MIN(e) AS first_view_ms FROM ms
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT m.user_id, MIN(m.e) AS first_click_ms
+          FROM ms m JOIN v USING (user_id)
+          WHERE m.event_type = 'click' AND m.e > v.first_view_ms
+                AND m.e <= v.first_view_ms + {FUNNEL_WINDOW_MS}
+          GROUP BY m.user_id),
+    p AS (SELECT m.user_id, MIN(m.e) AS first_purchase_ms
+          FROM ms m JOIN c USING (user_id)
+          WHERE m.event_type = 'purchase' AND m.e > c.first_click_ms
+                AND m.e <= c.first_click_ms + {FUNNEL_WINDOW_MS}
+          GROUP BY m.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_within_window,
+           (SELECT COUNT(*) FROM p) AS n_purchased_within_window
+    """,
+    doc="Time-constrained funnel (view -> click -> purchase, each step within "
+    "1h of the previous step's first completion): same single-logical-shuffle "
+    "user_id-keyed join chain as w7, with a per-step deadline — the conversion "
+    "window every product-analytics funnel actually uses.  Deadline is inclusive "
+    "(<= first + W) and ms-exact in both engines.",
+)
+def w8_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_ms(F.col("ts")).alias("e")
+    )
+    v = (
+        ms.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("e").alias("first_view_ms"))
+    )
+    c = (
+        ms.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("e") > F.col("first_view_ms"))
+            & (F.col("e") <= F.col("first_view_ms") + FUNNEL_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("e").alias("first_click_ms"))
+    )
+    p = (
+        ms.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("e") > F.col("first_click_ms"))
+            & (F.col("e") <= F.col("first_click_ms") + FUNNEL_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("e").alias("first_purchase_ms"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_within_window")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_within_window")))
+    )

@@ -50,6 +50,12 @@ EDGE_EVENTS = [
     (73, (B + 150_000) * MS, 7, "view", 8.0, None),
     # NULL value row
     (80, (B + 200_000) * MS, 8, "view", None, None),
+    # user 9: w8 funnel deadlines — click EXACTLY 1 h after first view
+    # (inclusive <= keeps it), purchase exactly 1 h + 1 ms after first
+    # click (excluded from w8, still counted by unconstrained w7)
+    (90, (B + 300_000) * MS, 9, "view", 1.0, None),
+    (91, (B + 300_000 + 3_600_000) * MS, 9, "click", 1.0, None),
+    (92, (B + 300_000 + 7_200_001) * MS, 9, "purchase", 1.0, None),
 ]
 
 EVENT_QUERIES = [
@@ -83,6 +89,7 @@ EVENT_QUERIES = [
     # retention: day-offset floor-div boundary on the same-ms ties
     "w6_retention_cohorts",
     "w7_funnel",
+    "w8_funnel_windowed",
     "f8_weighted_classify",
 ]
 
@@ -145,3 +152,15 @@ def test_edge_asof_same_ms_is_inclusive(spark, edge_dir):
     rows = {r.purchase_id: r for r in entrymod.queries()["j6_asof_join"](spark, edge_dir).collect()}
     assert rows[51].click_id == 50 and rows[51].ms_since_click == 0
     assert rows[60].click_id is None
+
+
+def test_edge_funnel_deadline_boundary(spark, edge_dir):
+    """w8's per-step deadline is INCLUSIVE: user 9's click exactly 1 h
+    after the first view survives the window, while the purchase 1 ms
+    past the click deadline drops only from w8 — never from w7."""
+    qs = entrymod.queries()
+    w7 = qs["w7_funnel"](spark, edge_dir).first()
+    w8 = qs["w8_funnel_windowed"](spark, edge_dir).first()
+    assert w8.n_viewed == w7.n_viewed
+    assert w8.n_clicked_within_window == w7.n_clicked_after_view
+    assert w8.n_purchased_within_window == w7.n_purchased_after_click - 1

@@ -209,3 +209,31 @@ def test_substring_spans_merge_semantics(spark, tmp_path):
     assert out[4] == (1, 16)   # adjacency merges x-span and y-span
     assert out[5] == (1, 8)
     assert out[6] == (1, 8)
+
+
+def test_domain_mix_replica_ratios(spark):
+    """Integer-weight domains replicate EXACTLY weight x docs; fractional
+    domains land between floor and ceil of the weight."""
+    from banking_streamprocessing_demos_spark.operators.packing import PIPE_MIX, pipe_domain_mix
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    docs_per = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    reps_per = {
+        r.domain: r.n
+        for r in pipe_domain_mix(spark, SF_SMALL).groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, wgt in PIPE_MIX.items():
+        n = docs_per.get(lang, 0)
+        if not n:
+            continue
+        got = reps_per.get(lang, 0)
+        if wgt == int(wgt):
+            assert got == int(wgt) * n, (lang, got, n)
+        else:
+            assert int(wgt) * n <= got <= (int(wgt) + 1) * n, (lang, got, n)
