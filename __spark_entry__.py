@@ -136,6 +136,9 @@ _DRIVER_PRIORITY = [
     "dedup_substring_spans",
     "w8_funnel_windowed",
     "pipe_domain_mix",
+    "sketch_bloom_prefilter",
+    "w9_scd2_intervals",
+    "text_bigram_lm_score",
 ]
 
 

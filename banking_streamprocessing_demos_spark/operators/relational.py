@@ -1412,3 +1412,38 @@ def w8_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_within_window")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_within_window")))
     )
+
+
+@REG.add(
+    "w9_scd2_intervals",
+    """
+    SELECT user_id, event_id, event_type AS status,
+           e AS valid_from_ms,
+           LEAD(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS valid_to_ms,
+           CAST(LEAD(e) OVER (PARTITION BY user_id ORDER BY e, event_id) IS NULL
+                AS BIGINT) AS is_current
+    FROM (SELECT user_id, event_id, event_type, epoch_ms(ts) AS e FROM events)
+    """,
+    doc="SCD Type-2 history build: each event opens a validity interval "
+    "[valid_from_ms, valid_to_ms) closed by the user's next event (LEAD over "
+    "the cross-engine-stable (epoch_ms, event_id) order) — the dimension-table "
+    "versioning every warehouse derives from a change log.  NULL valid_to = "
+    "current row, also surfaced as an is_current flag.  The window partitions "
+    "by user_id, so the build is embarrassingly parallel; it is the "
+    "interval-producing inverse of u3's last-event-wins snapshot (u3 == the "
+    "is_current=1 slice).",
+)
+def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_ms(F.col("ts")).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    nxt = F.lead("e").over(w)
+    return ms.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.col("e").alias("valid_from_ms"),
+        nxt.alias("valid_to_ms"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )

@@ -226,3 +226,94 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("est_count"))
     )
     return est.orderBy(F.col("est_count").desc(), F.col("user_id")).limit(CMS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: m=65536 bits, k=4 hashes — join pre-filtering
+# ---------------------------------------------------------------------------
+BLOOM_M = 65536
+BLOOM_K = 4
+BLOOM_ACCTBAL = 9000.0  # build-side predicate: high-balance customers
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    hx = f"md5('bf-' || j || '-' || CAST({key_expr} AS VARCHAR))"
+    return f"{_hex8_sql(hx)} % {BLOOM_M}"
+
+
+def _bloom_pos_col(key_col, j_col) -> F.Column:
+    hx = F.md5(
+        F.concat(F.lit("bf-"), j_col.cast("string"), F.lit("-"), key_col.cast("string"))
+    )
+    return _hex8_col(hx) % BLOOM_M
+
+
+@REG.add(
+    "sketch_bloom_prefilter",
+    f"""
+    WITH build AS (SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL}),
+    bpos AS (
+        SELECT DISTINCT {_bloom_pos_sql('c_custkey')} AS pos
+        FROM build CROSS JOIN UNNEST(range({BLOOM_K})) AS t(j)
+    ),
+    probe AS (SELECT DISTINCT o_custkey FROM orders),
+    ppos AS (
+        SELECT o_custkey, j, {_bloom_pos_sql('o_custkey')} AS pos
+        FROM probe CROSS JOIN UNNEST(range({BLOOM_K})) AS t(j)
+    ),
+    hits AS (
+        SELECT o_custkey, COUNT(*) AS nhit
+        FROM ppos JOIN bpos USING (pos)
+        GROUP BY o_custkey
+    ),
+    passed AS (SELECT o_custkey FROM hits WHERE nhit = {BLOOM_K})
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(b.c_custkey IS NOT NULL AS BIGINT) AS is_member
+    FROM orders o
+    JOIN passed USING (o_custkey)
+    LEFT JOIN build b ON b.c_custkey = o.o_custkey
+    """,
+    doc=f"Bloom-filter join pre-filter (m={BLOOM_M} bits, k={BLOOM_K}): the "
+    "high-balance customer keys are folded into a deterministic md5 Bloom "
+    "filter whose set-bit table broadcasts to the orders probe — the map-side "
+    "pruning that eliminates the shuffle of non-matching fact rows before an "
+    "expensive join (what Spark's native bloom_filter_agg/might_contain does "
+    "with an engine-private sketch; this portable twin is exactly "
+    "oracle-checkable).  Output marks each passed order as true member or "
+    "Bloom false positive — no false negatives by construction (test-pinned).",
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL).select("c_custkey")
+    js = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j")
+    bpos = (
+        build.select("c_custkey", js)
+        .select(_bloom_pos_col(F.col("c_custkey"), F.col("j")).alias("pos"))
+        .distinct()
+    )
+    probe = orders.select("o_custkey").distinct()
+    ppos = probe.select("o_custkey", js).withColumn(
+        "pos", _bloom_pos_col(F.col("o_custkey"), F.col("j"))
+    )
+    hits = (
+        ppos.join(F.broadcast(bpos), "pos")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("nhit"))
+    )
+    passed = hits.filter(F.col("nhit") == BLOOM_K).select("o_custkey")
+    return (
+        orders.join(F.broadcast(passed), "o_custkey")
+        .join(
+            F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+                "is_member_flag", F.lit(1)
+            )),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("is_member_flag", F.lit(0)).cast("long").alias("is_member"),
+        )
+    )

@@ -431,3 +431,73 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t2", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         F.md5(F.regexp_replace("t2", F.lit(PII_PHONE), F.lit(PII_TOKEN))).alias("scrubbed_fp"),
     )
+
+
+@REG.add(
+    "text_bigram_lm_score",
+    """
+    WITH big AS (
+        SELECT doc_id, words[i] AS w1, words[i+1] AS w2, COUNT(*) AS k
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words))) AS t(i)
+        GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    scored AS (
+        SELECT b.doc_id, b.k,
+               CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) AS DECIMAL(18,6)) AS logp
+        FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(SUM(k * logp) AS DOUBLE) / SUM(k), 6) AS DOUBLE) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Corpus-bigram LM quality score (the CCNet-style perplexity-proxy "
+    "filter): every document scored by the average log P(w2|w1) of its bigrams "
+    "under the corpus's own bigram model.  Per-doc bigram multiplicities are "
+    "aggregated FIRST (map-side combine), so the count joins touch one row per "
+    "distinct (doc, bigram) and hot bigrams join a unique count row — no "
+    "expansion.  Per-bigram logs are 6dp-rounded into DECIMAL(18,6) before "
+    "summing, making the sum exact and order-independent (the repo's standard "
+    "treatment for order-dependent double reductions).",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.struct(F.get("words", i).alias("w1"), F.get("words", i + 1).alias("w2")),
+    )
+    big = (
+        docs.filter(F.size("words") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.sum("k").cast("long").alias("c1"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "k",
+            F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6)
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(
+            (F.sum(F.col("k") * F.col("logp")).cast("double") / F.sum("k")), 6
+        )
+        .cast("double")
+        .alias("avg_logprob"),
+    )

@@ -90,6 +90,7 @@ EVENT_QUERIES = [
     "w6_retention_cohorts",
     "w7_funnel",
     "w8_funnel_windowed",
+    "w9_scd2_intervals",
     "f8_weighted_classify",
 ]
 
@@ -164,3 +165,24 @@ def test_edge_funnel_deadline_boundary(spark, edge_dir):
     assert w8.n_viewed == w7.n_viewed
     assert w8.n_clicked_within_window == w7.n_clicked_after_view
     assert w8.n_purchased_within_window == w7.n_purchased_after_click - 1
+
+
+def test_edge_scd2_current_slice_equals_snapshot(spark, edge_dir):
+    """w9's is_current=1 slice must be exactly u3's last-event-wins
+    snapshot (same (epoch_ms, event_id) tie rule), and intervals must
+    chain gaplessly per user: each valid_to equals the next valid_from."""
+    qs = entrymod.queries()
+    scd2 = qs["w9_scd2_intervals"](spark, edge_dir).collect()
+    snap = {
+        (r.user_id, r.last_event_id) for r in qs["u3_snapshot_last_event_wins"](spark, edge_dir).collect()
+    }
+    current = {(r.user_id, r.event_id) for r in scd2 if r.is_current == 1}
+    assert current == snap
+    by_user = {}
+    for r in scd2:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.valid_from_ms, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_ms == b.valid_from_ms
+        assert rows[-1].valid_to_ms is None

@@ -64,3 +64,28 @@ def test_cms_overestimates_and_finds_heavy_hitters(spark, duck):
         u for u, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     ]
     assert set(top5_exact) <= set(est)
+
+
+def test_bloom_no_false_negatives(spark, duck):
+    """Every order whose customer is truly in the build set MUST pass
+    the Bloom pre-filter (no false negatives, by construction), and the
+    false-positive rate over probed customers stays under 5%."""
+    from banking_streamprocessing_demos_spark.operators.sketches import (
+        BLOOM_ACCTBAL,
+        sketch_bloom_prefilter,
+    )
+
+    out = sketch_bloom_prefilter(spark, SF_SMALL).collect()
+    passed_orders = {r.o_orderkey for r in out}
+    true_orders = {
+        k
+        for (k,) in duck.sql(
+            f"""SELECT o_orderkey FROM orders
+                SEMI JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL}) b
+                ON o_custkey = c_custkey"""
+        ).fetchall()
+    }
+    assert true_orders <= passed_orders
+    n_probe = duck.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    fp_cust = {r.o_custkey for r in out if r.is_member == 0}
+    assert len(fp_cust) / n_probe < 0.05, (len(fp_cust), n_probe)

@@ -91,3 +91,18 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
     assert sorted(sdf.columns) == sorted(ocols), f"{name}: column names differ"
     assert len(srows) == len(orows), f"{name}: row counts differ"
     assert _normalize(srows, sdf.columns) == _normalize(orows, ocols), f"{name}: values"
+
+
+def test_bigram_lm_score_bounds(spark):
+    """avg log P(w2|w1) is always <= 0 (probabilities never exceed 1),
+    exactly 0 only when every bigram deterministically follows its left
+    word; n_bigrams must equal word_count - 1 per doc."""
+    from banking_streamprocessing_demos_spark.operators.text import text_bigram_lm_score, text_stats
+    from tests.conftest import SF_SMALL
+
+    scores = {r.doc_id: r for r in text_bigram_lm_score(spark, SF_SMALL).collect()}
+    words = {r.doc_id: r.word_count for r in text_stats(spark, SF_SMALL).collect()}
+    assert scores
+    for doc_id, r in scores.items():
+        assert r.avg_logprob <= 0.0, (doc_id, r.avg_logprob)
+        assert r.n_bigrams == words[doc_id] - 1, (doc_id, r.n_bigrams, words[doc_id])
