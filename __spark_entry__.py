@@ -139,6 +139,8 @@ _DRIVER_PRIORITY = [
     "sketch_bloom_prefilter",
     "w9_scd2_intervals",
     "text_bigram_lm_score",
+    "pipe_quality_prune",
+    "pipe_shard_assign",
 ]
 
 

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from . import Registry
+from .sketches import _hex8_sql
+from .text import BIGRAM_LM_SQL
 
 REG = Registry()
 
@@ -185,4 +187,94 @@ def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("replica").cast("string"),
             )
         ).alias("sample_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality pruning: keep the top fraction of each domain by LM score
+# ---------------------------------------------------------------------------
+PRUNE_KEEP_FRAC = 0.8  # keep top 80% per domain
+
+
+@REG.add(
+    "pipe_quality_prune",
+    f"""
+    WITH lm AS ({BIGRAM_LM_SQL}),
+    scored AS (
+        SELECT d.doc_id, d.lang, lm.avg_logprob,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                                  ORDER BY lm.avg_logprob DESC, d.doc_id) AS rank_in_domain,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n_domain
+        FROM documents d JOIN lm USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob, rank_in_domain
+    FROM scored
+    WHERE rank_in_domain <= CAST(ceil({PRUNE_KEEP_FRAC} * n_domain) AS BIGINT)
+    """,
+    doc=f"Perplexity-style quality pruning (CCNet/FineWeb recipe): rank each "
+    f"domain's documents by the corpus-bigram LM score and keep the top "
+    f"{PRUNE_KEEP_FRAC:.0%} (doc_id tiebreak — fully deterministic).  The rank "
+    "window partitions by domain, so pruning parallelizes across domains; at "
+    "skewed domain sizes the per-domain threshold would be computed from an "
+    "approx-quantile pre-pass instead of a full sort (documented trade-off; "
+    "the windowed form is the exact-oracle-checkable variant).",
+)
+def pipe_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import text_bigram_lm_score
+
+    lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    wc = Window.partitionBy("lang")
+    scored = (
+        docs.join(lm, "doc_id")
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .withColumn("n_domain", F.count("*").over(wc))
+    )
+    return scored.filter(
+        F.col("rank_in_domain") <= F.ceil(PRUNE_KEEP_FRAC * F.col("n_domain")).cast("long")
+    ).select("doc_id", "lang", "avg_logprob", "rank_in_domain")
+
+
+# ---------------------------------------------------------------------------
+# shard assignment: deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+N_SHARDS = 64
+
+
+@REG.add(
+    "pipe_shard_assign",
+    f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5('shard-' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, hx,
+               {_hex8_sql('hx')} % {N_SHARDS} AS shard_id
+        FROM hashed
+    )
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY hx, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+    doc=f"Training-shard assignment ({N_SHARDS} shards): every document lands in "
+    "md5-derived shard with a deterministic position given by the hash order — "
+    "a reproducible GLOBAL shuffle of the corpus (the write-out step before "
+    "pretraining) without any global sort: the only window partitions by "
+    "shard_id, so shards order independently in parallel.  Shard count is a "
+    "constant here; at 100 TB you raise it so each shard's sort fits an "
+    "executor (the pattern recurses like pack_sequences if not).",
+)
+def pipe_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hx = F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string")))
+    keyed = docs.withColumn("hx", hx).withColumn(
+        "shard_id", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long") % N_SHARDS
+    )
+    w = Window.partitionBy("shard_id").orderBy("hx", "doc_id")
+    return keyed.select(
+        "doc_id", "shard_id", F.row_number().over(w).cast("long").alias("pos_in_shard")
     )

@@ -433,9 +433,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add(
-    "text_bigram_lm_score",
-    """
+# shared with pipe_quality_prune's oracle (packing.py), which percentile-
+# prunes on this exact score
+BIGRAM_LM_SQL = """
     WITH big AS (
         SELECT doc_id, words[i] AS w1, words[i+1] AS w2, COUNT(*) AS k
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -453,7 +453,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(k) AS BIGINT) AS n_bigrams,
            CAST(ROUND(CAST(SUM(k * logp) AS DOUBLE) / SUM(k), 6) AS DOUBLE) AS avg_logprob
     FROM scored GROUP BY doc_id
-    """,
+"""
+
+
+@REG.add(
+    "text_bigram_lm_score",
+    BIGRAM_LM_SQL,
     doc="Corpus-bigram LM quality score (the CCNet-style perplexity-proxy "
     "filter): every document scored by the average log P(w2|w1) of its bigrams "
     "under the corpus's own bigram model.  Per-doc bigram multiplicities are "

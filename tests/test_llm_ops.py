@@ -237,3 +237,50 @@ def test_domain_mix_replica_ratios(spark):
             assert got == int(wgt) * n, (lang, got, n)
         else:
             assert int(wgt) * n <= got <= (int(wgt) + 1) * n, (lang, got, n)
+
+
+def test_quality_prune_keeps_top_fraction(spark):
+    """Per domain: exactly ceil(0.8*n) docs survive, and no dropped doc
+    scores strictly better than a kept one."""
+    import math
+
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        PRUNE_KEEP_FRAC,
+        pipe_quality_prune,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import text_bigram_lm_score
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    kept = pipe_quality_prune(spark, SF_SMALL).collect()
+    lm = {r.doc_id: r.avg_logprob for r in text_bigram_lm_score(spark, SF_SMALL).collect()}
+    langs = {
+        r.doc_id: r.lang for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    }
+    scored_per_lang = {}
+    for doc_id, score in lm.items():
+        scored_per_lang.setdefault(langs[doc_id], []).append((doc_id, score))
+    kept_per_lang = {}
+    for r in kept:
+        kept_per_lang.setdefault(r.lang, set()).add(r.doc_id)
+    for lang, docs in scored_per_lang.items():
+        expected_n = math.ceil(PRUNE_KEEP_FRAC * len(docs))
+        kept_ids = kept_per_lang.get(lang, set())
+        assert len(kept_ids) == expected_n, (lang, len(kept_ids), expected_n)
+        worst_kept = min(s for d, s in docs if d in kept_ids)
+        best_dropped = max((s for d, s in docs if d not in kept_ids), default=float("-inf"))
+        assert best_dropped <= worst_kept, (lang, best_dropped, worst_kept)
+
+
+def test_shard_assign_dense_and_complete(spark):
+    """Every document lands in exactly one shard; positions are dense
+    1..n per shard; no shard grabs more than 4x its fair share."""
+    from banking_streamprocessing_demos_spark.operators.packing import N_SHARDS, pipe_shard_assign
+
+    rows = pipe_shard_assign(spark, SF_SMALL).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    assert max(len(v) for v in by_shard.values()) <= 4 * max(1, len(rows) // N_SHARDS)
