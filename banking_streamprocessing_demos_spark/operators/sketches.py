@@ -100,6 +100,15 @@ _HLL_EST_SQL = f"""
 """
 
 
+def hll_estimate(n_filled, sum_inv) -> F.Column:
+    """HLL estimate (bias-corrected raw + small-range linear counting)
+    from the per-group register fold — 6dp-rounded double."""
+    raw_e = F.lit(HLL_ALPHA_M2) / (sum_inv + (HLL_M - n_filled))
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / (HLL_M - n_filled))
+    est = F.when((raw_e <= HLL_LINEAR_THRESHOLD) & (n_filled < HLL_M), linear).otherwise(raw_e)
+    return F.round(est, 6).cast("double")
+
+
 @REG.add(
     "sketch_hll_distinct",
     f"""
@@ -146,15 +155,10 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_filled"),
         F.sum(F.expr(_POW2_NEG_CASE)).alias("sum_inv"),
     )
-    raw_e = F.lit(HLL_ALPHA_M2) / (F.col("sum_inv") + (HLL_M - F.col("n_filled")))
-    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / (HLL_M - F.col("n_filled")))
-    est = F.when(
-        (raw_e <= HLL_LINEAR_THRESHOLD) & (F.col("n_filled") < HLL_M), linear
-    ).otherwise(raw_e)
     return agg.select(
         F.col("grp").alias("o_orderpriority"),
         F.col("n_filled").cast("long").alias("n_filled"),
-        F.round(est, 6).cast("double").alias("est_distinct"),
+        hll_estimate(F.col("n_filled"), F.col("sum_inv")).alias("est_distinct"),
     )
 
 

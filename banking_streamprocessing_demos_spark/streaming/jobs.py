@@ -210,3 +210,50 @@ def streaming_doc_dedup(docs: DataFrame, delay: str = "10 minutes") -> DataFrame
     return (
         hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+def streaming_hll_distinct(
+    events: DataFrame,
+    key: str = "phone_number",
+    window: str = "1 minute",
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Windowed distinct-key estimation on an unbounded stream via the
+    deterministic HyperLogLog from ``operators/sketches.py`` — the
+    sketch's native habitat: per-window state is 512 registers no
+    matter how many keys arrive, where a windowed count_distinct would
+    hold every key in state.  Uses Spark's chained-stateful-aggregation
+    support (register max per (window, bucket), then the per-window
+    harmonic fold re-windowed on the window column).  On a batch frame
+    the identical pipeline degrades to two groupBys, so batch == stream
+    is testable (tests/test_streaming_jobs.py)."""
+    from ..operators.sketches import (
+        _POW2_NEG_CASE,
+        _RANK_CASE,
+        HLL_REM_MOD,
+        hll_estimate,
+    )
+
+    with_time = with_event_time(events, delay)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll-"), F.col(key).cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    mapped = (
+        with_time.withColumn("h", h)
+        .withColumn("bucket", F.expr(f"h div {HLL_REM_MOD}"))
+        .withColumn("w", F.col("h") % HLL_REM_MOD)
+        .withColumn("rank", F.expr(_RANK_CASE))
+    )
+    regs = mapped.groupBy(F.window("event_time", window), "bucket").agg(
+        F.max("rank").alias("mr")
+    )
+    rewindow = F.window(F.col("window"), window) if regs.isStreaming else F.col("window")
+    agg = regs.groupBy(rewindow.alias("window")).agg(
+        F.count("*").alias("n_filled"),
+        F.sum(F.expr(_POW2_NEG_CASE)).alias("sum_inv"),
+    )
+    return agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        hll_estimate(F.col("n_filled"), F.col("sum_inv")).alias("est_distinct"),
+    )

@@ -225,3 +225,43 @@ def test_streaming_doc_dedup_batch_equals_stream(spark, tmp_path):
     run_to_memory(streaming_doc_dedup(stream), "doc_dedup_out")
     kept_stream = {r.doc_id for r in spark.table("doc_dedup_out").collect()}
     assert kept_stream == kept_batch
+
+
+def test_streaming_hll_batch_equals_stream(spark, tmp_path):
+    """Windowed HLL: the chained stateful aggregation (register max per
+    (window, bucket) -> per-window fold) must emit the identical
+    estimates batch or stream, and every closed-window estimate must be
+    within the m=512 error bound of the exact windowed distinct."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_hll_distinct
+
+    events = generate_events(spark, CFG)
+    events.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    batch = {r.window_start_ms: r for r in streaming_hll_distinct(events).collect()}
+    stream = read_event_stream_from_files(spark, str(tmp_path / "ev"))
+    run_to_memory(streaming_hll_distinct(stream), "hll_out")
+    streamed = {r.window_start_ms: r for r in spark.table("hll_out").collect()}
+
+    max_ms = events.agg(F.max("timestamp")).first()[0]
+    closed = max_ms - 30_000
+    batch_closed = {
+        k: (v.n_filled, v.est_distinct)
+        for k, v in batch.items()
+        if k + 60_000 <= closed
+    }
+    assert batch_closed, "fixture must close at least one window"
+    assert batch_closed == {
+        k: (v.n_filled, v.est_distinct) for k, v in streamed.items() if k in batch_closed
+    }
+    assert set(batch_closed) <= set(streamed)
+
+    exact = {
+        r.ws: r.n
+        for r in events.withColumn("event_time", F.timestamp_millis("timestamp"))
+        .groupBy(F.window("event_time", "1 minute").alias("window"))
+        .agg(F.count_distinct("phone_number").alias("n"))
+        .select(F.unix_millis("window.start").alias("ws"), "n")
+        .collect()
+    }
+    for ws, (_, est) in batch_closed.items():
+        assert abs(est - exact[ws]) / exact[ws] < 0.14, (ws, est, exact[ws])
