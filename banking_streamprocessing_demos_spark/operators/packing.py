@@ -6,16 +6,17 @@ range of training sequences it lands in.
 
 Scale stance: the naive formulation is a running sum over a GLOBAL
 total order — a single-partition window that serializes the corpus
-through one task.  Implemented instead as the textbook two-level
-distributed prefix sum, entirely in declarative DataFrame ops:
+through one task.  Implemented instead as a RECURSIVE distributed
+prefix sum (``exclusive_prefix_sum``), entirely declarative:
 
-1. bucket docs by ``doc_id // BUCKET`` and aggregate per-bucket token
-   totals (one map-side-combined shuffle, fully parallel);
-2. exclusive-prefix the bucket totals with a window over the SMALL
-   bucket table (N/BUCKET rows — the recursion base; ~2.4M rows even
-   at 10^10 documents, and the pattern recurses if that ever grows);
+1. bucket rows by ``id // BUCKET`` and aggregate per-bucket totals
+   (one map-side-combined shuffle, fully parallel);
+2. exclusive-prefix the bucket totals by RECURSING on the bucket
+   table — with the default 3 levels the recursion base (the only
+   non-partitioned window) sees N/BUCKET^2 rows: ~6k rows at 10^11
+   documents, never the corpus;
 3. within-bucket exclusive prefix (window partitioned by bucket, fully
-   parallel) + join the bucket offsets back (tiny side, AQE broadcasts).
+   parallel) + join the bucket offsets back (tiny side, broadcast).
 
 Offsets are pure integer arithmetic — deterministic under any
 partitioning, no sampled range boundaries, no partition-id coupling.
@@ -34,7 +35,53 @@ from .text import BIGRAM_LM_SQL
 REG = Registry()
 
 SEQ_LEN = 2048  # tokens per packed training sequence
-BUCKET = 4096  # docs per prefix-sum bucket (level-1 fan-in)
+BUCKET = 4096  # docs per prefix-sum bucket (fan-in per recursion level)
+PREFIX_LEVELS = 3  # doc -> bucket -> super-bucket; base table = N/BUCKET^2 rows
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    out_col: str,
+    fanin: int = BUCKET,
+    levels: int = PREFIX_LEVELS,
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` in ``id_col`` order,
+    as a ``levels``-deep recursive bucket decomposition:
+
+    - base (levels == 1): one global window over the input — only ever
+      reached on a table already reduced to N/fanin^(levels-1) rows;
+    - recurse: per-bucket totals (map-side-combined groupBy), exclusive
+      prefix of the bucket totals at levels-1, a PARTITIONED within-bucket
+      window, and a broadcast join of the bucket base offsets.
+
+    With the defaults (fanin 4096, 3 levels) the single-partition window
+    sees N/16.8M rows — ~6k rows at 10^11 documents — so there is no
+    unbounded single-task stage at any realistic corpus size; pass a
+    higher ``levels`` to recurse further.  Offsets are exact integer
+    arithmetic, deterministic under any partitioning."""
+    if levels <= 1:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(out_col, F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+
+    # level-scoped names so the recursion (whose id_col IS a bucket col)
+    # never collides with this level's columns
+    b, btot, boff = f"__b{levels}", f"__btot{levels}", f"__boff{levels}"
+    bucketed = df.withColumn(b, F.expr(f"{id_col} div {fanin}"))
+    totals = bucketed.groupBy(b).agg(F.sum(val_col).alias(btot))
+    offsets = exclusive_prefix_sum(totals, b, btot, boff, fanin, levels - 1)
+    wd = (
+        Window.partitionBy(b)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(val_col).over(wd), F.lit(0))
+    return (
+        bucketed.join(F.broadcast(offsets.select(b, boff)), b)
+        .withColumn(out_col, F.col(boff) + within)
+        .drop(b, boff)
+    )
 
 
 @REG.add(
@@ -68,27 +115,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", (spaces + 1).cast("long").alias("n_tokens")
     )
-    d = docs.withColumn("bucket", F.expr(f"doc_id div {BUCKET}"))
-
-    # level 1: per-bucket totals — map-side-combined groupBy, parallel
-    bucket_tot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    # level 2: exclusive prefix over the SMALL bucket table; the global
-    # window is the recursion base (N/BUCKET rows), never the corpus
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bucket_off = bucket_tot.select(
-        "bucket", F.coalesce(F.sum("btot").over(wb), F.lit(0)).alias("boff")
+    # three-level recursive prefix sum: the only non-partitioned window
+    # runs over the N/BUCKET^2-row super-bucket table (plan-asserted in
+    # tests/test_plans.py) — no unbounded single-task stage at any size
+    out = exclusive_prefix_sum(docs, "doc_id", "n_tokens", "start_offset").select(
+        "doc_id", "n_tokens", "start_offset"
     )
-    # level 3: within-bucket exclusive prefix — partitioned by bucket,
-    # parallel; join back the per-bucket base offsets (tiny, broadcast)
-    wd = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = (F.col("boff") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0))).alias(
-        "start_offset"
-    )
-    out = d.join(F.broadcast(bucket_off), "bucket").select("doc_id", "n_tokens", start)
     last = F.col("start_offset") + F.col("n_tokens") - 1
     start_seq = F.expr(f"start_offset div {SEQ_LEN}")
     end_seq = (last - last % SEQ_LEN) / SEQ_LEN  # div via exact integer arithmetic

@@ -38,12 +38,21 @@ Transport = Callable[[str, str, dict[str, str], bytes | None], tuple[int, bytes]
 
 
 def urllib_transport(method: str, url: str, headers: dict[str, str], body: bytes | None):
-    """Default transport over stdlib urllib (no extra dependencies)."""
+    """Default transport over stdlib urllib (no extra dependencies).
+
+    4xx/5xx responses are returned as (status, body) rather than raised,
+    so ``_call`` applies its uniform SchemaRegistryError handling for
+    every transport, not only injected test stubs (urlopen raises
+    HTTPError on non-2xx by default)."""
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(url, data=body, headers=headers, method=method)
-    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310 (url from config)
-        return resp.status, resp.read()
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310 (url from config)
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # non-2xx status, NOT a transport failure
+        return e.code, e.read()
 
 
 class SchemaRegistryError(RuntimeError):

@@ -195,10 +195,14 @@ def streaming_doc_dedup(docs: DataFrame, delay: str = "10 minutes") -> DataFrame
     (doc_id, text, ingest_ts).  State = one md5 key per distinct
     document seen within the watermark horizon, evicted as the watermark
     passes — bounded regardless of stream length, which is the property
-    a global dropDuplicates cannot give an unbounded corpus ingest.  On
-    a batch frame the same call degrades to the deterministic
-    first-by-(ingest_ts, doc_id) winner per hash, so batch == stream is
-    testable (tests/test_streaming_jobs.py)."""
+    a global dropDuplicates cannot give an unbounded corpus ingest.
+
+    Which duplicate WINS differs by mode: streaming keeps the first by
+    ARRIVAL order (dropDuplicatesWithinWatermark semantics), batch keeps
+    the first by (ingest_ts, doc_id).  The batch == stream equivalence
+    test (tests/test_streaming_jobs.py) therefore replays the corpus in
+    (ingest_ts, doc_id) order; on a shuffled replay the surviving doc_id
+    per hash is arrival-dependent (the SET of surviving hashes is not)."""
     hashed = docs.withColumn("content_hash", F.md5("text"))
     if hashed.isStreaming:
         return hashed.withWatermark("ingest_ts", delay).dropDuplicatesWithinWatermark(

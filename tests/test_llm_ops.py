@@ -211,6 +211,35 @@ def test_substring_spans_merge_semantics(spark, tmp_path):
     assert out[6] == (1, 8)
 
 
+def test_exclusive_prefix_sum_recursion_exact(spark):
+    """The recursive distributed prefix sum must equal the naive global
+    window at every depth — exercised with a tiny fanin (4) so three
+    levels genuinely recurse on this corpus, plus a depth where the
+    recursion bottoms out early (levels > log_fanin(N))."""
+    from banking_streamprocessing_demos_spark.operators.packing import exclusive_prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(0, 333, 3)]  # gappy ids
+    df = spark.createDataFrame(rows, "id long, v long")
+    naive = {
+        r.id: r.off
+        for r in exclusive_prefix_sum(df, "id", "v", "off", levels=1).collect()
+    }
+    expected = {}
+    acc = 0
+    for i, v in rows:
+        expected[i] = acc
+        acc += v
+    assert naive == expected
+    for levels in (2, 3, 6):
+        got = {
+            r.id: r.off
+            for r in exclusive_prefix_sum(
+                df, "id", "v", "off", fanin=4, levels=levels
+            ).collect()
+        }
+        assert got == expected, levels
+
+
 def test_domain_mix_replica_ratios(spark):
     """Integer-weight domains replicate EXACTLY weight x docs; fractional
     domains land between floor and ceil of the weight."""

@@ -113,6 +113,28 @@ def test_latest_version_and_errors(client):
     assert ei.value.status == 404
 
 
+def test_urllib_transport_returns_http_errors_as_status():
+    """4xx/5xx must come back as (status, body) — not raise — so _call's
+    SchemaRegistryError path applies to the DEFAULT transport, not only
+    injected stubs (urlopen raises HTTPError on non-2xx)."""
+    import io
+    import urllib.error
+    import urllib.request
+    from unittest import mock
+
+    from banking_streamprocessing_demos_spark.sources.schema_registry import (
+        urllib_transport,
+    )
+
+    err = urllib.error.HTTPError(
+        "http://sr.local/x", 409, "Conflict", hdrs=None, fp=io.BytesIO(b'{"error_code":409}')
+    )
+    with mock.patch.object(urllib.request, "urlopen", side_effect=err):
+        status, body = urllib_transport("GET", "http://sr.local/x", {}, None)
+    assert status == 409
+    assert body == b'{"error_code":409}'
+
+
 def test_topic_name_strategy():
     assert subject_names("message_status") == (
         "message_status-key",
