@@ -38,17 +38,83 @@ _REGISTRIES = [
 ]
 
 # The round driver checks the FIRST 50 queries() entries in insertion
-# order (round 1: exactly the relational+message registries landed rows;
-# the 19 LLM-pipeline queries got zero driver verification).  This
-# priority list packs every distinct capability into the checked window:
-# 25 core SURVEY-§2 relational ops, the fixed w4 sessionization, all 19
-# dedup/similarity/text/multimodal queries, and the 5 message-domain
-# queries that are the sole driver evidence for their §2 IDs
-# (ST1/ST5, S5/F4, D2/U3/U5, A5/SMP2/ST7, F9).  Everything after slot 50
-# is an extension whose capability is either already green in round 1's
-# CORRECTNESS_r01.json or covered by pytest differential gates.
-_DRIVER_PRIORITY = [
-    # -- core §2 relational (25)
+# order.  Round-3 rotation (per round-2 VERDICT "Next round #1"): the
+# 36 queries that had zero driver evidence after two rounds (they sat
+# in the tail behind the static round-2 priority list) are promoted to
+# slots 1-36; new round-3 operators follow; the remaining slots are
+# refreshed flagships (the highest-value twice-green queries, one per
+# §2 capability family).  Demoted queries stay registered and are still
+# hash-verified every round by tools/check_correctness.py — the
+# committed CORRECTNESS_FULL_r{N}.json artifact records the full
+# registry, not just the driver's 50-row window.
+_PROMOTED_NEVER_CHECKED = [
+    # joins / aggs / windows (rounds-1-2 extensions, never driver-run)
+    "j6_asof_join",
+    "j7_range_join",
+    "j8_salted_skew_join",
+    "a7_pricing_summary",
+    "a8_rollup_counts",
+    "a9_distinct_aggs",
+    "a10_pivot_counts",
+    "a11_grouping_sets",
+    "w1_hourly_event_counts",
+    "w2_latency_quantiles",
+    "w3_event_gaps",
+    "w5_session_window",
+    "w6_retention_cohorts",
+    "w7_funnel",
+    "w8_funnel_windowed",
+    "w9_scd2_intervals",
+    "s8_set_operations",
+    "smp3_stratified_split",
+    # message-domain / streaming analytics
+    "gen_alert_rates_by_carrier",
+    "gen_timeout_alerts",
+    "gen_carrier_active_counts",
+    "gen_status_histogram",
+    "st1_join_variant",
+    # round-2 LLM-pipeline extensions
+    "pack_sequences",
+    "contamination_check",
+    "text_repetition",
+    "dedup_semantic_clusters",
+    "text_pii_scrub",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_prefilter",
+    "dedup_substring_spans",
+    "pipe_domain_mix",
+    "text_bigram_lm_score",
+    "pipe_quality_prune",
+    "pipe_shard_assign",
+]
+
+# New this round — zero prior driver evidence by construction.
+_ROUND3_NEW = []
+
+# Twice-green flagships refreshed in any window slots left over (one
+# per capability family: stateful detector, interval join, star agg,
+# LSH dedup, tf-idf, ANN, packing pipeline, generator snapshot, ...).
+_FLAGSHIP_REFRESH = [
+    "st1_streaming_detector",
+    "j5_timeout_pairing",
+    "a3_join_agg_revenue",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "text_tfidf_topk",
+    "sim_ann_ivf",
+    "w4_sessionization",
+    "gen_messages_snapshot",
+    "pipe_curation",
+    "mm_feature_extract",
+    "f_expressions",
+    "u3_snapshot_last_event_wins",
+    "smp1_deterministic_sample",
+]
+
+# Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
+# plus everything else twice-proven.  Still verified locally per round.
+_DEMOTED_TAIL = [
     "p1_projection_sort_limit",
     "p2_filter_inequality",
     "p3_filter_eq_single_col",
@@ -61,87 +127,35 @@ _DRIVER_PRIORITY = [
     "j2_scalar_correlated_subquery",
     "j3_anti_join",
     "j4_semi_join",
-    "j5_timeout_pairing",
     "a1_count_global",
     "a2_groupby_count",
-    "a3_join_agg_revenue",
     "a4_group_stats",
     "a6_running_counters",
     "srt1_topn_by_time",
-    "smp1_deterministic_sample",
     "u1_insert_or_ignore",
-    "u3_snapshot_last_event_wins",
     "u4_heartbeat_rollup",
-    "f_expressions",
     "f8_weighted_classify",
-    # -- round-1's only red row, fixed this round (1)
-    "w4_sessionization",
-    # -- LLM-pipeline families (19)
-    "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
-    "sim_ann_ivf",
     "sim_ann_lsh",
     "emb_quantize_int8",
     "text_stats_quality",
     "text_langid",
     "text_token_counts",
     "text_fingerprint",
-    "text_tfidf_topk",
-    "pipe_curation",
     "mm_resize",
     "mm_frame_sample",
-    "mm_feature_extract",
-    # -- message domain: sole driver evidence for §2 IDs (5)
-    "st1_streaming_detector",
     "s5_console_dry_run",
-    "gen_messages_snapshot",
     "smp2_backpressure_topup",
     "gen_normal_delay_snapshot",
-    # ---- slot 51+ (driver-unchecked tail, local typed gate still runs all) ----
-    "gen_alert_rates_by_carrier",
-    "gen_timeout_alerts",
-    "gen_carrier_active_counts",
-    "st1_join_variant",
-    "gen_status_histogram",
-    "w1_hourly_event_counts",
-    "w5_session_window",
-    "j6_asof_join",
-    "j7_range_join",
-    "j8_salted_skew_join",
-    "a7_pricing_summary",
-    "w2_latency_quantiles",
-    "w3_event_gaps",
-    "a8_rollup_counts",
-    "a9_distinct_aggs",
-    "a10_pivot_counts",
-    "a11_grouping_sets",
-    "s8_set_operations",
-    "smp3_stratified_split",
-    # round-2 LLM-pipeline extensions (tail: locally hash-checked; the
-    # driver window stays reserved for sole-evidence queries)
-    "pack_sequences",
-    "contamination_check",
-    "text_repetition",
-    "dedup_semantic_clusters",
-    "text_pii_scrub",
-    "w6_retention_cohorts",
-    "w7_funnel",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "dedup_substring_spans",
-    "w8_funnel_windowed",
-    "pipe_domain_mix",
-    "sketch_bloom_prefilter",
-    "w9_scd2_intervals",
-    "text_bigram_lm_score",
-    "pipe_quality_prune",
-    "pipe_shard_assign",
 ]
+
+_DRIVER_PRIORITY = (
+    _PROMOTED_NEVER_CHECKED + _ROUND3_NEW + _FLAGSHIP_REFRESH + _DEMOTED_TAIL
+)
 
 
 def _all_queries():

@@ -36,13 +36,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
-        # natively; read nanos as long, then floor to microseconds.  All
-        # downstream time math uses ms epoch, so the ns→µs floor is
-        # loss-free for comparisons against the DuckDB oracle.
+        # events.ts encoding varies by testdata generation: TIMESTAMP(NANOS)
+        # (which Spark 4 rejects natively — read nanos as long, floor to
+        # microseconds) or plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ —
+        # cast to session-TZ TIMESTAMP; session TZ is pinned UTC, so the
+        # wall-clock is preserved and matches DuckDB's naive-as-UTC view).
+        # All downstream time math uses ms epoch either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type.startswith("timestamp_ntz"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
