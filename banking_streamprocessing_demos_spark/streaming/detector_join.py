@@ -31,13 +31,26 @@ bounded-state option).  With ordered per-key input (Kafka's per-key
 ordering guarantee) the two agree exactly — the condition the batch
 twin and tests replay.
 
-Observed emission caveat (Spark 4.1): unmatched (alert) rows flush on
-watermark advances driven by NEW DATA; a stream that simply stops
-leaves the tail buffered even through availableNow's no-data batch.
-In production the topic always carries heartbeats, so the watermark
-keeps moving; in replay tests a trailing watermark-pusher event serves
-the same role.  One more reason the stateful detector is primary — its
-timers fire in no-data batches.
+Outer-row flush semantics (Spark 4.1, pinned by
+tests/test_detector_join.py::test_outer_row_flush_semantics):
+
+- Matched (inner) rows emit in the micro-batch where the later side
+  arrives — no watermark involvement.
+- Unmatched (alert) rows emit when the GLOBAL watermark passes
+  ``first_sent + timeout``; the global watermark is the MINIMUM of the
+  two sides' event-time watermarks, so an idle `delivered` side pins
+  it and strands `sent`-side outer rows even while sent events keep
+  flowing.  This — not batch scheduling — is why a one-sided tail
+  appears "stuck".
+- availableNow's trailing no-data batch DOES advance the watermark
+  (computed from the last data batch) and DOES flush outer rows that
+  became eligible; what stays buffered forever on stream stop is only
+  the tail whose join window closes after the final global watermark.
+
+In production the topic carries heartbeats AND deliveries, so both
+sides' watermarks keep moving; in replay tests a trailing pusher event
+per side serves the same role.  The stateful detector remains primary —
+its timers need no second-side data to fire.
 """
 
 from __future__ import annotations
