@@ -268,22 +268,16 @@ def minhash_lsh_oracle(df_cap: int = SHINGLE_DF_CAP) -> str:
     """
 
 
-@REG.add(
-    "dedup_minhash_lsh",
-    minhash_lsh_oracle(),
-    doc=f"MinHash+LSH dedup ({MINHASH_K} hashes, {MINHASH_BANDS} bands x {MINHASH_ROWS}): "
-    "shingle → per-permutation min (lexicographic md5 order) → band buckets → "
-    "candidate pairs by (band,bucket) equi-join → exact-Jaccard verify over "
-    f"df-capped shingles (cap {SHINGLE_DF_CAP}). The scale path: collisions, "
-    "not all-pairs.",
-)
-def dedup_minhash(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    # signatures computed IN-ROW (a doc's minhashes depend only on its own
-    # shingles): one md5 per distinct shingle packed to a 32-bit int, then
-    # K affine permutations + array_min — no explode and no groupBy
-    # shuffle for the signature stage, unlike the K-independent-md5s
-    # formulation it replaces
+def minhash_bands(grams_df: DataFrame, *id_cols: str) -> DataFrame:
+    """In-row MinHash banding over a DataFrame carrying a ``grams`` array
+    column: one md5 per distinct shingle packed to a 32-bit int (staged
+    projection — hashed ONCE, not once per permutation), K affine
+    permutations + array_min per signature slot, rows concatenated per
+    band and re-hashed to the bucket key, then a single explode.  Shared
+    by the batch LSH op below and the streaming ingest dedup
+    (streaming/jobs.py:streaming_minhash_dedup) so the two can never
+    drift: a (band, bucket) collision means the same thing in both.
+    Returns (*id_cols, band, bucket) — MINHASH_BANDS rows per input row."""
     shingle_hash32 = F.transform(
         F.col("grams"),
         lambda s: F.conv(F.substring(F.md5(F.concat(F.lit("mh-"), s)), 1, 8), 16, 10).cast(
@@ -299,16 +293,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
             )
         ).alias(f"h{i}")
 
-    sigs = (
-        _gram_docs(spark, sf_dir)
-        .select("doc_id", shingle_hash32.alias("vs"))
-        .select("doc_id", *[sig(i) for i in range(MINHASH_K)])
+    sigs = grams_df.select(*id_cols, shingle_hash32.alias("vs")).select(
+        *id_cols, *[sig(i) for i in range(MINHASH_K)]
     )
-    # bands via a single explode (NOT a 4-way union, which would recompute
-    # the shingle→signature pipeline once per band); the per-doc band
-    # table is tiny (MINHASH_BANDS rows/doc) → cache it so the self-join
-    # below reads it once.  At cluster scale this materialization is the
-    # standard "write signatures once" step of LSH pipelines.
     band_structs = F.array(
         *[
             F.struct(
@@ -322,11 +309,30 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
             for b in range(MINHASH_BANDS)
         ]
     )
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .cache()
+    return sigs.select(*id_cols, F.explode(band_structs).alias("bb")).select(
+        *id_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+@REG.add(
+    "dedup_minhash_lsh",
+    minhash_lsh_oracle(),
+    doc=f"MinHash+LSH dedup ({MINHASH_K} hashes, {MINHASH_BANDS} bands x {MINHASH_ROWS}): "
+    "shingle → per-permutation min (lexicographic md5 order) → band buckets → "
+    "candidate pairs by (band,bucket) equi-join → exact-Jaccard verify over "
+    f"df-capped shingles (cap {SHINGLE_DF_CAP}). The scale path: collisions, "
+    "not all-pairs.",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    # signatures computed IN-ROW (a doc's minhashes depend only on its own
+    # shingles), bands via a single explode (NOT a 4-way union, which
+    # would recompute the shingle→signature pipeline once per band) — see
+    # minhash_bands.  The per-doc band table is tiny (MINHASH_BANDS
+    # rows/doc) → cache it so the self-join below reads it once.  At
+    # cluster scale this materialization is the standard "write
+    # signatures once" step of LSH pipelines.
+    bands = minhash_bands(_gram_docs(spark, sf_dir), "doc_id").cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (

@@ -261,3 +261,84 @@ def streaming_hll_distinct(
         F.col("n_filled").cast("long").alias("n_filled"),
         hll_estimate(F.col("n_filled"), F.col("sum_inv")).alias("est_distinct"),
     )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    window: str = "1 minute",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming NEAR-duplicate document dedup — MinHash-LSH at ingest
+    time, the streaming twin of the batch ``dedup_minhash_lsh``
+    candidate stage.  Input schema: (doc_id, text, ingest_ts).
+
+    Plan: per-doc in-row MinHash banding (identical expressions to the
+    batch op via ``operators.dedup.minhash_bands`` — same shingles, same
+    permutation constants, same bucket md5) → explode to MINHASH_BANDS
+    (band, bucket) rows/doc → ``dropDuplicatesWithinWatermark`` on
+    (band, bucket): the state store holds each bucket key seen inside
+    the watermark horizon, so a surviving row means "this doc arrived
+    first for this bucket".  A doc is emitted as KEPT iff it owns ALL
+    its bands (owned_bands == MINHASH_BANDS); any band lost to an
+    earlier doc marks it a near-dup candidate and it is suppressed.
+
+    Bounded state by construction: MINHASH_BANDS keys/doc inside the
+    watermark horizon (evicted as the watermark passes) + one window
+    row per in-flight (window, doc) — never corpus-proportional
+    (tests/test_streaming_jobs.py asserts the plateau).
+
+    Semantics notes (mirrors streaming_doc_dedup's arrival-order
+    caveat): bucket ownership is first-ARRIVAL within the horizon; a
+    dropped doc's unclaimed buckets still enter state, so a later doc
+    colliding only with a dropped doc is also suppressed (same chaining
+    the batch twin reproduces with a global first-(ingest_ts, doc_id)
+    rank).  Within one micro-batch ownership ties are arrival-dependent;
+    the batch==stream equivalence holds when replay order matches
+    (ingest_ts, doc_id) order, per-doc per-batch.  Unlike the batch op
+    there is no exact-Jaccard verify stage — the earlier doc's text is
+    gone by design (only band hashes live in state), so this is the
+    high-recall candidate filter; run the batch verifier over the kept
+    corpus when exact Jaccard >= tau semantics are required.
+
+    Docs shorter than NGRAM_N words have no shingles, hence no bands:
+    they bypass the state store entirely and are NOT in the output —
+    callers pass them through as trivially kept.
+    """
+    from ..operators.dedup import MINHASH_BANDS, NGRAM_N, minhash_bands
+
+    grams_df = (
+        docs.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= NGRAM_N)
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - NGRAM_N),
+                    lambda i: F.concat_ws(
+                        " ", F.get("words", i), F.get("words", i + 1), F.get("words", i + 2)
+                    ),
+                )
+            ),
+        )
+    )
+    banded = minhash_bands(grams_df, "doc_id", "ingest_ts")
+    if docs.isStreaming:
+        owned = banded.withWatermark("ingest_ts", delay).dropDuplicatesWithinWatermark(
+            ["band", "bucket"]
+        )
+        counted = owned.groupBy(F.window("ingest_ts", window), "doc_id").agg(
+            F.count("*").alias("owned_bands")
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("ingest_ts", "doc_id")
+        owned = banded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        counted = owned.groupBy(F.window("ingest_ts", window), "doc_id").agg(
+            F.count("*").alias("owned_bands")
+        )
+    return counted.filter(F.col("owned_bands") == MINHASH_BANDS).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        F.col("owned_bands").cast("long").alias("owned_bands"),
+    )

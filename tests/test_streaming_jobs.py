@@ -5,6 +5,7 @@ from __future__ import annotations
 import tempfile
 import time
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from banking_streamprocessing_demos_spark.config import GeneratorConfig
@@ -265,3 +266,140 @@ def test_streaming_hll_batch_equals_stream(spark, tmp_path):
     }
     for ws, (_, est) in batch_closed.items():
         assert abs(est - exact[ws]) / exact[ws] < 0.14, (ws, est, exact[ws])
+
+
+def _minhash_corpus(spark):
+    """Planted near-dup corpus: 3 unique docs, an exact-dup pair, a
+    one-word-perturbed near-dup pair, all >= NGRAM_N words.  ingest
+    order == doc_id order (the equivalence precondition)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    pert = "the quick brown fox jumps over the lazy cat near the river bank today"
+    rows = [
+        (0, base, "2024-01-01 00:00:00"),
+        (1, "completely different words about spark structured streaming state stores", "2024-01-01 00:00:05"),
+        (2, base, "2024-01-01 00:00:10"),          # exact dup of 0
+        (3, pert, "2024-01-01 00:00:15"),          # near dup of 0 (1 word changed)
+        (4, "unrelated third document mentioning parquet files and watermarks only", "2024-01-01 00:00:20"),
+        (5, "a fifth singleton document with its own vocabulary entirely disjoint", "2024-01-01 00:00:25"),
+        # watermark closer: far-future unique doc so the first window's
+        # agg rows emit in append mode (its own window never closes)
+        (99, "late horizon closer document pushing the event time watermark forward", "2024-01-01 00:10:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts string"
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+
+
+def _replay_one_doc_per_batch(spark, docs_pdf, path):
+    """One parquet file per doc, mtimes ascending: replay order ==
+    (ingest_ts, doc_id) order, one micro-batch each — band-bucket
+    ownership ties can never break on intra-batch arrival order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("ingest_ts", pa.timestamp("us"))]
+    )
+    for i, row in enumerate(docs_pdf.sort_values(["ingest_ts", "doc_id"]).itertuples()):
+        fname = os.path.join(path, f"doc-{i:04d}.parquet")
+        pdf = pd.DataFrame(
+            [{"doc_id": row.doc_id, "text": row.text, "ingest_ts": row.ingest_ts}]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), fname)
+        os.utime(fname, (1_700_000_000 + i, 1_700_000_000 + i))
+    return spark.readStream.schema("doc_id long, text string, ingest_ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+
+
+def test_streaming_minhash_dedup_batch_equals_stream(spark, tmp_path):
+    """The streaming MinHash-LSH ingest dedup must keep exactly the
+    docs its batch twin keeps (replay in (ingest_ts, doc_id) order, one
+    doc per micro-batch), drop exact and planted near-dups, and keep
+    all unique docs."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_minhash_dedup
+
+    docs = _minhash_corpus(spark)
+    kept_batch = {r.doc_id for r in streaming_minhash_dedup(docs).collect()}
+    assert 0 in kept_batch and {1, 4, 5} <= kept_batch   # uniques kept
+    assert 2 not in kept_batch                            # exact dup dropped
+    assert 3 not in kept_batch                            # near dup dropped
+
+    stream = _replay_one_doc_per_batch(spark, docs.toPandas(), str(tmp_path / "mh"))
+    run_to_memory(streaming_minhash_dedup(stream), "mh_dedup_out")
+    kept_stream = {r.doc_id for r in spark.table("mh_dedup_out").collect()}
+    # doc 99's own window never closes (nothing later advances the
+    # watermark past it) -- compare the closed first window only
+    assert kept_stream == kept_batch - {99}
+
+
+def test_streaming_minhash_dedup_vs_batch_lsh(spark, tmp_path):
+    """Equivalence vs the batch dedup_minhash_lsh operator on the same
+    corpus: every VERIFIED near-dup pair's later member must be
+    suppressed by the ingest-time dedup (the streaming op is the
+    candidate filter — strictly higher recall than the verified set)."""
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_minhash
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_minhash_dedup
+
+    docs = _minhash_corpus(spark)
+    sf_dir = str(tmp_path / "corpus")
+    (
+        docs.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("test").alias("source"),
+            F.length("text").alias("n_chars"),
+        ).write.parquet(sf_dir + "/documents.parquet")
+    )
+    pairs = dedup_minhash(spark, sf_dir).collect()
+    assert pairs, "planted corpus must produce at least one verified pair"
+    kept = {r.doc_id for r in streaming_minhash_dedup(docs).collect()}
+    for p in pairs:
+        later = max(p.doc_a, p.doc_b)   # ingest order == doc_id order
+        assert later not in kept, f"verified near-dup {later} not suppressed at ingest"
+
+
+def test_streaming_minhash_dedup_bounded_state(spark, tmp_path):
+    """State must plateau at the watermark horizon, not grow with the
+    stream: 24 unique docs spaced 1 min apart under a 2 min delay keep
+    only ~horizon docs' band keys + open windows in state."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_minhash_dedup
+
+    rows = [
+        (
+            i,
+            " ".join(f"w{i}x{j} tok{i} filler{j}" for j in range(6)),
+            pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+        )
+        for i in range(24)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ingest_ts"])
+    stream = _replay_one_doc_per_batch(spark, pdf, str(tmp_path / "mhstate"))
+    out = streaming_minhash_dedup(stream, window="1 minute", delay="2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_state_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    peaks = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    total_bands = 24 * 4
+    assert peaks, "expected state operator metrics"
+    # horizon holds ~3 docs of band keys + open windows; far below the
+    # corpus-proportional total
+    assert max(peaks) < total_bands / 2, (max(peaks), total_bands)
+    kept = {r.doc_id for r in spark.table("mh_state_out").collect()}
+    # final watermark = minute 23 - 2 min delay = minute 21: windows for
+    # docs 21-23 never close; all unique docs whose window closed emitted
+    assert kept == set(range(21)), kept
