@@ -90,7 +90,13 @@ _PROMOTED_NEVER_CHECKED = [
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND3_NEW = []
+_ROUND3_NEW = [
+    "doc_chunk_overlap",
+    "dedup_exact_normalized",
+    "f12_json_props",
+    "w10_anomaly_zscore",
+    "sim_knn_graph",
+]
 
 # Twice-green flagships refreshed in any window slots left over (one
 # per capability family: stateful detector, interval join, star agg,
@@ -105,16 +111,16 @@ _FLAGSHIP_REFRESH = [
     "sim_ann_ivf",
     "w4_sessionization",
     "gen_messages_snapshot",
-    "pipe_curation",
-    "mm_feature_extract",
-    "f_expressions",
-    "u3_snapshot_last_event_wins",
-    "smp1_deterministic_sample",
 ]
 
 # Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
 # plus everything else twice-proven.  Still verified locally per round.
 _DEMOTED_TAIL = [
+    "pipe_curation",
+    "mm_feature_extract",
+    "f_expressions",
+    "u3_snapshot_last_event_wins",
+    "smp1_deterministic_sample",
     "p1_projection_sort_limit",
     "p2_filter_inequality",
     "p3_filter_eq_single_col",

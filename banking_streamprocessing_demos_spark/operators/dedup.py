@@ -854,3 +854,30 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dup_coverage"),
     )
+
+
+@REG.add(
+    "dedup_exact_normalized",
+    """
+    WITH n AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g')) AS norm_hash
+        FROM documents
+    )
+    SELECT norm_hash, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_docs
+    FROM n GROUP BY norm_hash
+    """,
+    doc="Exact dedup after canonical normalization (lowercase, trim, collapse "
+    "runs of spaces) — the C4-style normalize-then-hash pass that catches "
+    "case/whitespace-only near-copies exact hashing misses.  One groupBy on a "
+    "16-byte key with map-side combine (min/count): the same single-shuffle "
+    "budget as dedup_exact.",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ ]+", " ")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_docs"))
+    )

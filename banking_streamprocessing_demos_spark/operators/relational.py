@@ -1447,3 +1447,98 @@ def w9_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_ms"),
         nxt.isNull().cast("long").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F12: JSON property extraction (training pipelines carry JSON metadata
+# columns; the reference's only JSON is config-plane — SURVEY §2.8 note)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "f12_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(ROUND(CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+    doc="F12 (extension): JSON path extraction from the events.props metadata "
+    "column + grouped stats.  get_json_object stays in codegen (no Python); "
+    "k_avg derived from the exact integer sum so both engines divide identical "
+    "numerators (double-summation order never enters).",
+)
+def f12_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").alias("k_sum"),
+        F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("k_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10: rolling-window anomaly detection on daily event volumes
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "w10_anomaly_zscore",
+    """
+    WITH daily AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS day_bucket,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type, day_bucket
+    ),
+    stats AS (
+        SELECT event_type, day_bucket, cnt,
+               AVG(cnt) OVER w AS mu,
+               STDDEV_SAMP(cnt) OVER w AS sd
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_bucket
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_bucket, cnt,
+           CAST(ROUND((cnt - mu) / NULLIF(sd, 0), 6) AS DOUBLE) AS zscore,
+           COALESCE(ABS(ROUND((cnt - mu) / NULLIF(sd, 0), 6)) > 2.0, FALSE) AS is_anomaly
+    FROM stats
+    """,
+    doc="W10 (extension): trailing-7-day z-score anomaly flags on daily event "
+    "volumes — the monitoring query a pipeline runs over ingest rates.  One "
+    "keyed shuffle for the daily rollup (map-side combined), then a bounded "
+    "ROWS-frame window per event_type: frame state is 7 rows regardless of "
+    "history length, so the plan scales with days x types, not events.",
+)
+def w10_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", (epoch_ms(F.col("ts")) / 86_400_000).cast("long").alias("day_bucket"))
+        .groupBy("event_type", "day_bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_bucket")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.withColumn("mu", F.avg("cnt").over(w)).withColumn(
+        "sd", F.stddev_samp("cnt").over(w)
+    )
+    # NULLIF guard: a frame of identical counts has sd = 0 (ANSI division
+    # would throw); zscore is NULL there and is_anomaly coalesces to false
+    z = F.round((F.col("cnt") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6)
+    return stats.select(
+        "event_type",
+        "day_bucket",
+        "cnt",
+        z.cast("double").alias("zscore"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -422,3 +422,89 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("v").cast("bigint").alias("n_dims"),
         F.round(sse / F.size("v") * 1_000_000, 6).alias("mse_ppm"),
     )
+
+
+KNN_K = 5
+
+
+@REG.add(
+    "sim_knn_graph",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
+    assigned AS (
+        SELECT vec_id, v, nrm, cell_id FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn <= {IVF_PROBES}
+    ),
+    scored AS (
+        SELECT qc.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qc.qv, a.v) / (qc.qn * a.nrm), 6) AS cosine
+        FROM assigned a JOIN qcells qc USING (cell_id)
+        WHERE a.vec_id <> qc.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+    """,
+    doc=f"k-NN graph construction (k={KNN_K}) over the WHOLE corpus via the IVF "
+    f"layout: every vector probes its {IVF_PROBES} nearest cells and ranks only "
+    "those cells' members — the all-pairs N^2 never materializes.  At 100 TB the "
+    "assigned table is written partitioned by cell_id, so graph construction is "
+    "one co-partitioned join per probe with partition pruning; candidate count "
+    "per vector is probes x avg-cell-size, independent of corpus size.  The "
+    "embedding-space analog of the MinHash band join used for text near-dup.",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normed(spark, sf_dir)
+    assigned = assign_cells(n)
+    cents = _centroids(n)
+    qscored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+    qcells = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell_id",
+        )
+    )
+    cand = qcells.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            "cell_id",
+        ),
+        "cell_id",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -506,3 +506,65 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-pipeline op: context-window packing input)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 30
+CHUNK_STRIDE = 20  # 10-token overlap between consecutive chunks
+CHUNK_MIN_TAIL = 5  # drop sub-5-token tail chunks (except a doc's only chunk)
+
+
+@REG.add(
+    "doc_chunk_overlap",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               list_slice(words, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+        FROM w, UNNEST(range(0, ((n_words - 1) // {CHUNK_STRIDE}) + 1)) AS t(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    WHERE len(chunk) >= {CHUNK_MIN_TAIL} OR chunk_idx = 0
+    """,
+    doc=f"Sliding-window document chunking for training pipelines: {CHUNK_TOKENS}-token "
+    f"chunks on a {CHUNK_STRIDE}-token stride (overlap keeps context across chunk "
+    f"boundaries), sub-{CHUNK_MIN_TAIL}-token tails dropped unless the doc's only "
+    "chunk.  Pure in-row sequence+slice+posexplode — zero shuffle, embarrassingly "
+    "parallel at any corpus size; the chunk table feeds pack_sequences downstream.",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .withColumn("n_words", F.size("words"))
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), ((F.col("n_words") - 1) / CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_idx", "i"),
+        "words",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice("words", F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS).alias("chunk"),
+    )
+    return chunks.filter(
+        (F.size("chunk") >= CHUNK_MIN_TAIL) | (F.col("chunk_idx") == 0)
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )

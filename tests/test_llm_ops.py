@@ -313,3 +313,81 @@ def test_shard_assign_dense_and_complete(spark):
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
     assert max(len(v) for v in by_shard.values()) <= 4 * max(1, len(rows) // N_SHARDS)
+
+
+def test_doc_chunk_overlap_properties(spark, tmp_path):
+    """Chunk boundaries: 30-token chunks on a 20-token stride, 10-token
+    overlap between consecutive chunks, tail rules (>=5 tokens unless
+    the doc's only chunk), full coverage of every token."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        CHUNK_MIN_TAIL,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk_overlap,
+    )
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(75))),   # 75 words: chunks at 0,20,40,60
+        (1, " ".join(f"u{i}" for i in range(3))),    # 3 words: single short chunk kept
+        (2, " ".join(f"v{i}" for i in range(44))),   # tail chunk at 40 has 4 tokens -> dropped
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+    out = doc_chunk_overlap(spark, sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c0] == [30, 30, 30, 15]
+    words0 = rows[0][1].split(" ")
+    for r in c0:
+        start = r.chunk_idx * CHUNK_STRIDE
+        assert r.chunk_text == " ".join(words0[start : start + CHUNK_TOKENS])
+    # consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens
+    assert c0[0].chunk_text.split(" ")[CHUNK_STRIDE:] == c0[1].chunk_text.split(" ")[:10]
+    assert [r.n_tokens for r in by_doc[1]] == [3]          # only-chunk exemption
+    assert [r.n_tokens for r in sorted(by_doc[2], key=lambda r: r.chunk_idx)] == [30, 24]
+    assert all(r.n_tokens >= CHUNK_MIN_TAIL or r.chunk_idx == 0 for r in out)
+
+
+def test_dedup_exact_normalized_catches_case_whitespace(spark, tmp_path):
+    """Case- and whitespace-only variants must collapse to one hash;
+    genuinely different texts must not."""
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_exact_normalized
+
+    rows = [
+        (0, "Alpha Beta  Gamma"),
+        (1, "  alpha beta gamma"),
+        (2, "ALPHA  BETA GAMMA "),
+        (3, "alpha beta delta"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+    out = dedup_exact_normalized(spark, sf).collect()
+    assert len(out) == 2
+    groups = {r.kept_doc_id: r.n_docs for r in out}
+    assert groups == {0: 3, 3: 1}
+
+
+def test_knn_graph_recall_vs_bruteforce(spark):
+    """IVF-probed k-NN graph recall@5 against the exact graph: with 4 of
+    16 cells probed per vector, recall must clear the same 0.25 floor as
+    the IVF search (uniform synthetic vectors are the worst case)."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        KNN_K,
+        sim_knn_graph,
+        sim_topk,
+    )
+    from tests.conftest import SF_SMALL
+
+    graph = {(r.query_id, r.neighbor_id) for r in sim_knn_graph(spark, SF_SMALL).collect()}
+    # exact graph restricted to the sim_topk query set for a shared oracle
+    exact = {(r.query_id, r.neighbor_id) for r in sim_topk(spark, SF_SMALL).collect()}
+    graph_q = {(q, n) for q, n in graph if q < 5}
+    assert len(graph_q) == len(exact) == 5 * KNN_K
+    recall = len(exact & graph_q) / len(exact)
+    assert recall >= 0.25, recall

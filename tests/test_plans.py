@@ -178,3 +178,35 @@ def test_cms_cells_broadcast(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_chunk_overlap_no_shuffle(spark):
+    """Chunking is per-document in-row work: scan → posexplode → project
+    with NO Exchange — the property that makes it free at any corpus
+    size."""
+    from banking_streamprocessing_demos_spark.operators.text import doc_chunk_overlap
+
+    df = doc_chunk_overlap(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 0, plan[:2000]
+    assert "HashAggregate" not in plan, plan[:2000]
+
+
+def test_dedup_exact_normalized_single_shuffle(spark):
+    """Normalize-then-hash dedup keeps the dedup_exact shuffle budget:
+    exactly one Exchange (the 16-byte-key groupBy, map-side combined)."""
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_exact_normalized
+
+    df = dedup_exact_normalized(spark, SF_SMALL)
+    assert count_shuffles(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_knn_graph_centroids_broadcast(spark):
+    """The k-NN graph's quantizer side must broadcast (cells are tiny);
+    the only large shuffle keys on cell_id — never an all-pairs join."""
+    from banking_streamprocessing_demos_spark.operators.similarity import sim_knn_graph
+
+    df = sim_knn_graph(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
