@@ -86,20 +86,23 @@ IVF_CELLS = 16
 IVF_PROBES = 4
 
 
-def _centroids(n: "DataFrame") -> "DataFrame":
-    """Deterministic coarse quantizer: the first IVF_CELLS vectors seed
+def _centroids(n: "DataFrame", n_cells: int = IVF_CELLS) -> "DataFrame":
+    """Deterministic coarse quantizer: the first ``n_cells`` vectors seed
     the cells (one k-means assignment step; at scale you'd iterate a few
-    rounds — the plan shape is identical)."""
-    return n.filter(F.col("vec_id") < IVF_CELLS).select(
+    rounds — the plan shape is identical).  ``n_cells`` defaults to the
+    oracle-pinned IVF_CELLS; scale runs grow it proportionally to the
+    corpus (constant cell SIZE is the production invariant — see
+    tools/bench_scale.py)."""
+    return n.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
 
 
-def assign_cells(n: DataFrame) -> DataFrame:
+def assign_cells(n: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine.  The
     centroid side is broadcast; at 100 TB the output is written
     partitioned by cell_id so probes become partition pruning."""
-    cents = _centroids(n)
+    cents = _centroids(n, n_cells)
     scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
         "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     )
@@ -472,10 +475,10 @@ KNN_K = 5
     "per vector is probes x avg-cell-size, independent of corpus size.  The "
     "embedding-space analog of the MinHash band join used for text near-dup.",
 )
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFrame:
     n = _normed(spark, sf_dir)
-    assigned = assign_cells(n)
-    cents = _centroids(n)
+    assigned = assign_cells(n, n_cells)
+    cents = _centroids(n, n_cells)
     qscored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
         "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     )

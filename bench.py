@@ -49,6 +49,40 @@ HEADLINE = [
     "gen_messages_snapshot",
 ]
 
+# Second series (round 3+): the round-2/3 extension ops accrue their own
+# round-over-round comparability WITHOUT touching the frozen r1↔r2↔r3
+# headline set above (round-2 VERDICT "Next round #8").  The driver's
+# headline metric/value stays the frozen series; v2 is reported
+# alongside.
+HEADLINE_V2 = [
+    # sketches
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_prefilter",
+    # round-2 LLM-pipeline extensions
+    "pack_sequences",
+    "dedup_substring_spans",
+    "contamination_check",
+    "dedup_semantic_clusters",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_bigram_lm_score",
+    "pipe_domain_mix",
+    "pipe_quality_prune",
+    "pipe_shard_assign",
+    # event analytics
+    "w6_retention_cohorts",
+    "w7_funnel",
+    "w8_funnel_windowed",
+    "w9_scd2_intervals",
+    "w10_anomaly_zscore",
+    # round-3 additions
+    "doc_chunk_overlap",
+    "dedup_exact_normalized",
+    "f12_json_props",
+    "sim_knn_graph",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,6 +93,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    names_v2 = [n for n in HEADLINE_V2 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,19 +103,25 @@ def main() -> None:
     # two passes, min per query: pass 1 warms parquet footers/page cache
     # and codegen; pass 2 is the steady-state number a resident engine
     # would deliver
-    timings: dict[str, float] = {}
-    for pass_i in range(2):
-        for name in names:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            # collect, never count(): count() lets Catalyst prune every
-            # aggregate/projection and would time a gutted plan
-            n = len(df.collect())
-            dt = time.perf_counter() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = round(dt, 3)
-            print(f"# pass{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    def run_series(series_names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for pass_i in range(2):
+            for name in series_names:
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                # collect, never count(): count() lets Catalyst prune every
+                # aggregate/projection and would time a gutted plan
+                n = len(df.collect())
+                dt = time.perf_counter() - t0
+                if name not in timings or dt < timings[name]:
+                    timings[name] = round(dt, 3)
+                print(f"# pass{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        return timings
+
+    timings = run_series(names)
     total = sum(timings.values())
+    timings_v2 = run_series(names_v2)
+    total_v2 = sum(timings_v2.values())
 
     streaming = _streaming_throughput()
     streaming_join = _streaming_throughput(variant="join", rows_per_second=500_000)
@@ -92,6 +133,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "headline_v2_total": round(total_v2, 3),
+                "queries_v2": timings_v2,
                 "sf": sf,
                 "streaming": streaming,
                 "streaming_join_variant": streaming_join,

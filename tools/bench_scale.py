@@ -1,0 +1,110 @@
+"""Measured scaling curve (round-2 VERDICT "Next round #2"): run the
+dedup / ANN / pack / chunk families at sf0.1 AND at the 10x replicated
+corpus (tools/gen_scale_corpus.py) and record both wall times per
+query.  Near-linear ratios (<= ~12x for a 10x corpus on fixed local
+hardware) confirm no hidden quadratic; a superlinear ratio is a scale
+bug to fix, not a number to accept.
+
+Method matches bench.py: shared warmed session, two passes per (query,
+scale), min wall time, collect() not count() so Catalyst cannot prune
+the real work.
+
+sim_knn_graph runs with n_cells scaled 10x at the 10x corpus (constant
+cell size is the production IVF invariant — growing the corpus under a
+FROZEN quantizer makes every cell 10x bigger and the graph join
+quadratic by configuration, which would measure the config error, not
+the engine).
+
+Usage: python tools/bench_scale.py [base_dir] [x10_dir] [out_json]
+writes BENCH_scale.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from banking_streamprocessing_demos_spark.session import get_spark
+
+# query name -> optional per-scale kwargs factory (factor -> kwargs)
+FAMILIES: dict[str, dict] = {
+    # dedup family
+    "dedup_exact": {},
+    "dedup_exact_normalized": {},
+    "dedup_minhash_lsh": {},
+    "dedup_simhash": {},
+    "dedup_substring_spans": {},
+    # text / chunk / pack family
+    "text_stats_quality": {},
+    "doc_chunk_overlap": {},
+    "pack_sequences": {},
+    # ANN family
+    "sim_ann_ivf": {},
+    "sim_ann_lsh": {},
+    "sim_knn_graph": {"scale_kwargs": lambda factor: {"n_cells": 16 * factor}},
+}
+
+
+def _time_query(spark, fn, sf_dir, kwargs, passes=2) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        rows = len(fn(spark, sf_dir, **kwargs).collect())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3), rows
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    x10 = sys.argv[2] if len(sys.argv) > 2 else "scale_corpus/x10"
+    out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scale.json"
+    factor = 10
+
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()  # sync check
+    merged = merge_registries(*entrymod._REGISTRIES)
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    results = {}
+    for name, spec in FAMILIES.items():
+        fn = merged[name].fn
+        kw_fn = spec.get("scale_kwargs")
+        base_s, base_rows = _time_query(spark, fn, base, kw_fn(1) if kw_fn else {})
+        x10_s, x10_rows = _time_query(spark, fn, x10, kw_fn(factor) if kw_fn else {})
+        ratio = round(x10_s / base_s, 2) if base_s > 0 else None
+        results[name] = {
+            "base_sec": base_s,
+            "x10_sec": x10_s,
+            "ratio": ratio,
+            "base_rows": base_rows,
+            "x10_rows": x10_rows,
+        }
+        print(f"# {name}: {base_s}s -> {x10_s}s (x{ratio}, rows {base_rows}->{x10_rows})",
+              file=sys.stderr)
+
+    payload = {
+        "metric": "scaling_curve_10x",
+        "factor": factor,
+        "base_dir": base,
+        "x10_dir": x10,
+        "linear_budget_ratio": 12.0,
+        "families": results,
+        "max_ratio": max(r["ratio"] for r in results.values()),
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: v["ratio"] for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
