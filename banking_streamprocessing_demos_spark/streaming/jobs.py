@@ -342,3 +342,40 @@ def streaming_minhash_dedup(
         "doc_id",
         F.col("owned_bands").cast("long").alias("owned_bands"),
     )
+
+
+def streaming_cms_cells(
+    events: DataFrame,
+    key: str = "phone_number",
+    window: str = "1 minute",
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Windowed Count-Min sketch maintenance on an unbounded stream —
+    the streaming half of ``sketch_cms_heavy_hitters``: per tumbling
+    window, count into the d x w cell grid (same seeded md5 bucketing as
+    the batch op, so cells are bit-identical).  State per window is at
+    most CMS_D x CMS_W = 4096 integer cells NO MATTER how many distinct
+    keys arrive — the property a windowed per-key count cannot give.
+    Estimation is the batch half (lambda style): probe the materialized
+    cell table with min-over-rows per key; CMS guarantees est >= true.
+    On a batch frame the identical pipeline is a plain groupBy, so
+    batch == stream is testable."""
+    from ..operators.sketches import CMS_D, _cms_bucket_col
+
+    with_time = with_event_time(events, delay)
+    rows_h = with_time.select(
+        F.col(key).alias("k"),
+        "event_time",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+    )
+    cells = (
+        rows_h.withColumn("bucket", _cms_bucket_col(F.col("k"), F.col("r")))
+        .groupBy(F.window("event_time", window), "r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    return cells.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "r",
+        "bucket",
+        F.col("c").cast("long").alias("c"),
+    )

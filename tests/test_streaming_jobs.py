@@ -403,3 +403,80 @@ def test_streaming_minhash_dedup_bounded_state(spark, tmp_path):
     # final watermark = minute 23 - 2 min delay = minute 21: windows for
     # docs 21-23 never close; all unique docs whose window closed emitted
     assert kept == set(range(21)), kept
+
+
+def test_streaming_cms_cells_batch_equals_stream(spark, tmp_path):
+    """Windowed CMS cells must be identical batch or stream for every
+    closed window, the state must stay within the 4096-cell grid per
+    window, and probing the materialized sketch must upper-bound every
+    key's true windowed count (CMS guarantee) while recovering the top
+    heavy hitter exactly."""
+    from banking_streamprocessing_demos_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_bucket_col,
+    )
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_cms_cells
+
+    events = generate_events(spark, CFG)
+    events.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "cmsev"))
+
+    batch = {
+        (r.window_start_ms, r.r, r.bucket): r.c
+        for r in streaming_cms_cells(events).collect()
+    }
+    stream = read_event_stream_from_files(spark, str(tmp_path / "cmsev"))
+    run_to_memory(streaming_cms_cells(stream), "cms_cells_out")
+    streamed = {
+        (r.window_start_ms, r.r, r.bucket): r.c
+        for r in spark.table("cms_cells_out").collect()
+    }
+    max_ms = events.agg(F.max("timestamp")).first()[0]
+    closed = max_ms - 30_000
+    batch_closed = {k: v for k, v in batch.items() if k[0] + 60_000 <= closed}
+    assert batch_closed, "fixture must close at least one window"
+    assert batch_closed == {k: v for k, v in streamed.items() if k in batch_closed}
+    # grid bound: cells per window never exceed d*w
+    per_window = {}
+    for (ws, _, _), _c in streamed.items():
+        per_window[ws] = per_window.get(ws, 0) + 1
+    assert all(n <= CMS_D * CMS_W for n in per_window.values())
+
+    # probe the sketch: est(key) = min over rows >= true windowed count
+    exact = {
+        (r.ws, r.phone_number): r.n
+        for r in events.withColumn("event_time", F.timestamp_millis("timestamp"))
+        .groupBy(
+            F.window("event_time", "1 minute").alias("window"), "phone_number"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("window.start").alias("ws"), "phone_number", "n")
+        .collect()
+    }
+    import pandas as _pd
+
+    probe_rows = (
+        spark.createDataFrame(
+            _pd.DataFrame(
+                [{"ws": ws, "k": k} for (ws, k) in exact if ws in per_window]
+            )
+        )
+        .select("ws", "k", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"))
+        .withColumn("bucket", _cms_bucket_col(F.col("k"), F.col("r")))
+        .collect()
+    )
+    est = {}
+    for row in probe_rows:
+        c = streamed.get((row.ws, row.r, row.bucket), 0)
+        cur = est.get((row.ws, row.k))
+        est[(row.ws, row.k)] = c if cur is None else min(cur, c)
+    checked = 0
+    for key_ws, true_n in exact.items():
+        if key_ws in est:
+            assert est[key_ws] >= true_n, (key_ws, est[key_ws], true_n)
+            checked += 1
+    assert checked > 0
+    # the busiest (window, key) is recovered exactly when its cells are
+    # collision-free (holds on this fixture's key cardinality vs w=1024)
+    top_key = max((k for k in exact if k in est), key=lambda k: exact[k])
+    assert est[top_key] == exact[top_key]
