@@ -66,37 +66,46 @@ def test_every_query_has_fn():
 DRIVER_WINDOW = 50  # the round driver checks only the first 50 queries()
 
 
-def test_driver_window_covers_every_family():
-    """Round-1 regression: the driver verifies only the first 50 entries
-    of queries() (insertion order), and the 19 LLM-pipeline queries all
-    sat past slot 50 — zero driver evidence.  Pin that every family and
-    every sole-evidence §2 query sits inside the window."""
+def test_driver_window_rotation_invariants():
+    """Round-3 rotation policy (round-2 VERDICT item #1): the driver
+    verifies only the first 50 entries of queries(); those slots now
+    belong to (a) every query that had zero driver evidence after two
+    rounds, (b) every query new this round, (c) twice-green flagship
+    refreshes — in that order.  Pin the policy so additions can't
+    silently push never-checked queries back past slot 50."""
+    import __spark_entry__ as entrymod
+
     window = list(QUERIES)[:DRIVER_WINDOW]
     in_window = set(window)
-    # all LLM-pipeline families, in full
-    for prefix, expected in [
-        ("dedup_", 6),
-        ("sim_", 3),
-        ("text_", 5),
-        ("mm_", 3),
-    ]:
-        got = [n for n in in_window if n.startswith(prefix)]
-        assert len(got) == expected, f"{prefix}* in driver window: {sorted(got)}"
-    assert "emb_quantize_int8" in in_window
-    assert "pipe_curation" in in_window
-    # round-1's only red row must be re-verified by the driver
-    assert "w4_sessionization" in in_window
-    # sole driver evidence for their §2 IDs
-    for name in [
-        "st1_streaming_detector",
-        "s5_console_dry_run",
-        "gen_messages_snapshot",
-        "smp2_backpressure_topup",
-        "gen_normal_delay_snapshot",
-    ]:
+    assert len(window) == DRIVER_WINDOW
+    # (a) promoted never-checked queries occupy the head of the window
+    promoted = entrymod._PROMOTED_NEVER_CHECKED
+    assert window[: len(promoted)] == promoted
+    # (b) every round-new query sits inside the window
+    for name in entrymod._ROUND3_NEW:
         assert name in in_window, name
+    # (c) remaining slots are the declared flagship refreshes
+    assert in_window == set(promoted) | set(entrymod._ROUND3_NEW) | set(
+        entrymod._FLAGSHIP_REFRESH
+    )
+    # the streaming detector (flagship) keeps earning driver rows
+    assert "st1_streaming_detector" in in_window
     # every windowed query must have an oracle (full hash check, not rows-only)
     assert in_window <= set(ORACLES)
+    # nothing demoted is unverified: the demoted tail is exactly the set
+    # that is driver-green in BOTH prior rounds' artifacts
+    import json
+
+    green = set()
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        try:
+            with open(art) as f:
+                rows = json.load(f)
+        except FileNotFoundError:
+            continue
+        green |= {k for k, v in rows.items() if v.get("hash_match")}
+    for name in entrymod._DEMOTED_TAIL:
+        assert name in green, f"demoted without prior driver evidence: {name}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
