@@ -106,3 +106,53 @@ def test_bigram_lm_score_bounds(spark):
     for doc_id, r in scores.items():
         assert r.avg_logprob <= 0.0, (doc_id, r.avg_logprob)
         assert r.n_bigrams == words[doc_id] - 1, (doc_id, r.n_bigrams, words[doc_id])
+
+
+def test_chunk_tiling_properties_fuzz(spark, tmp_path):
+    """Property fuzz over document lengths 1..130: chunks must tile the
+    document exactly (every token covered, order preserved under the
+    stride), never exceed CHUNK_TOKENS, start at multiples of the
+    stride, and obey the tail rules.  One Spark job for all lengths."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        CHUNK_MIN_TAIL,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk_overlap,
+    )
+
+    lengths = list(range(1, 131))
+    rows = [
+        (n, " ".join(f"d{n}w{i}" for i in range(n)))
+        for n in lengths
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+    out = doc_chunk_overlap(spark, sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in lengths:
+        words = [f"d{n}w{i}" for i in range(n)]
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        assert chunks, n
+        covered = set()
+        for r in chunks:
+            start = r.chunk_idx * CHUNK_STRIDE
+            toks = r.chunk_text.split(" ")
+            assert 1 <= r.n_tokens <= CHUNK_TOKENS
+            assert r.n_tokens == len(toks)
+            assert r.n_tokens >= CHUNK_MIN_TAIL or r.chunk_idx == 0
+            assert toks == words[start : start + len(toks)], (n, r.chunk_idx)
+            covered.update(range(start, start + len(toks)))
+        # every token of every doc appears in at least one SURVIVING
+        # chunk... except tokens only reachable via a dropped short tail
+        dropped_tail_tokens = set(range(n)) - covered
+        if dropped_tail_tokens:
+            # dropped tokens must all sit inside the final (dropped)
+            # sub-CHUNK_MIN_TAIL tail window and be covered by NO earlier
+            # chunk only when the doc is longer than one chunk
+            assert min(dropped_tail_tokens) >= n - (CHUNK_MIN_TAIL - 1), (n, dropped_tail_tokens)
+        else:
+            assert covered == set(range(n))
