@@ -96,6 +96,8 @@ _ROUND3_NEW = [
     "f12_json_props",
     "w10_anomaly_zscore",
     "sim_knn_graph",
+    "emb_random_project",
+    "j9_full_outer_reconcile",
 ]
 
 # Twice-green flagships refreshed in any window slots left over (one
@@ -109,13 +111,13 @@ _FLAGSHIP_REFRESH = [
     "dedup_exact",
     "text_tfidf_topk",
     "sim_ann_ivf",
-    "w4_sessionization",
-    "gen_messages_snapshot",
 ]
 
 # Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
 # plus everything else twice-proven.  Still verified locally per round.
 _DEMOTED_TAIL = [
+    "w4_sessionization",
+    "gen_messages_snapshot",
     "pipe_curation",
     "mm_feature_extract",
     "f_expressions",

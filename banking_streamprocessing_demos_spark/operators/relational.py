@@ -1542,3 +1542,73 @@ def w10_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("double").alias("zscore"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J9: full-outer reconciliation (completes the join-type surface: the
+# data-quality check every warehouse runs between a header table and
+# its detail aggregate)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "j9_full_outer_reconcile",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS li_total
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey, o.o_totalprice, li.l_orderkey, li.li_total
+        FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    ),
+    c AS (
+        SELECT CASE WHEN l_orderkey IS NULL THEN 'no_lineitems'
+                    WHEN o_orderkey IS NULL THEN 'no_order'
+                    WHEN ABS(o_totalprice - CAST(li_total AS DOUBLE)) > 0.01
+                         THEN 'mismatch'
+                    ELSE 'consistent' END AS status,
+               CASE WHEN o_orderkey IS NULL OR l_orderkey IS NULL THEN 0.0
+                    ELSE ABS(o_totalprice - CAST(li_total AS DOUBLE)) END AS diff
+        FROM j
+    )
+    SELECT status, COUNT(*) AS n_keys,
+           CAST(SUM(CAST(ROUND(diff, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_abs_diff
+    FROM c GROUP BY status
+    """,
+    doc="J9 (extension): header-vs-detail reconciliation via FULL OUTER join — "
+    "orders without lineitems, lineitems without orders, and totals that "
+    "disagree beyond a cent.  Detail side pre-aggregated (map-side combined) "
+    "before the join so the full-outer is key-to-key, never row-to-row; money "
+    "sums ride DECIMAL so both engines agree bit-for-bit regardless of "
+    "aggregation order.",
+)
+def j9_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("li_total"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "full_outer")
+    diff_expr = F.abs(F.col("o_totalprice") - F.col("li_total").cast("double"))
+    status = (
+        F.when(F.col("l_orderkey").isNull(), "no_lineitems")
+        .when(F.col("o_orderkey").isNull(), "no_order")
+        .when(diff_expr > 0.01, "mismatch")
+        .otherwise("consistent")
+    )
+    diff = F.when(
+        F.col("o_orderkey").isNull() | F.col("l_orderkey").isNull(), F.lit(0.0)
+    ).otherwise(diff_expr)
+    return (
+        j.select(status.alias("status"), diff.alias("diff"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.round(F.col("diff"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_abs_diff"),
+        )
+    )

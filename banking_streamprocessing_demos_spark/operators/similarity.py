@@ -511,3 +511,57 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# Johnson-Lindenstrauss sign projection: 64 -> 16 dims.  The projection
+# matrix is +-1 entries derived from md5 bits computed AT IMPORT TIME in
+# Python, then embedded as literals in both the Spark plan and the
+# oracle SQL — the two engines share the numbers by construction.
+JL_OUT_DIMS = 16
+_JL_SIGNS = [
+    [
+        1 if int(__import__("hashlib").md5(f"jl-{j}-{i}".encode()).hexdigest()[:2], 16) % 2
+        else -1
+        for i in range(DIMS)
+    ]
+    for j in range(JL_OUT_DIMS)
+]
+_JL_SCALE = 1.0 / float(JL_OUT_DIMS) ** 0.5
+
+
+def _jl_oracle_sql() -> str:
+    comps = ", ".join(
+        f"ROUND(list_dot_product(v, {_JL_SIGNS[j]}) * {_JL_SCALE!r}, 6)"
+        for j in range(JL_OUT_DIMS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, [{comps}] AS proj FROM e
+    """
+
+
+@REG.add(
+    "emb_random_project",
+    _jl_oracle_sql(),
+    doc=f"Johnson-Lindenstrauss random sign projection {DIMS}->{JL_OUT_DIMS} dims "
+    "(seeded md5 ±1 matrix, 1/sqrt(k) scale): the standard cheap dimensionality "
+    "reduction ahead of ANN indexing/clustering.  Pure in-row fold per output "
+    "dim — zero shuffle, embarrassingly parallel; the sign matrix is a plan "
+    "literal so no broadcast or join is ever needed.",
+)
+def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def comp(j: int):
+        signed = F.zip_with(
+            "v",
+            F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]]),
+            lambda x, s: x * s,
+        )
+        return F.round(
+            F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) * F.lit(_JL_SCALE), 6
+        )
+
+    return e.select("vec_id", F.array(*[comp(j) for j in range(JL_OUT_DIMS)]).alias("proj"))
