@@ -98,6 +98,8 @@ _ROUND3_NEW = [
     "sim_knn_graph",
     "emb_random_project",
     "j9_full_outer_reconcile",
+    "text_containment",
+    "emb_label_centroids",
 ]
 
 # Twice-green flagships refreshed in any window slots left over (one
@@ -109,13 +111,13 @@ _FLAGSHIP_REFRESH = [
     "a3_join_agg_revenue",
     "dedup_minhash_lsh",
     "dedup_exact",
-    "text_tfidf_topk",
-    "sim_ann_ivf",
 ]
 
 # Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
 # plus everything else twice-proven.  Still verified locally per round.
 _DEMOTED_TAIL = [
+    "text_tfidf_topk",
+    "sim_ann_ivf",
     "w4_sessionization",
     "gen_messages_snapshot",
     "pipe_curation",

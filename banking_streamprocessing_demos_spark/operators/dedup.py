@@ -881,3 +881,45 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_docs"))
     )
+
+
+CONTAINMENT_TAU = 0.8
+
+
+@REG.add(
+    "text_containment",
+    f"""
+    WITH {_shingles_sql()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+           ROUND(inter / CAST(sb.n AS DOUBLE), 6) AS containment_b
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter / CAST(sa.n AS DOUBLE) >= {CONTAINMENT_TAU}
+       OR inter / CAST(sb.n AS DOUBLE) >= {CONTAINMENT_TAU}
+    """,
+    doc=f"Asymmetric n-gram CONTAINMENT pairs (|A∩B|/|A| >= {CONTAINMENT_TAU} in "
+    "either direction): catches a short document embedded inside a long one — "
+    "the quotation/inclusion case symmetric Jaccard structurally misses (inter/"
+    "union shrinks as the long side grows).  Same df-capped shingle equi-join "
+    "budget as the Jaccard verifier; no new shuffle shape.",
+)
+def text_containment(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    p = _pair_jaccard(_kept_shingles(_shingles(spark, sf_dir), df_cap))
+    ca_raw = F.col("inter") / F.col("n_a")
+    cb_raw = F.col("inter") / F.col("n_b")
+    return (
+        p.filter((ca_raw >= CONTAINMENT_TAU) | (cb_raw >= CONTAINMENT_TAU))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca_raw, 6).alias("containment_a"),
+            F.round(cb_raw, 6).alias("containment_b"),
+        )
+    )

@@ -565,3 +565,45 @@ def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.select("vec_id", F.array(*[comp(j) for j in range(JL_OUT_DIMS)]).alias("proj"))
+
+
+@REG.add(
+    "emb_label_centroids",
+    """
+    WITH e AS (
+        SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS comp,
+               UNNEST(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, dim,
+               CAST(ROUND(CAST(SUM(CAST(comp AS DECIMAL(20,9))) AS DOUBLE)
+                          / COUNT(*), 6) AS DOUBLE) AS mean_comp
+        FROM e GROUP BY label, dim
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, mean_comp
+    FROM stats
+    """,
+    doc="Per-label embedding centroids (class prototypes for clustering "
+    "diagnostics / semantic dedup seeding): posexplode to (label, dim, comp), "
+    "one map-side-combined groupBy on (label, dim).  Component sums ride "
+    "DECIMAL(20,9) so both engines aggregate EXACTLY regardless of row order — "
+    "the standard float-summation parity hazard engineered out.  Output is "
+    "n_labels x dims rows (tiny at any corpus size).",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim0", "comp"
+        ),
+    )
+    return (
+        e.select("label", (F.col("dim0") + 1).cast("long").alias("dim"), "comp")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("comp").cast("decimal(20,9)")).cast("double") / F.count("*"), 6
+            ).alias("mean_comp")
+        )
+    )

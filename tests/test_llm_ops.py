@@ -391,3 +391,33 @@ def test_knn_graph_recall_vs_bruteforce(spark):
     assert len(graph_q) == len(exact) == 5 * KNN_K
     recall = len(exact & graph_q) / len(exact)
     assert recall >= 0.25, recall
+
+
+def test_containment_catches_embedded_doc(spark, tmp_path):
+    """A short document quoted verbatim inside a long one must surface
+    via containment (containment_a ~= 1.0) even when symmetric Jaccard
+    stays far below its threshold — the case the operator exists for."""
+    from banking_streamprocessing_demos_spark.operators.dedup import (
+        JACCARD_TAU,
+        dedup_ngram,
+        text_containment,
+    )
+
+    short = " ".join(f"q{i}" for i in range(10))
+    long = " ".join(f"p{i}" for i in range(80)) + " " + short + " " + " ".join(
+        f"s{i}" for i in range(80)
+    )
+    rows = [(0, short), (1, long), (2, "totally unrelated words here friend")]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+
+    cont = {(r.doc_a, r.doc_b): r for r in text_containment(spark, sf).collect()}
+    assert (0, 1) in cont
+    assert cont[(0, 1)].containment_a == 1.0       # short fully inside long
+    assert cont[(0, 1)].containment_b < 0.1
+    # symmetric Jaccard misses the same pair entirely
+    jac = {(r.doc_a, r.doc_b) for r in dedup_ngram(spark, sf).collect()}
+    assert (0, 1) not in jac
+    assert all(k[0] != 2 and k[1] != 2 for k in cont)
