@@ -1612,3 +1612,31 @@ def j9_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_abs_diff"),
         )
     )
+
+
+def _gsplit_u() -> str:
+    from .message_domain import _u
+
+    return _u("gsplit", "source")
+
+
+@REG.add(
+    "smp4_group_split",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_gsplit_u()} < 0.8 THEN 'train'
+                WHEN {_gsplit_u()} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Group-aware train/val/test split: the hash is taken over SOURCE, not "
+    "doc_id, so every document from one origin lands in the same split — the "
+    "leakage guard stratified/per-doc splits (smp3) cannot give when near-dups "
+    "cluster within a source.  Pure per-row hash: no shuffle, no global sort, "
+    "reproducible on any cluster.",
+)
+def smp4_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    u = det_uniform("source", seed="gsplit")
+    split = F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    return doc.select("doc_id", "source", split.alias("split"))

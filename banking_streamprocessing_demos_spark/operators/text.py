@@ -568,3 +568,33 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_tokens"),
         F.concat_ws(" ", "chunk").alias("chunk_text"),
     )
+
+
+VOCAB_TOPK = 100
+
+
+@REG.add(
+    "text_vocab_topk",
+    f"""
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT w, COUNT(*) AS freq
+    FROM words GROUP BY w
+    ORDER BY freq DESC, w LIMIT {VOCAB_TOPK}
+    """,
+    doc=f"Corpus vocabulary top-{VOCAB_TOPK} (tokenizer/BPE seed statistics): "
+    "explode to words, ONE map-side-combined groupBy on the word key, then "
+    "TakeOrderedAndProject — the top-k never materializes a global sort.  "
+    "Unique-word tiebreak keeps the cut deterministic.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(VOCAB_TOPK)
+    )

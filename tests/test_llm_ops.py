@@ -421,3 +421,20 @@ def test_containment_catches_embedded_doc(spark, tmp_path):
     jac = {(r.doc_a, r.doc_b) for r in dedup_ngram(spark, sf).collect()}
     assert (0, 1) not in jac
     assert all(k[0] != 2 and k[1] != 2 for k in cont)
+
+
+def test_group_split_no_leakage(spark):
+    """smp4_group_split's defining invariant: a source never spans two
+    splits (group-aware assignment prevents near-dup train/test
+    leakage), rates are roughly 80/10/10 over sources, and the
+    assignment is deterministic across runs."""
+    from banking_streamprocessing_demos_spark.operators.relational import smp4_group_split
+    from tests.conftest import SF_SMALL
+
+    out = smp4_group_split(spark, SF_SMALL)
+    per_source = out.groupBy("source").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert per_source.filter("n_splits > 1").count() == 0
+    again = {(r.doc_id, r.split) for r in smp4_group_split(spark, SF_SMALL).collect()}
+    assert again == {(r.doc_id, r.split) for r in out.collect()}
