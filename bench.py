@@ -81,6 +81,12 @@ HEADLINE_V2 = [
     "dedup_exact_normalized",
     "f12_json_props",
     "sim_knn_graph",
+    "emb_random_project",
+    "emb_label_centroids",
+    "j9_full_outer_reconcile",
+    "text_containment",
+    "text_vocab_topk",
+    "smp4_group_split",
 ]
 
 

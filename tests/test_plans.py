@@ -210,3 +210,57 @@ def test_knn_graph_centroids_broadcast(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_emb_random_project_no_shuffle(spark):
+    """JL projection is a plan-literal matrix times each row: scan →
+    project, zero Exchange."""
+    from banking_streamprocessing_demos_spark.operators.similarity import emb_random_project
+
+    df = emb_random_project(spark, SF_SMALL)
+    assert count_shuffles(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_smp4_group_split_no_shuffle(spark):
+    """Group-aware split is a pure per-row hash: no Exchange, no sort."""
+    from banking_streamprocessing_demos_spark.operators.relational import smp4_group_split
+
+    df = smp4_group_split(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 0, plan[:2000]
+    assert "Sort" not in plan, plan[:2000]
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Corpus vocabulary top-k must use TakeOrderedAndProject (per-
+    partition top-k + merge), never a global Sort of all words."""
+    from banking_streamprocessing_demos_spark.operators.text import text_vocab_topk
+
+    df = text_vocab_topk(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_j9_reconcile_detail_preaggregated(spark):
+    """The full-outer reconcile must aggregate the detail side BEFORE
+    the join (key-to-key, never row-to-row): the join inputs are one
+    agg each, and no cartesian appears."""
+    from banking_streamprocessing_demos_spark.operators.relational import (
+        j9_full_outer_reconcile,
+    )
+
+    import re
+
+    df = j9_full_outer_reconcile(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # exactly one join node (counted via detail headers, not the tree echo)
+    joins = [
+        line
+        for line in plan.splitlines()
+        if re.match(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", line.strip())
+    ]
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan, plan[:2000]
+    # the detail side reaches the join through its own aggregate
+    assert plan.count("partial_sum") >= 1, plan[:2000]
