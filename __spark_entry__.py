@@ -102,6 +102,8 @@ _ROUND3_NEW = [
     "emb_label_centroids",
     "smp4_group_split",
     "text_vocab_topk",
+    "u6_merge_upsert",
+    "pipe_length_filter",
 ]
 
 # Twice-green flagships refreshed in any window slots left over (one
@@ -109,13 +111,13 @@ _ROUND3_NEW = [
 # LSH dedup, tf-idf, ANN, packing pipeline, generator snapshot, ...).
 _FLAGSHIP_REFRESH = [
     "st1_streaming_detector",
-    "j5_timeout_pairing",
-    "a3_join_agg_revenue",
 ]
 
 # Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
 # plus everything else twice-proven.  Still verified locally per round.
 _DEMOTED_TAIL = [
+    "j5_timeout_pairing",
+    "a3_join_agg_revenue",
     "dedup_minhash_lsh",
     "dedup_exact",
     "text_tfidf_topk",

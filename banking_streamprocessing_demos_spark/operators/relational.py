@@ -1640,3 +1640,80 @@ def smp4_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = det_uniform("source", seed="gsplit")
     split = F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
     return doc.select("doc_id", "source", split.alias("split"))
+
+
+@REG.add(
+    "u6_merge_upsert",
+    """
+    WITH target AS (
+        SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey <= 400
+    ),
+    changes AS (
+        SELECT event_id % 500 AS k,
+               CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(ROUND(value * 100, 2) AS DOUBLE) AS new_bal,
+               epoch_ms(ts) AS change_ms
+        FROM events WHERE event_id < 1000
+    ),
+    latest AS (
+        SELECT k, op, new_bal FROM (
+            SELECT k, op, new_bal,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY change_ms DESC, op, new_bal) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(t.k, c.k) AS k,
+           CASE WHEN c.k IS NULL THEN 'unchanged'
+                WHEN c.op = 'delete' THEN NULL
+                ELSE 'upserted' END AS row_status,
+           CASE WHEN c.k IS NULL THEN t.bal ELSE c.new_bal END AS bal
+    FROM target t FULL OUTER JOIN latest c ON t.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'delete'
+    """,
+    doc="U6 (extension): full MERGE semantics — apply a change stream (upserts "
+    "+ delete tombstones, last-change-wins per key) to a target snapshot, the "
+    "Delta/Iceberg MERGE INTO re-expressed as change-dedup + one key-to-key "
+    "full-outer join.  Matched+upsert -> update, unmatched+upsert -> insert, "
+    "matched+delete -> drop, everything else passes through.  The change side "
+    "collapses to <= |keys| rows BEFORE the join (window last-wins), so the "
+    "join never sees the raw change volume.",
+)
+def u6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal"))
+    )
+    ch = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select(
+            (F.col("event_id") % 500).alias("k"),
+            F.when(F.col("event_id") % 11 == 0, "delete").otherwise("upsert").alias("op"),
+            F.round(F.col("value") * 100, 2).cast("double").alias("new_bal"),
+            epoch_ms(F.col("ts")).alias("change_ms"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("change_ms").desc(), F.col("op"), F.col("new_bal")
+    )
+    latest = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop(
+        "rn", "change_ms"
+    )
+    t = target.alias("t")
+    c = latest.alias("c")
+    j = t.join(c, F.col("t.k") == F.col("c.k"), "full_outer")
+    merged = j.select(
+        F.coalesce(F.col("t.k"), F.col("c.k")).alias("k"),
+        F.when(F.col("c.k").isNull(), "unchanged")
+        .when(F.col("c.op") == "delete", F.lit(None).cast("string"))
+        .otherwise("upserted")
+        .alias("row_status"),
+        F.when(F.col("c.k").isNull(), F.col("t.bal")).otherwise(F.col("c.new_bal")).alias(
+            "bal"
+        ),
+    ).where(
+        F.col("c.op").isNull() | (F.col("c.op") != "delete")
+    )
+    return merged

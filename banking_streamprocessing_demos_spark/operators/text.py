@@ -12,7 +12,7 @@ engine-specific regex dialects in checked paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -598,3 +598,51 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("w"))
         .limit(VOCAB_TOPK)
     )
+
+
+LENGTH_FILTER_LO = 0.05
+LENGTH_FILTER_HI = 0.95
+
+
+@REG.add(
+    "pipe_length_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM toks
+    )
+    SELECT doc_id, n_tokens
+    FROM ranked
+    WHERE rk > CAST(FLOOR(n * {LENGTH_FILTER_LO}) AS BIGINT)
+      AND rk <= CAST(CEIL(n * {LENGTH_FILTER_HI}) AS BIGINT)
+    """,
+    doc="Adaptive length filtering (quality-pipeline staple): keep documents "
+    "inside the [p5, p95] token-length band, with the quantile cut expressed "
+    "as integer RANK thresholds (row_number over a unique (n_tokens, doc_id) "
+    "order) — no floating-point percentile estimators, so the cut is "
+    "deterministic and oracle-exact.  At scale the global rank is the one "
+    "total-order operation; it runs over the tiny (doc_id, n_tokens) "
+    "projection, never the text, and a two-level distributed rank (the "
+    "pack_sequences prefix-sum shape) drops in when even that outgrows a "
+    "RangePartitioner.",
+)
+def pipe_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    toks = doc.select("doc_id", (spaces + 1).cast("long").alias("n_tokens"))
+    w = Window.orderBy("n_tokens", "doc_id")
+    ranked = (
+        toks.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    return ranked.filter(
+        (F.col("rk") > F.floor(F.col("n") * LENGTH_FILTER_LO).cast("long"))
+        & (F.col("rk") <= F.ceil(F.col("n") * LENGTH_FILTER_HI).cast("long"))
+    ).select("doc_id", "n_tokens")
