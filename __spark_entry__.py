@@ -115,6 +115,13 @@ _FLAGSHIP_REFRESH = [
 
 # Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
 # plus everything else twice-proven.  Still verified locally per round.
+# New-this-round overflow: the window is full (49 never-checked + the
+# st1 flagship), so these carry committed CORRECTNESS_FULL_r03 evidence
+# now and rotate into the window next round.
+_ROUND3_OVERFLOW = [
+    "a12_exact_group_median",
+]
+
 _DEMOTED_TAIL = [
     "j5_timeout_pairing",
     "a3_join_agg_revenue",
@@ -168,7 +175,11 @@ _DEMOTED_TAIL = [
 ]
 
 _DRIVER_PRIORITY = (
-    _PROMOTED_NEVER_CHECKED + _ROUND3_NEW + _FLAGSHIP_REFRESH + _DEMOTED_TAIL
+    _PROMOTED_NEVER_CHECKED
+    + _ROUND3_NEW
+    + _FLAGSHIP_REFRESH
+    + _ROUND3_OVERFLOW
+    + _DEMOTED_TAIL
 )
 
 

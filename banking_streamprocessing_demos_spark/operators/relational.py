@@ -1717,3 +1717,44 @@ def u6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.op").isNull() | (F.col("c.op") != "delete")
     )
     return merged
+
+
+@REG.add(
+    "a12_exact_group_median",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(ROUND(AVG(value), 6) AS DOUBLE) AS median_value,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked
+    WHERE rk IN ((n + 1) / 2, (n + 2) / 2)
+    GROUP BY event_type
+    """,
+    doc="A12 (extension): EXACT per-group median via rank selection — both "
+    "engines evaluate (n+1)/2 and (n+2)/2 as FLOAT division, so the integer "
+    "rank rk matches exactly one of them: the true middle for odd n, the "
+    "UPPER median for even n (deterministic upper-median variant; a unique "
+    "(value, event_id) order makes ties unambiguous).  No percentile_approx "
+    "sketch, no cross-engine estimator drift.  One partition-keyed window "
+    "pass; the rank runs per event_type, so the total order is per-group, "
+    "not global.",
+)
+def a12_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    mid = ranked.filter(
+        (F.col("rk") == (F.col("n") + 1) / 2) | (F.col("rk") == (F.col("n") + 2) / 2)
+    )
+    return mid.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).cast("double").alias("median_value"),
+        F.max("n").cast("long").alias("n"),
+    )

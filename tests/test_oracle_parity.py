@@ -106,6 +106,16 @@ def test_driver_window_rotation_invariants():
         green |= {k for k, v in rows.items() if v.get("hash_match")}
     for name in entrymod._DEMOTED_TAIL:
         assert name in green, f"demoted without prior driver evidence: {name}"
+    # round-new overflow queries (window full) must carry committed
+    # full-registry evidence instead
+    if entrymod._ROUND3_OVERFLOW:
+        with open("CORRECTNESS_FULL_r03.json") as f:
+            full = json.load(f)
+        for name in entrymod._ROUND3_OVERFLOW:
+            assert name in ORACLES, name
+            assert full.get(name, {}).get("hash_match"), (
+                f"overflow query {name} lacks committed full-registry evidence"
+            )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
