@@ -106,5 +106,48 @@ def main() -> None:
     print(f"wrote {out}")
 
 
+def three_point(out: str = "BENCH_scale3.json") -> None:
+    """Optional third scale point (x30) for the most scale-critical
+    families — three measured points expose curvature a two-point
+    ratio can hide.  Run: python tools/bench_scale.py --three-point"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    spark = get_spark("bench-scale3")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    critical = {
+        "dedup_minhash_lsh": None,
+        "dedup_substring_spans": None,
+        "pack_sequences": None,
+        "doc_chunk_overlap": None,
+        "dedup_exact": None,
+    }
+    points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
+              ("x30", "scale_corpus/x30", 30)]
+    results: dict[str, dict] = {}
+    for name in critical:
+        fn = merged[name].fn
+        row: dict[str, float] = {}
+        for label, path, _f in points:
+            sec, nrows = _time_query(spark, fn, path, {})
+            row[label] = sec
+            print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
+        row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
+        row["ratio_30_10"] = round(row["x30"] / row["x10"], 2)
+        results[name] = row
+    payload = {"metric": "scaling_curve_3pt", "points": [1, 10, 30], "families": results}
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: (v["ratio_10_1"], v["ratio_30_10"]) for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--three-point" in sys.argv:
+        three_point()
+    else:
+        main()
