@@ -75,3 +75,45 @@ def insert_or_ignore(
 def with_autoincrement_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
     """AUTOINCREMENT analog: unique-not-dense ids (SURVEY §1.2)."""
     return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def read_events_json_robust(
+    spark: SparkSession, path: str, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """Malformed-input-tolerant JSON-lines ingestion of the message
+    event schema (the shape a real topic dump / firehose lands in):
+    PERMISSIVE mode routes unparseable lines into ``corrupt_col``
+    instead of failing the job, and rows missing fields surface nulls.
+
+    Returns the full frame including the corrupt column — callers split
+    it into clean rows (`corrupt_col IS NULL`) and a quarantine side
+    for reprocessing, which is the at-scale pattern: one pass, no
+    job-killing poison pills, auditable reject counts.  Works identically
+    as `spark.readStream.schema(...).json` for the streaming path (the
+    schema carries the corrupt column)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..schemas import MESSAGE_EVENT_SCHEMA
+
+    schema = StructType(
+        list(MESSAGE_EVENT_SCHEMA.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame, corrupt_col: str = "_corrupt_record"):
+    """(clean, quarantine) split of a robust-read frame.  The quarantine
+    side keeps the data columns alongside the raw line: Spark refuses a
+    query whose referenced columns are ONLY the internal corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the parse is cached, and
+    at ingest scale caching the whole frame is exactly what you don't
+    want — carrying the (null-filled) data columns sidesteps the
+    restriction in one pass AND preserves whatever partially parsed."""
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantine

@@ -54,3 +54,35 @@ def test_insert_or_ignore(spark, tmp_path):
     # in-batch duplicate collapse: first wins
     dup_batch = rows.unionByName(rows)
     assert insert_or_ignore(spark, base, "phone_numbers", dup_batch, "phone_number") == 0
+
+
+def test_robust_json_ingestion_quarantines_poison_pills(spark, tmp_path):
+    """PERMISSIVE JSON ingestion must keep every well-formed event,
+    route malformed lines to quarantine instead of failing the job, and
+    null-fill rows with missing fields — the poison-pill tolerance a
+    firehose ingest needs."""
+    from banking_streamprocessing_demos_spark.sources.storage import (
+        read_events_json_robust,
+        split_quarantine,
+    )
+
+    p = tmp_path / "events.jsonl"
+    lines = [
+        '{"message_id": "m1", "status": "sent", "phone_number": 5551234, "carrier": "att", "timestamp": 1700000000000}',
+        'this is not json at all',
+        '{"message_id": "m2", "status": "delivered", "phone_number": 5555678, "carrier": "verizon", "timestamp": 1700000001000}',
+        '{"message_id": "m3", "status": "sent"}',          # missing fields -> nulls
+        '{"message_id": "m4", "timestamp": "not-a-long"}', # type mismatch -> corrupt
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_events_json_robust(spark, str(p))
+    clean, quarantine = split_quarantine(df)
+    got = {r.message_id: r for r in clean.collect()}
+    assert set(got) == {"m1", "m2", "m3"}
+    assert got["m1"].timestamp == 1_700_000_000_000
+    assert got["m3"].phone_number is None and got["m3"].timestamp is None
+    bad = [r._corrupt_record for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("not-a-long" in b for b in bad)
