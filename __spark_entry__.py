@@ -120,6 +120,7 @@ _FLAGSHIP_REFRESH = [
 # now and rotate into the window next round.
 _ROUND3_OVERFLOW = [
     "a12_exact_group_median",
+    "f13_morton_code",
 ]
 
 _DEMOTED_TAIL = [

@@ -1758,3 +1758,46 @@ def a12_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).cast("double").alias("median_value"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+MORTON_BITS = 16
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(MORTON_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@REG.add(
+    "f13_morton_code",
+    f"""
+    SELECT event_id,
+           user_id % 65536 AS x,
+           (epoch_ms(ts) // 86400000) % 65536 AS y,
+           {_morton_sql("(user_id % 65536)", "((epoch_ms(ts) // 86400000) % 65536)")} AS morton
+    FROM events
+    """,
+    doc=f"F13 (extension): Morton/Z-order code — {MORTON_BITS}-bit interleave of "
+    "(user_id, day) into one sort key.  Writing data ordered by this code "
+    "clusters BOTH dimensions into the same parquet row groups, so min/max "
+    "stats prune scans for predicates on either column — the write-once "
+    "layout lever for multi-predicate workloads (Delta/Iceberg Z-ORDER "
+    "re-expressed as a pure column).  Bit ops only: stays in codegen, zero "
+    "shuffle; bit-identical across engines so the oracle is exact.",
+)
+def f13_morton_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("x"),
+        ((epoch_ms(F.col("ts")) / 86_400_000).cast("long") % 65536).alias("y"),
+    )
+    morton = None
+    for i in range(MORTON_BITS):
+        xb = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        bits = xb.bitwiseOR(yb)
+        morton = bits if morton is None else morton.bitwiseOR(bits)
+    return ev.select("event_id", "x", "y", morton.alias("morton"))

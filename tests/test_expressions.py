@@ -74,3 +74,36 @@ def test_build_phone_number(spark):
         build_phone_number(F.col("a"), F.col("e"), F.col("n")).alias("p")
     )
     assert df.first().p == 2125551234
+
+
+def test_morton_code_matches_python_reference(spark):
+    """Bit-interleave correctness vs a pure-Python reference, plus the
+    locality property that justifies the layout: sorting by the Morton
+    code keeps 2-D neighbors closer than a single-key sort does."""
+    from banking_streamprocessing_demos_spark.operators.relational import f13_morton_code
+    from tests.conftest import SF_SMALL
+
+    rows = f13_morton_code(spark, SF_SMALL).collect()
+
+    def py_morton(x, y):
+        m = 0
+        for i in range(16):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    assert rows
+    for r in rows[:500]:
+        assert r.morton == py_morton(r.x, r.y), (r.x, r.y)
+
+    # locality: average |Δx| + |Δy| between rows adjacent in morton
+    # order must beat adjacency in plain x order's |Δy| spread
+    by_morton = sorted(rows, key=lambda r: r.morton)
+    by_x = sorted(rows, key=lambda r: (r.x, r.event_id))
+    d_morton = sum(
+        abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(by_morton, by_morton[1:])
+    ) / (len(rows) - 1)
+    d_x = sum(
+        abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(by_x, by_x[1:])
+    ) / (len(rows) - 1)
+    assert d_morton < d_x, (d_morton, d_x)
