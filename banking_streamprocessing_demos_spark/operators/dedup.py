@@ -634,22 +634,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = sh.filter(is_bench).select("s").distinct()
     corpus = sh.filter(~is_bench)
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "s", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    # ONE corpus pass: mark benchmark shingles with a broadcast left
+    # join, then count total + contaminated in the same aggregation.
+    # (The previous two-subquery shape — semi-join hits + separate
+    # totals — shingled the corpus twice; this halves the heavy stage.)
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "s", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
     )
     frac = F.col("n_contaminated") / F.col("n_shingles").cast("double")
-    return (
-        hits.join(totals, "doc_id")
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_contaminated",
-            F.round(frac, 6).alias("contamination"),
-            (frac >= CONTAM_TAU).alias("flagged"),
-        )
+    return agg.filter(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(frac, 6).alias("contamination"),
+        (frac >= CONTAM_TAU).alias("flagged"),
     )
 
 
