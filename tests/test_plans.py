@@ -146,12 +146,21 @@ def test_pack_sequences_prefix_sum_shape(spark):
 
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark shingle set is the tiny side: the probe must be a
-    broadcast (map-side) semi-join, not a corpus shuffle."""
+    broadcast (map-side) marker join feeding ONE corpus aggregation —
+    never a corpus shuffle for the probe, never a second corpus pass
+    for the totals (the round-3 one-pass shape)."""
     from banking_streamprocessing_demos_spark.operators.dedup import contamination_check
 
     df = contamination_check(spark, SF_SMALL)
     plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    # exactly ONE corpus aggregation exchange (total + contaminated
+    # counted together — keyed on doc_id); the rest are the two local
+    # fan-out repartitions inside the shingle builder and the tiny
+    # benchmark-side distinct.  The old two-pass shape had TWO doc_id
+    # aggregation exchanges.
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert count_shuffles(df) <= 4, plan
 
 
 def test_hll_register_table_shape(spark):
