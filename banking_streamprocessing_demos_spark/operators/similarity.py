@@ -607,3 +607,14 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_comp")
         )
     )
+
+
+TARGET_CELL_SIZE = 128
+
+
+def auto_cells(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
+    """Production IVF sizing rule: cells grow WITH the corpus so cell
+    size stays ~constant (the invariant the measured scaling curve
+    depends on — see SCALE.md).  Never below the oracle-pinned
+    IVF_CELLS floor."""
+    return max(IVF_CELLS, n_vectors // target_cell_size)

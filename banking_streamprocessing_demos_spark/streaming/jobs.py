@@ -379,3 +379,26 @@ def streaming_cms_cells(
         "bucket",
         F.col("c").cast("long").alias("c"),
     )
+
+
+def read_event_stream_json_robust(
+    spark: SparkSession, path: str, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """Streaming twin of sources.storage.read_events_json_robust:
+    PERMISSIVE JSON-lines event ingestion where malformed lines land in
+    ``corrupt_col`` per micro-batch instead of failing the query.
+    Split with sources.storage.split_quarantine (works unchanged on
+    streaming frames)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..schemas import MESSAGE_EVENT_SCHEMA
+
+    schema = StructType(
+        list(MESSAGE_EVENT_SCHEMA.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -92,9 +92,10 @@ def test_robust_json_ingestion_streaming_twin(spark, tmp_path):
     """The same PERMISSIVE schema works as a streaming source: corrupt
     lines surface in the corrupt column per micro-batch instead of
     killing the query (unified batch/stream ingestion semantics)."""
-    from banking_streamprocessing_demos_spark.schemas import MESSAGE_EVENT_SCHEMA
-    from banking_streamprocessing_demos_spark.streaming.jobs import run_to_memory
-    from pyspark.sql.types import StringType, StructField, StructType
+    from banking_streamprocessing_demos_spark.streaming.jobs import (
+        read_event_stream_json_robust,
+        run_to_memory,
+    )
 
     d = tmp_path / "stream_in"
     d.mkdir()
@@ -102,16 +103,7 @@ def test_robust_json_ingestion_streaming_twin(spark, tmp_path):
         '{"message_id": "s1", "status": "sent", "phone_number": 1, "carrier": "att", "timestamp": 1700000000000}\n'
         "garbage line\n"
     )
-    schema = StructType(
-        list(MESSAGE_EVENT_SCHEMA.fields)
-        + [StructField("_corrupt_record", StringType(), True)]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(str(d))
-    )
+    stream = read_event_stream_json_robust(spark, str(d))
     run_to_memory(stream, "robust_stream_out")
     rows = spark.table("robust_stream_out").collect()
     clean = [r for r in rows if r._corrupt_record is None]

@@ -438,3 +438,14 @@ def test_group_split_no_leakage(spark):
     assert per_source.filter("n_splits > 1").count() == 0
     again = {(r.doc_id, r.split) for r in smp4_group_split(spark, SF_SMALL).collect()}
     assert again == {(r.doc_id, r.split) for r in out.collect()}
+
+
+def test_auto_cells_sizing():
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        IVF_CELLS,
+        auto_cells,
+    )
+
+    assert auto_cells(500) == IVF_CELLS            # floor at the oracle config
+    assert auto_cells(20_000) == 156               # 10x corpus -> ~10x cells
+    assert auto_cells(2_000_000) == 15_625         # constant ~128/cell
