@@ -393,12 +393,89 @@ def read_event_stream_json_robust(
 
     from ..schemas import MESSAGE_EVENT_SCHEMA
 
-    schema = StructType(
-        list(MESSAGE_EVENT_SCHEMA.fields) + [StructField(corrupt_col, StringType(), True)]
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    key: str = "phone_number",
+    window: str = "1 minute",
+    delay: str = "30 seconds",
+    topk: int = 10,
+):
+    """Serving layer over the windowed CMS: maintain per-window cell
+    grids in the stream (bounded state — see streaming_cms_cells) and,
+    per emitted batch of closed windows, probe those cells with a BATCH
+    candidate-key table to publish a top-k parquet per window.
+
+    The candidate keys come from a batch read of the replay directory —
+    in production this is the side table of keys worth ranking (the
+    whole point of CMS serving: you probe candidates, you never store
+    the key universe in stream state).  Batch-id-partitioned dynamic
+    overwrite keeps the sink idempotent under foreachBatch replays
+    (same pattern as run_detector_pipeline).  Estimates >= true counts
+    (CMS guarantee), ties broken by key."""
+    from ..operators.sketches import CMS_D, _cms_bucket_col
+
+    stream = read_event_stream_from_files(spark, events_path)
+    cells = streaming_cms_cells(stream, key=key, window=window, delay=delay)
+
+    batch_events = spark.read.schema(MESSAGE_EVENT_SCHEMA).parquet(events_path)
+    candidate_keys = (
+        with_event_time(batch_events, None)
+        .select(
+            F.unix_millis(F.window("event_time", window).start).alias("window_start_ms"),
+            F.col(key).alias("k"),
+        )
+        .distinct()
     )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            probe = (
+                batch_df.select("window_start_ms")
+                .distinct()
+                .join(candidate_keys, "window_start_ms")
+                .select(
+                    "window_start_ms",
+                    "k",
+                    F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+                )
+                .withColumn("bucket", _cms_bucket_col(F.col("k"), F.col("r")))
+            )
+            est = (
+                probe.join(batch_df, ["window_start_ms", "r", "bucket"], "left")
+                .fillna(0, subset=["c"])
+                .groupBy("window_start_ms", "k")
+                .agg(F.min("c").cast("long").alias("est_count"))
+            )
+            from pyspark.sql import Window as W
+
+            ranked = est.withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("window_start_ms").orderBy(
+                        F.col("est_count").desc(), F.col("k")
+                    )
+                ),
+            ).filter(F.col("rank") <= topk)
+            (
+                ranked.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            batch_df.unpersist()
+
     return (
-        spark.readStream.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+        cells.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -480,3 +480,46 @@ def test_streaming_cms_cells_batch_equals_stream(spark, tmp_path):
     # collision-free (holds on this fixture's key cardinality vs w=1024)
     top_key = max((k for k in exact if k in est), key=lambda k: exact[k])
     assert est[top_key] == exact[top_key]
+
+
+def test_streaming_heavy_hitters_serving(spark, tmp_path):
+    """End-to-end sketch serving: stream maintains windowed CMS cells,
+    foreachBatch probes candidates and publishes per-window top-k.
+    Every published estimate must upper-bound the true windowed count
+    and the true busiest key of each published window must appear at
+    rank 1."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import (
+        run_streaming_heavy_hitters,
+    )
+
+    events = generate_events(spark, CFG)
+    path = str(tmp_path / "hh_ev")
+    events.coalesce(2).write.mode("overwrite").parquet(path)
+    q = run_streaming_heavy_hitters(
+        spark,
+        path,
+        str(tmp_path / "hh_out"),
+        str(tmp_path / "hh_ckpt"),
+        topk=5,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    out = spark.read.parquet(str(tmp_path / "hh_out")).toPandas()
+    assert not out.empty
+    exact = {
+        (r.ws, r.phone_number): r.n
+        for r in events.withColumn("event_time", F.timestamp_millis("timestamp"))
+        .groupBy(F.window("event_time", "1 minute").alias("window"), "phone_number")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("window.start").alias("ws"), "phone_number", "n")
+        .collect()
+    }
+    for row in out.itertuples():
+        true_n = exact.get((row.window_start_ms, row.k), 0)
+        assert row.est_count >= true_n, (row.window_start_ms, row.k)
+    for ws in out["window_start_ms"].unique():
+        best_true = max(
+            (n, -k) for (w, k), n in exact.items() if w == ws
+        )
+        top_row = out[(out.window_start_ms == ws) & (out["rank"] == 1)].iloc[0]
+        assert exact[(ws, top_row.k)] == best_true[0], (ws, top_row.k)
