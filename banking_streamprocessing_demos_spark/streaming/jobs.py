@@ -393,6 +393,16 @@ def read_event_stream_json_robust(
 
     from ..schemas import MESSAGE_EVENT_SCHEMA
 
+    schema = StructType(
+        list(MESSAGE_EVENT_SCHEMA.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
 
 def run_streaming_heavy_hitters(
     spark: SparkSession,
