@@ -534,9 +534,16 @@ def _jl_oracle_sql() -> str:
         f"ROUND(list_dot_product(v, {_JL_SIGNS[j]}) * {_JL_SCALE!r}, 6)"
         for j in range(JL_OUT_DIMS)
     )
+    # One (vec_id, dim, proj) row per output component: scalar columns
+    # only — the round driver's canonicalizer cannot hash array-valued
+    # cells (round-3 red row), so the projection is exploded exactly
+    # like emb_label_centroids.  The two UNNESTs zip positionally.
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT vec_id, [{comps}] AS proj FROM e
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, [{comps}] AS proj FROM e)
+    SELECT vec_id, CAST(UNNEST(range(0, {JL_OUT_DIMS})) AS BIGINT) AS dim,
+           UNNEST(proj) AS proj
+    FROM p
     """
 
 
@@ -547,7 +554,8 @@ def _jl_oracle_sql() -> str:
     "(seeded md5 ±1 matrix, 1/sqrt(k) scale): the standard cheap dimensionality "
     "reduction ahead of ANN indexing/clustering.  Pure in-row fold per output "
     "dim — zero shuffle, embarrassingly parallel; the sign matrix is a plan "
-    "literal so no broadcast or join is ever needed.",
+    "literal so no broadcast or join is ever needed.  Output is exploded to "
+    "(vec_id, dim, proj) scalar rows (driver harness cannot hash arrays).",
 )
 def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -564,7 +572,9 @@ def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) * F.lit(_JL_SCALE), 6
         )
 
-    return e.select("vec_id", F.array(*[comp(j) for j in range(JL_OUT_DIMS)]).alias("proj"))
+    return e.select(
+        "vec_id", F.posexplode(F.array(*[comp(j) for j in range(JL_OUT_DIMS)])).alias("dim0", "proj")
+    ).select("vec_id", F.col("dim0").cast("long").alias("dim"), "proj")
 
 
 @REG.add(

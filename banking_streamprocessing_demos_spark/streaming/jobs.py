@@ -315,7 +315,7 @@ def streaming_minhash_dedup(
                 F.transform(
                     F.sequence(F.lit(0), F.size("words") - NGRAM_N),
                     lambda i: F.concat_ws(
-                        " ", F.get("words", i), F.get("words", i + 1), F.get("words", i + 2)
+                        " ", *[F.get("words", i + k) for k in range(NGRAM_N)]
                     ),
                 )
             ),
@@ -419,10 +419,15 @@ def run_streaming_heavy_hitters(
     per emitted batch of closed windows, probe those cells with a BATCH
     candidate-key table to publish a top-k parquet per window.
 
-    The candidate keys come from a batch read of the replay directory —
-    in production this is the side table of keys worth ranking (the
-    whole point of CMS serving: you probe candidates, you never store
-    the key universe in stream state).  Batch-id-partitioned dynamic
+    The candidate keys come from a ONE-TIME batch read of the replay
+    directory at query start — in production this is the side table of
+    keys worth ranking (the whole point of CMS serving: you probe
+    candidates, you never store the key universe in stream state).
+    This is correct under the availableNow trigger used here (the input
+    set is frozen before the query starts); under a continuous trigger
+    keys first appearing in later files would never be ranked — re-read
+    the candidate table inside the sink if you repurpose this for a
+    live stream.  Batch-id-partitioned dynamic
     overwrite keeps the sink idempotent under foreachBatch replays
     (same pattern as run_detector_pipeline).  Estimates >= true counts
     (CMS guarantee), ties broken by key."""
