@@ -24,6 +24,9 @@ from banking_streamprocessing_demos_spark.operators.packing import REG as PACKIN
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
 from banking_streamprocessing_demos_spark.operators.similarity import REG as SIM_REG
 from banking_streamprocessing_demos_spark.operators.sketches import REG as SKETCH_REG
+from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+    REG as STREAMING_Q_REG,
+)
 from banking_streamprocessing_demos_spark.operators.text import REG as TEXT_REG
 
 _REGISTRIES = [
@@ -35,108 +38,92 @@ _REGISTRIES = [
     MM_REG,
     PACKING_REG,
     SKETCH_REG,
+    STREAMING_Q_REG,
 ]
 
 # The round driver checks the FIRST 50 queries() entries in insertion
-# order.  Round-3 rotation (per round-2 VERDICT "Next round #1"): the
-# 36 queries that had zero driver evidence after two rounds (they sat
-# in the tail behind the static round-2 priority list) are promoted to
-# slots 1-36; new round-3 operators follow; the remaining slots are
-# refreshed flagships (the highest-value twice-green queries, one per
-# §2 capability family).  Demoted queries stay registered and are still
-# hash-verified every round by tools/check_correctness.py — the
-# committed CORRECTNESS_FULL_r{N}.json artifact records the full
-# registry, not just the driver's 50-row window.
+# order.  Round-4 rotation (standing policy from round-2 VERDICT #1,
+# re-ordered per round-3 VERDICT #3): slots go to (a) every query with
+# NO green driver row from any prior round — the round-3 overflow pair,
+# plus emb_random_project, red in r3 on output shape and reshaped this
+# round; (b) every query new this round; (c) flagship refreshes — the
+# highest-value driver-green queries, spanning every §2 + LLM-pipeline
+# capability family, re-earning rows on round-4's regenerated testdata.
+# Demoted queries stay registered and are hash-verified every round by
+# tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
+# artifact records the whole registry, not just the driver's window.
 _PROMOTED_NEVER_CHECKED = [
-    # joins / aggs / windows (rounds-1-2 extensions, never driver-run)
-    "j6_asof_join",
-    "j7_range_join",
-    "j8_salted_skew_join",
-    "a7_pricing_summary",
-    "a8_rollup_counts",
-    "a9_distinct_aggs",
-    "a10_pivot_counts",
-    "a11_grouping_sets",
-    "w1_hourly_event_counts",
-    "w2_latency_quantiles",
-    "w3_event_gaps",
-    "w5_session_window",
-    "w6_retention_cohorts",
-    "w7_funnel",
-    "w8_funnel_windowed",
-    "w9_scd2_intervals",
-    "s8_set_operations",
-    "smp3_stratified_split",
-    # message-domain / streaming analytics
-    "gen_alert_rates_by_carrier",
-    "gen_timeout_alerts",
-    "gen_carrier_active_counts",
-    "gen_status_histogram",
-    "st1_join_variant",
-    # round-2 LLM-pipeline extensions
-    "pack_sequences",
-    "contamination_check",
-    "text_repetition",
-    "dedup_semantic_clusters",
-    "text_pii_scrub",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "sketch_bloom_prefilter",
-    "dedup_substring_spans",
-    "pipe_domain_mix",
-    "text_bigram_lm_score",
-    "pipe_quality_prune",
-    "pipe_shard_assign",
+    # round-3 overflow (window was full; carried CORRECTNESS_FULL_r03
+    # evidence) and the round-3 red row, reshaped to scalar columns
+    "a12_exact_group_median",
+    "f13_morton_code",
+    "emb_random_project",
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND3_NEW = [
-    "doc_chunk_overlap",
-    "dedup_exact_normalized",
-    "f12_json_props",
-    "w10_anomaly_zscore",
-    "sim_knn_graph",
-    "emb_random_project",
-    "j9_full_outer_reconcile",
-    "text_containment",
-    "emb_label_centroids",
-    "smp4_group_split",
-    "text_vocab_topk",
-    "u6_merge_upsert",
-    "pipe_length_filter",
+_ROUND4_NEW = [
+    "streaming_doc_dedup",
+    "streaming_minhash_dedup",
+    "streaming_hll_distinct",
+    "streaming_contamination_check",
+    "pipe_quality_gate",
 ]
 
-# Twice-green flagships refreshed in any window slots left over (one
-# per capability family: stateful detector, interval join, star agg,
-# LSH dedup, tf-idf, ANN, packing pipeline, generator snapshot, ...).
+# Driver-green flagships refreshed in the remaining slots, spanning the
+# capability families: stateful streaming, joins, aggs/windows, updates,
+# sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
     "st1_streaming_detector",
-]
-
-# Demoted tail: core §2 relational ops (driver-green rounds 1 AND 2)
-# plus everything else twice-proven.  Still verified locally per round.
-# New-this-round overflow: the window is full (49 never-checked + the
-# st1 flagship), so these carry committed CORRECTNESS_FULL_r03 evidence
-# now and rotate into the window next round.
-_ROUND3_OVERFLOW = [
-    "a12_exact_group_median",
-    "f13_morton_code",
-]
-
-_DEMOTED_TAIL = [
-    "j5_timeout_pairing",
-    "a3_join_agg_revenue",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "text_tfidf_topk",
-    "sim_ann_ivf",
-    "w4_sessionization",
+    "st1_join_variant",
     "gen_messages_snapshot",
-    "pipe_curation",
-    "mm_feature_extract",
-    "f_expressions",
+    "j1_join_filter_groupby",
+    "j5_timeout_pairing",
+    "j6_asof_join",
+    "j7_range_join",
+    "j8_salted_skew_join",
+    "a3_join_agg_revenue",
+    "a7_pricing_summary",
+    "a11_grouping_sets",
+    "w1_hourly_event_counts",
+    "w4_sessionization",
+    "w5_session_window",
+    "w6_retention_cohorts",
+    "w9_scd2_intervals",
     "u3_snapshot_last_event_wins",
-    "smp1_deterministic_sample",
+    "u6_merge_upsert",
+    "smp3_stratified_split",
+    "smp4_group_split",
+    "s8_set_operations",
+    "f_expressions",
+    "f12_json_props",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_semantic_clusters",
+    "dedup_substring_spans",
+    "text_containment",
+    "contamination_check",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_knn_graph",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "text_tfidf_topk",
+    "text_stats_quality",
+    "text_pii_scrub",
+    "text_bigram_lm_score",
+    "pack_sequences",
+]
+
+# Round-new overflow (none this round: 8 + 42 fit exactly).
+_ROUND4_OVERFLOW = []
+
+# Demoted tail: everything with green driver rows from prior rounds
+# (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
+# round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
+_DEMOTED_TAIL = [
     "p1_projection_sort_limit",
     "p2_filter_inequality",
     "p3_filter_eq_single_col",
@@ -145,7 +132,6 @@ _DEMOTED_TAIL = [
     "p6_branching_threshold",
     "p7_null_as_status",
     "p8_membership_sets",
-    "j1_join_filter_groupby",
     "j2_scalar_correlated_subquery",
     "j3_anti_join",
     "j4_semi_join",
@@ -154,32 +140,53 @@ _DEMOTED_TAIL = [
     "a4_group_stats",
     "a6_running_counters",
     "srt1_topn_by_time",
+    "smp1_deterministic_sample",
     "u1_insert_or_ignore",
     "u4_heartbeat_rollup",
     "f8_weighted_classify",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "w3_event_gaps",
+    "a8_rollup_counts",
+    "a9_distinct_aggs",
+    "a10_pivot_counts",
+    "w2_latency_quantiles",
+    "w7_funnel",
+    "w8_funnel_windowed",
+    "w10_anomaly_zscore",
+    "j9_full_outer_reconcile",
+    "gen_timeout_alerts",
+    "gen_carrier_active_counts",
+    "gen_normal_delay_snapshot",
+    "gen_alert_rates_by_carrier",
+    "smp2_backpressure_topup",
+    "s5_console_dry_run",
+    "gen_status_histogram",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh",
-    "emb_quantize_int8",
-    "text_stats_quality",
+    "dedup_exact_normalized",
     "text_langid",
     "text_token_counts",
     "text_fingerprint",
+    "pipe_curation",
+    "text_repetition",
+    "doc_chunk_overlap",
+    "text_vocab_topk",
+    "pipe_length_filter",
     "mm_resize",
     "mm_frame_sample",
-    "s5_console_dry_run",
-    "smp2_backpressure_topup",
-    "gen_normal_delay_snapshot",
+    "mm_feature_extract",
+    "pipe_domain_mix",
+    "pipe_quality_prune",
+    "pipe_shard_assign",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_prefilter",
 ]
 
 _DRIVER_PRIORITY = (
     _PROMOTED_NEVER_CHECKED
-    + _ROUND3_NEW
+    + _ROUND4_NEW
     + _FLAGSHIP_REFRESH
-    + _ROUND3_OVERFLOW
+    + _ROUND4_OVERFLOW
     + _DEMOTED_TAIL
 )
 

@@ -1,0 +1,393 @@
+"""Driver-checkable STREAMING queries: each registry entry below runs a
+real Structured Streaming job to completion (file replay → availableNow
+→ memory sink, the st1 pattern from operators/message_domain.py) and
+returns a deterministic DataFrame with an exact DuckDB oracle — the
+streaming twins graduate from pytest-only evidence to hash-checked
+correctness rows.
+
+Determinism engineering (why a *streaming* run can hash-match SQL):
+
+- **Replay order**: the corpus is written as ONE sorted parquet file, so
+  the single availableNow micro-batch iterates rows in (ingest order) —
+  first-arrival semantics (dropDuplicatesWithinWatermark ownership)
+  resolve identically to the batch twin's (ingest_ts, doc_id) rank.
+  Rows from one map task arrive in original order at each shuffle
+  reader, so within-key order survives the state-store repartition.
+- **Single batch, epoch-0 watermark**: all data is processed while the
+  watermark is still 0 (its value from the empty previous batch), so no
+  row is ever late-dropped and no state is evicted mid-replay — the
+  stream computes the same global answer as the batch plan.
+- **Sentinel flush**: windowed aggregations in append mode only emit
+  windows the watermark has closed.  A single far-future sentinel row
+  (excluded from the output by a window bound) pushes the post-batch
+  watermark past every real window, and Spark's no-data micro-batches
+  flush the state through every chained stateful stage before the
+  availableNow query terminates.
+
+Scale: the plans are the production ingest shapes (bounded state per
+watermark horizon); the one-file replay is a TEST harness artifact —
+a cluster deployment reads a partitioned directory / Kafka topic and
+keeps per-key ordering via the state-store hash partitioning, trading
+the cross-key total order (which none of these jobs rely on) for
+parallelism.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Registry
+from .dedup import (
+    MINHASH_BANDS,
+    NGRAM_N,
+    minhash_lsh_oracle,  # noqa: F401  (doc pointer: shared constants family)
+)
+from .dedup import _minhash_sig_sql, _band_sql
+from .message_domain import CFG, _PRELUDE, _events
+from .sketches import (
+    HLL_REM_MOD,
+    _HLL_EST_SQL,
+    _POW2_NEG_CASE,
+    _RANK_CASE,
+    _hex8_sql,
+)
+
+REG = Registry()
+
+# Minute-aligned epoch base so ingest_ts = BASE_MS + ord*1000 makes
+# window_start_ms a closed-form function of the ingest ordinal in BOTH
+# engines: BASE_MS + (ord // 60) * 60000.
+INGEST_BASE_MS = 1_700_000_100_000
+assert INGEST_BASE_MS % 60_000 == 0
+# Re-ingested duplicate copies arrive this many ordinals (seconds) after
+# the full original corpus — far later than any original, so the
+# original always owns the state key.
+DUP_OFFSET = 10_000_000
+SENTINEL_ORD = 2 * DUP_OFFSET
+
+
+def _replay_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic ingest replay: every document, plus a late
+    re-ingest of every 10th document (planted exact duplicates — the
+    sf0.01 corpus has none of its own), ingest_ts = BASE + ord seconds
+    with ord = doc_id (originals) / doc_id + DUP_OFFSET (copies)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dups)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+
+
+_REPLAY_DOCS_SQL = f"""
+    replay AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _write_sorted_replay(df: DataFrame, prefix: str, order_cols: list[str]) -> str:
+    """One sorted file = deterministic arrival order for the single
+    availableNow micro-batch (see module docstring)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    df.orderBy(*order_cols).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_available_now(df: DataFrame, prefix: str, timeout_s: int = 240) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {prefix} did not finish within {timeout_s}s")
+    return spark.table(name)
+
+
+@REG.add(
+    "streaming_doc_dedup",
+    f"""
+    WITH {_REPLAY_DOCS_SQL}
+    SELECT MIN(doc_id) AS doc_id, MD5(text) AS content_hash
+    FROM replay GROUP BY text
+    """,
+    doc="Streaming exact document dedup run FOR REAL (ingestion-time twin "
+    "of dedup_exact): ordered file replay of the corpus + planted late "
+    "re-ingests through dropDuplicatesWithinWatermark on md5(text) with a "
+    "horizon covering the whole replay — bounded state at production "
+    "horizons, global-dedup semantics here.  Survivor = first arrival = "
+    "min ingest ordinal, so the oracle is MIN(doc_id) per distinct text.",
+)
+def streaming_doc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_doc_dedup
+
+    replay = _replay_corpus(spark, sf_dir)
+    path = _write_sorted_replay(replay, "sdd-docs-", ["ingest_ts", "doc_id"])
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(path)
+    # horizon > replay span (DUP_OFFSET seconds ≈ 116 days): no eviction,
+    # stream == global first-arrival dedup
+    out = _run_available_now(
+        streaming_doc_dedup(stream, delay="3650 days"), "streaming_doc_dedup"
+    )
+    return out.select("doc_id", "content_hash")
+
+
+def _streaming_minhash_oracle() -> str:
+    # Ownership of a (band, bucket) key is first arrival = min ingest
+    # ordinal = min doc_id (ingest_ts is a monotone function of doc_id
+    # in the replay); a doc is KEPT iff it owns all MINHASH_BANDS of its
+    # bands.  Signatures reuse the exact SQL the batch LSH oracle uses —
+    # same md5, same affine permutation family, same band hashing.
+    return f"""
+    WITH {_REPLAY_DOCS_SQL},
+    shingles_raw AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, {" || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))} AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM replay),
+                 UNNEST(range(1, len(words) - {NGRAM_N} + 2)) AS t(i)
+        )
+    ),
+    {_minhash_sig_sql()},
+    bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(MINHASH_BANDS))}),
+    owned AS (SELECT band, bucket, MIN(doc_id) AS owner FROM bands GROUP BY band, bucket),
+    kept AS (
+        SELECT b.doc_id, COUNT(*) AS owned_bands
+        FROM bands b JOIN owned o
+          ON b.band = o.band AND b.bucket = o.bucket AND b.doc_id = o.owner
+        GROUP BY b.doc_id
+        HAVING COUNT(*) = {MINHASH_BANDS}
+    )
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           doc_id,
+           CAST(owned_bands AS BIGINT) AS owned_bands
+    FROM kept
+    """
+
+
+@REG.add(
+    "streaming_minhash_dedup",
+    _streaming_minhash_oracle(),
+    doc="Streaming MinHash-LSH near-dup ingest filter run FOR REAL: ordered "
+    "replay (corpus + planted late duplicates) through in-row banding + "
+    "dropDuplicatesWithinWatermark on (band, bucket); a doc survives iff it "
+    "owns ALL its bands.  A far-future sentinel doc pushes the final "
+    "watermark past every real ingest window so append-mode windowed "
+    "counts flush; the sentinel's own window never closes and is absent "
+    "from the output by construction.",
+)
+def streaming_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_minhash_dedup
+
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    ).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000)
+    )
+    replay = _replay_corpus(spark, sf_dir).unionByName(sentinel)
+    path = _write_sorted_replay(replay, "smh-docs-", ["ingest_ts", "doc_id"])
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(path)
+    out = _run_available_now(
+        streaming_minhash_dedup(stream, window="1 minute", delay="2 minutes"),
+        "streaming_minhash_dedup",
+    )
+    # belt-and-braces: the sentinel's window cannot have closed, but pin
+    # the output bound so a future flush-semantics change fails loudly
+    # in the hash gate rather than silently including it
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+def _streaming_hll_oracle() -> str:
+    return (
+        _PRELUDE
+        + f"""
+    , hashed AS (
+        SELECT (timestamp // 60000) * 60000 AS window_start_ms,
+               md5('hll-' || CAST(phone_number AS VARCHAR)) AS hx
+        FROM gen_events
+    ),
+    ints AS (SELECT window_start_ms, {_hex8_sql('hx')} AS h FROM hashed),
+    parts AS (SELECT window_start_ms, h // {HLL_REM_MOD} AS bucket, h % {HLL_REM_MOD} AS w FROM ints),
+    ranks AS (SELECT window_start_ms, bucket, {_RANK_CASE} AS rank FROM parts),
+    regs AS (SELECT window_start_ms, bucket, MAX(rank) AS mr FROM ranks GROUP BY 1, 2),
+    agg AS (
+        SELECT window_start_ms, COUNT(*) AS n_filled, SUM({_POW2_NEG_CASE}) AS sum_inv
+        FROM regs GROUP BY window_start_ms
+    )
+    SELECT window_start_ms,
+           CAST(n_filled AS BIGINT) AS n_filled,
+           CAST(ROUND({_HLL_EST_SQL}, 6) AS DOUBLE) AS est_distinct
+    FROM agg
+    """
+    )
+
+
+@REG.add(
+    "streaming_hll_distinct",
+    _streaming_hll_oracle(),
+    doc="Windowed HyperLogLog distinct phones per minute run FOR REAL as a "
+    "chained stateful streaming aggregation (register max per (window, "
+    "bucket) → per-window harmonic fold) over a replay of the generated "
+    "message fixture — per-window state is 512 registers regardless of key "
+    "cardinality.  Register max and the exact power-of-two harmonic sum "
+    "are order-independent, so the streaming estimates hash-match the "
+    "batch SQL bit-for-bit; a sentinel event closes every real window.",
+)
+def streaming_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_event_stream_from_files, streaming_hll_distinct
+
+    events = _events(spark, CFG)
+    max_ts = events.agg(F.max("timestamp")).first()[0]
+    sentinel_ts = max_ts + 30_000 + 120_000 + 60_000
+    sentinel = spark.createDataFrame(
+        [
+            Row(
+                message_id="sentinel",
+                status="sent",
+                phone_number=0,
+                carrier="verizon",
+                timestamp=sentinel_ts,
+            )
+        ],
+        schema=events.schema,
+    )
+    path = tempfile.mkdtemp(prefix="shll-events-")
+    events.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(path)
+    stream = read_event_stream_from_files(spark, path)
+    out = _run_available_now(
+        streaming_hll_distinct(stream, key="phone_number", window="1 minute", delay="30 seconds"),
+        "streaming_hll_distinct",
+    )
+    # the sentinel's own (never-closed, never-emitted) window starts
+    # after max_ts; bound the output to real windows only
+    return out.filter(F.col("window_start_ms") <= F.lit(max_ts))
+
+
+def _streaming_contamination_oracle() -> str:
+    from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU, NGRAM_N as _N
+
+    return f"""
+    WITH shingles_raw AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, {" || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))} AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                 UNNEST(range(1, len(words) - {_N} + 2)) AS t(i)
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT s FROM shingles_raw WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, s FROM shingles_raw WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_contaminated
+        FROM corpus c SEMI JOIN bench b ON c.s = b.s
+        GROUP BY c.doc_id
+    )
+    SELECT {INGEST_BASE_MS} + (h.doc_id // 60) * 60000 AS window_start_ms,
+           h.doc_id, t.n_shingles, h.n_contaminated,
+           ROUND(h.n_contaminated / CAST(t.n_shingles AS DOUBLE), 6) AS contamination,
+           h.n_contaminated / CAST(t.n_shingles AS DOUBLE) >= {CONTAM_TAU} AS flagged
+    FROM hits h JOIN totals t USING (doc_id)
+    """
+
+
+@REG.add(
+    "streaming_contamination_check",
+    _streaming_contamination_oracle(),
+    doc="INCREMENTAL benchmark-contamination check (round-3 VERDICT #8) run "
+    "FOR REAL: training documents arrive as a stream and are probed "
+    "against the STATIC benchmark shingle set (every CONTAM_BENCH_MODth "
+    "doc) via a broadcast stream-static left join — the production "
+    "decontamination-at-ingest shape, where the eval suites are a fixed "
+    "side table and the corpus never re-scans.  Per-doc shingle totals "
+    "aggregate under an ingest-time window (state = in-flight windows "
+    "only); the far-future sentinel closes every real window.  Output "
+    "matches the batch contamination_check semantics exactly, plus the "
+    "closed-form ingest window column.",
+)
+def streaming_contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU
+    from .dedup import _shingles
+
+    # static benchmark side: distinct shingles of every MODth doc
+    bench = (
+        _shingles(spark, sf_dir)
+        .filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # sentinel ord must NOT be divisible by CONTAM_BENCH_MOD: the stream
+    # filters bench docs out BEFORE the watermark node, and a filtered
+    # sentinel would never advance the watermark — no window would close
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD + 1, text="sentinel flush document beyond every window")]
+    )
+    assert (SENTINEL_ORD + 1) % CONTAM_BENCH_MOD != 0
+    replay = docs.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "scc-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.split("text", " ")) - NGRAM_N),
+            lambda i: F.concat_ws(
+                " ", *[F.get(F.split("text", " "), i + k) for k in range(NGRAM_N)]
+            ),
+        )
+    )
+    shingled = (
+        stream.filter(F.size(F.split("text", " ")) >= NGRAM_N)
+        .select("doc_id", "ingest_ts", F.explode(grams).alias("s"))
+    )
+    marked = shingled.join(F.broadcast(bench), "s", "left")
+    agg = marked.groupBy(F.window("ingest_ts", "1 minute"), "doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
+    )
+    frac = F.col("n_contaminated") / F.col("n_shingles").cast("double")
+    out_stream = agg.filter(F.col("n_contaminated") > 0).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round(frac, 6).alias("contamination"),
+        (frac >= F.lit(CONTAM_TAU)).alias("flagged"),
+    )
+    out = _run_available_now(out_stream, "streaming_contamination")
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)

@@ -646,3 +646,144 @@ def pipe_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rk") > F.floor(F.col("n") * LENGTH_FILTER_LO).cast("long"))
         & (F.col("rk") <= F.ceil(F.col("n") * LENGTH_FILTER_HI).cast("long"))
     ).select("doc_id", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# composed document-quality gate (round-4: the curation classifier as ONE
+# checked pipeline — exact-dedup canonicality + length + Gopher repetition
+# + corpus-bigram LM, per-doc verdict with named fail reasons)
+# ---------------------------------------------------------------------------
+
+QG_MIN_WC = 25
+QG_MAX_DUP_WORD = 0.65
+QG_MAX_DUP_2GRAM = 0.06
+QG_MIN_AVG_LOGPROB = -3.41
+
+
+def _quality_gate_sql() -> str:
+    return f"""
+    WITH lm AS ({BIGRAM_LM_SQL}),
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    rep AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS wc,
+               ROUND(1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+                 AS dup_word_frac,
+               CASE WHEN len(words) >= 2
+                    THEN ROUND(1.0 - len(list_distinct(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])))
+                               / CAST(len(words) - 1 AS DOUBLE), 6)
+                    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+        FROM w
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    j AS (
+        SELECT r.doc_id, r.wc, r.dup_word_frac, r.dup_2gram_frac,
+               l.avg_logprob,
+               (c.doc_id IS NOT NULL) AS is_canonical
+        FROM rep r
+        LEFT JOIN canon c ON r.doc_id = c.doc_id
+        LEFT JOIN lm l ON r.doc_id = l.doc_id
+    )
+    SELECT doc_id, wc, dup_word_frac, dup_2gram_frac, avg_logprob, is_canonical,
+           concat_ws(',',
+               CASE WHEN NOT is_canonical THEN 'dup' END,
+               CASE WHEN wc < {QG_MIN_WC} THEN 'short' END,
+               CASE WHEN dup_word_frac > {QG_MAX_DUP_WORD!r} THEN 'rep_word' END,
+               CASE WHEN dup_2gram_frac > {QG_MAX_DUP_2GRAM!r} THEN 'rep_2gram' END,
+               CASE WHEN avg_logprob IS NULL OR avg_logprob < {QG_MIN_AVG_LOGPROB!r}
+                    THEN 'lm' END
+           ) AS fail_reasons,
+           (is_canonical AND wc >= {QG_MIN_WC}
+            AND dup_word_frac <= {QG_MAX_DUP_WORD!r}
+            AND dup_2gram_frac <= {QG_MAX_DUP_2GRAM!r}
+            AND avg_logprob IS NOT NULL
+            AND avg_logprob >= {QG_MIN_AVG_LOGPROB!r}) AS passed
+    FROM j
+    """
+
+
+@REG.add(
+    "pipe_quality_gate",
+    _quality_gate_sql(),
+    doc="Document-level quality classifier COMPOSED from the checked signal "
+    "operators as one gated pipeline (round-3 VERDICT #8): exact-dedup "
+    "canonicality + minimum length + Gopher repetition caps (dup-word / "
+    "dup-2-gram fractions) + the corpus-bigram LM score, emitting a per-doc "
+    "verdict plus named fail reasons in a fixed order.  Every threshold "
+    "compares the 6dp-ROUNDED signal (the repo's float-parity treatment), "
+    "so the verdict can never flip on a ULP between engines.  Scale shape: "
+    "the repetition/length signals are in-row; the only shuffles are the "
+    "dedup groupBy and the LM's count joins — the same stages the component "
+    "operators already budget; the final assembly is two joins on doc_id.",
+)
+def pipe_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text", F.split("text", " ").alias("words"))
+    )
+    n_words = F.size("words")
+    distinct_words = F.array_distinct(F.col("words"))
+    grams2 = F.transform(
+        F.sequence(F.lit(0), n_words - 2),
+        lambda i: F.concat_ws(" ", F.get("words", i), F.get("words", i + 1)),
+    )
+    dup2 = F.when(
+        n_words >= 2,
+        F.round(1.0 - F.size(F.array_distinct(grams2)) / (n_words - 1).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    rep = doc.select(
+        "doc_id",
+        "text",
+        n_words.cast("long").alias("wc"),
+        F.round(1.0 - F.size(distinct_words) / n_words.cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        dup2.cast("double").alias("dup_2gram_frac"),
+    )
+    canon = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_canon"))
+    )
+    lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    j = (
+        rep.join(canon, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "wc",
+            "dup_word_frac",
+            "dup_2gram_frac",
+            "avg_logprob",
+            F.coalesce(F.col("is_canon"), F.lit(False)).alias("is_canonical"),
+        )
+    )
+    lm_ok = F.col("avg_logprob").isNotNull() & (
+        F.col("avg_logprob") >= F.lit(QG_MIN_AVG_LOGPROB)
+    )
+    return j.select(
+        "doc_id",
+        "wc",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "avg_logprob",
+        "is_canonical",
+        F.concat_ws(
+            ",",
+            F.when(~F.col("is_canonical"), F.lit("dup")),
+            F.when(F.col("wc") < QG_MIN_WC, F.lit("short")),
+            F.when(F.col("dup_word_frac") > QG_MAX_DUP_WORD, F.lit("rep_word")),
+            F.when(F.col("dup_2gram_frac") > QG_MAX_DUP_2GRAM, F.lit("rep_2gram")),
+            F.when(~lm_ok, F.lit("lm")),
+        ).alias("fail_reasons"),
+        (
+            F.col("is_canonical")
+            & (F.col("wc") >= QG_MIN_WC)
+            & (F.col("dup_word_frac") <= QG_MAX_DUP_WORD)
+            & (F.col("dup_2gram_frac") <= QG_MAX_DUP_2GRAM)
+            & lm_ok
+        ).alias("passed"),
+    )

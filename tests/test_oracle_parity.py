@@ -67,37 +67,38 @@ DRIVER_WINDOW = 50  # the round driver checks only the first 50 queries()
 
 
 def test_driver_window_rotation_invariants():
-    """Round-3 rotation policy (round-2 VERDICT item #1): the driver
-    verifies only the first 50 entries of queries(); those slots now
-    belong to (a) every query that had zero driver evidence after two
-    rounds, (b) every query new this round, (c) twice-green flagship
-    refreshes — in that order.  Pin the policy so additions can't
-    silently push never-checked queries back past slot 50."""
+    """Round-4 rotation policy (standing, from round-2 VERDICT #1 /
+    round-3 VERDICT #3): the driver verifies only the first 50 entries
+    of queries(); those slots belong to (a) every query with NO green
+    driver row from any prior round, (b) every query new this round,
+    (c) driver-green flagship refreshes — in that order.  Pin the
+    policy so additions can't silently push never-checked queries back
+    past slot 50."""
     import __spark_entry__ as entrymod
 
     window = list(QUERIES)[:DRIVER_WINDOW]
     in_window = set(window)
     assert len(window) == DRIVER_WINDOW
-    # (a) promoted never-checked queries occupy the head of the window
+    # (a) promoted never-driver-green queries occupy the head of the window
     promoted = entrymod._PROMOTED_NEVER_CHECKED
     assert window[: len(promoted)] == promoted
     # (b) every round-new query sits inside the window
-    for name in entrymod._ROUND3_NEW:
+    for name in entrymod._ROUND4_NEW:
         assert name in in_window, name
     # (c) remaining slots are the declared flagship refreshes
-    assert in_window == set(promoted) | set(entrymod._ROUND3_NEW) | set(
+    assert in_window == set(promoted) | set(entrymod._ROUND4_NEW) | set(
         entrymod._FLAGSHIP_REFRESH
     )
     # the streaming detector (flagship) keeps earning driver rows
     assert "st1_streaming_detector" in in_window
     # every windowed query must have an oracle (full hash check, not rows-only)
     assert in_window <= set(ORACLES)
-    # nothing demoted is unverified: the demoted tail is exactly the set
-    # that is driver-green in BOTH prior rounds' artifacts
+    # nothing demoted is unverified: every demoted query has a green
+    # driver row in SOME prior round's committed artifact
     import json
 
     green = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
         try:
             with open(art) as f:
                 rows = json.load(f)
@@ -108,10 +109,10 @@ def test_driver_window_rotation_invariants():
         assert name in green, f"demoted without prior driver evidence: {name}"
     # round-new overflow queries (window full) must carry committed
     # full-registry evidence instead
-    if entrymod._ROUND3_OVERFLOW:
-        with open("CORRECTNESS_FULL_r03.json") as f:
+    if entrymod._ROUND4_OVERFLOW:
+        with open("CORRECTNESS_FULL_r04_pre.json") as f:
             full = json.load(f)
-        for name in entrymod._ROUND3_OVERFLOW:
+        for name in entrymod._ROUND4_OVERFLOW:
             assert name in ORACLES, name
             assert full.get(name, {}).get("hash_match"), (
                 f"overflow query {name} lacks committed full-registry evidence"
