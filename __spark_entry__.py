@@ -65,6 +65,7 @@ _ROUND4_NEW = [
     "streaming_doc_dedup",
     "streaming_minhash_dedup",
     "streaming_hll_distinct",
+    "streaming_cms_cells",
     "streaming_contamination_check",
     "pipe_quality_gate",
 ]
@@ -109,7 +110,6 @@ _FLAGSHIP_REFRESH = [
     "sim_ann_ivf",
     "sim_knn_graph",
     "emb_label_centroids",
-    "emb_quantize_int8",
     "text_tfidf_topk",
     "text_stats_quality",
     "text_pii_scrub",
@@ -117,7 +117,7 @@ _FLAGSHIP_REFRESH = [
     "pack_sequences",
 ]
 
-# Round-new overflow (none this round: 8 + 42 fit exactly).
+# Round-new overflow (none this round: 3 + 6 + 41 fit exactly).
 _ROUND4_OVERFLOW = []
 
 # Demoted tail: everything with green driver rows from prior rounds
@@ -180,6 +180,7 @@ _DEMOTED_TAIL = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_bloom_prefilter",
+    "emb_quantize_int8",
 ]
 
 _DRIVER_PRIORITY = (

@@ -50,7 +50,9 @@ from .dedup import (
 from .dedup import _minhash_sig_sql, _band_sql
 from .message_domain import CFG, _PRELUDE, _events
 from .sketches import (
+    CMS_D,
     HLL_REM_MOD,
+    _cms_bucket_sql,
     _HLL_EST_SQL,
     _POW2_NEG_CASE,
     _RANK_CASE,
@@ -285,6 +287,67 @@ def streaming_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sentinel's own (never-closed, never-emitted) window starts
     # after max_ts; bound the output to real windows only
     return out.filter(F.col("window_start_ms") <= F.lit(max_ts))
+
+
+def _streaming_cms_oracle() -> str:
+    return (
+        _PRELUDE
+        + f"""
+    , rows_h AS (
+        SELECT (timestamp // 60000) * 60000 AS window_start_ms, phone_number, r
+        FROM gen_events CROSS JOIN UNNEST(range({CMS_D})) AS t(r)
+    )
+    SELECT window_start_ms,
+           CAST(r AS INT) AS r,
+           CAST({_cms_bucket_sql('phone_number')} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM rows_h GROUP BY 1, 2, 3
+    """
+    )
+
+
+@REG.add(
+    "streaming_cms_cells",
+    _streaming_cms_oracle(),
+    doc=f"Windowed Count-Min sketch maintenance run FOR REAL as a streaming "
+    f"aggregation (the streaming half of sketch_cms_heavy_hitters): per "
+    f"tumbling minute, count phone events into the d={CMS_D} cell grid — "
+    "state per window is at most d x w integer cells NO MATTER how many "
+    "distinct keys arrive, which is the whole point of sketch-backed "
+    "monitoring at 100 TB ingest.  Cell counts are pure integer sums with "
+    "seeded md5 bucketing shared with the batch op, so the streaming grid "
+    "hash-matches the batch SQL bit-for-bit; a sentinel event closes every "
+    "real window.  The CMS serving layer (run_streaming_heavy_hitters) "
+    "probes these cells per closed window — pytest-covered.",
+)
+def streaming_cms_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_event_stream_from_files, streaming_cms_cells
+
+    events = _events(spark, CFG)
+    max_ts = events.agg(F.max("timestamp")).first()[0]
+    sentinel_ts = max_ts + 30_000 + 120_000 + 60_000
+    sentinel = spark.createDataFrame(
+        [
+            Row(
+                message_id="sentinel",
+                status="sent",
+                phone_number=0,
+                carrier="verizon",
+                timestamp=sentinel_ts,
+            )
+        ],
+        schema=events.schema,
+    )
+    path = tempfile.mkdtemp(prefix="scms-events-")
+    events.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(path)
+    stream = read_event_stream_from_files(spark, path)
+    out = _run_available_now(
+        streaming_cms_cells(stream, key="phone_number", window="1 minute", delay="30 seconds"),
+        "streaming_cms_cells",
+    )
+    return out.filter(F.col("window_start_ms") <= F.lit(max_ts)).select(
+        "window_start_ms", F.col("r").cast("int").alias("r"), "bucket", "c"
+    )
 
 
 def _streaming_contamination_oracle() -> str:

@@ -9,11 +9,13 @@ Method matches bench.py: shared warmed session, two passes per (query,
 scale), min wall time, collect() not count() so Catalyst cannot prune
 the real work.
 
-sim_knn_graph runs with n_cells scaled 10x at the 10x corpus (constant
-cell size is the production IVF invariant — growing the corpus under a
-FROZEN quantizer makes every cell 10x bigger and the graph join
-quadratic by configuration, which would measure the config error, not
-the engine).
+sim_knn_graph runs with n_cells from the production ``auto_cells``
+sizing rule at BOTH scales (constant cell size is the production IVF
+invariant — growing the corpus under a FROZEN quantizer makes every
+cell 10x bigger and the graph join quadratic by configuration, which
+would measure the config error, not the engine).  Round 3 measured a
+hand-scaled 16*factor stand-in; round 4 re-measures with auto_cells
+active per the round-3 VERDICT #5.
 
 Usage: python tools/bench_scale.py [base_dir] [x10_dir] [out_json]
 writes BENCH_scale.json
@@ -30,7 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from banking_streamprocessing_demos_spark.session import get_spark
 
-# query name -> optional per-scale kwargs factory (factor -> kwargs)
+def _knn_kwargs(spark, sf_dir: str) -> dict:
+    from banking_streamprocessing_demos_spark.operators.similarity import auto_cells
+
+    n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    return {"n_cells": auto_cells(n_vectors)}
+
+
+# query name -> optional per-scale kwargs factory ((spark, sf_dir) -> kwargs)
 FAMILIES: dict[str, dict] = {
     # dedup family
     "dedup_exact": {},
@@ -45,7 +54,7 @@ FAMILIES: dict[str, dict] = {
     # ANN family
     "sim_ann_ivf": {},
     "sim_ann_lsh": {},
-    "sim_knn_graph": {"scale_kwargs": lambda factor: {"n_cells": 16 * factor}},
+    "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
 }
 
 
@@ -62,7 +71,7 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     x10 = sys.argv[2] if len(sys.argv) > 2 else "scale_corpus/x10"
     out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scale.json"
-    factor = 10
+    factor = 10  # label only; per-scale kwargs derive from the corpus itself
 
     import __spark_entry__ as entrymod
     from banking_streamprocessing_demos_spark.operators import merge_registries
@@ -78,8 +87,8 @@ def main() -> None:
     for name, spec in FAMILIES.items():
         fn = merged[name].fn
         kw_fn = spec.get("scale_kwargs")
-        base_s, base_rows = _time_query(spark, fn, base, kw_fn(1) if kw_fn else {})
-        x10_s, x10_rows = _time_query(spark, fn, x10, kw_fn(factor) if kw_fn else {})
+        base_s, base_rows = _time_query(spark, fn, base, kw_fn(spark, base) if kw_fn else {})
+        x10_s, x10_rows = _time_query(spark, fn, x10, kw_fn(spark, x10) if kw_fn else {})
         ratio = round(x10_s / base_s, 2) if base_s > 0 else None
         results[name] = {
             "base_sec": base_s,
