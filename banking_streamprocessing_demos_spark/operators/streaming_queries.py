@@ -350,6 +350,87 @@ def streaming_cms_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_ivf_oracle() -> str:
+    from .similarity import IVF_CELLS
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
+    assigned AS (
+        SELECT vec_id, cell_id, cell_cos FROM (
+            SELECT n.vec_id, c.cell_id,
+                   list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS cell_cos,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT {INGEST_BASE_MS} + (vec_id // 60) * 60000 AS window_start_ms,
+           vec_id, cell_id, ROUND(cell_cos, 6) AS cell_cos
+    FROM assigned
+    """
+
+
+@REG.add(
+    "streaming_ivf_assign",
+    _streaming_ivf_oracle(),
+    doc="INCREMENTAL IVF index maintenance run FOR REAL: new embedding "
+    "vectors arrive as a stream and are assigned to their nearest cell of "
+    "the FROZEN coarse quantizer via a broadcast stream-static join + "
+    "windowed streaming argmax (max_by over the per-centroid scores) — the "
+    "production vector-ingest shape, where the quantizer is a fixed side "
+    "table retrained offline and arriving vectors append to their cell's "
+    "partition.  State per key is one struct per in-flight (window, vec); "
+    "a far-future sentinel vector closes every real window.  Assignment "
+    "matches the batch assign_cells argmax (same sequential-fold doubles, "
+    "same lowest-cell tiebreak), so the stream hash-matches the SQL oracle.",
+)
+def streaming_ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import DIMS, IVF_CELLS, _dot, _normed
+
+    n = _normed(spark, sf_dir)
+    cents = (
+        n.filter(F.col("vec_id") < IVF_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .withColumn("one", F.lit(1))
+    )
+
+    replay = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sentinel = spark.createDataFrame(
+        [Row(vec_id=SENTINEL_ORD, v=[1.0] * DIMS)], schema="vec_id long, v array<double>"
+    )
+    replay = replay.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("vec_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "siv-vecs-", ["ingest_ts", "vec_id"])
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+        .withColumn("one", F.lit(1))
+    )
+    scored = stream.join(F.broadcast(cents), "one").withColumn(
+        "cell_cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    )
+    # streaming-safe argmax: max over (cell_cos, -cell_id) structs picks the
+    # highest cosine, lowest cell_id on exact ties — the assign_cells order
+    best = F.max(F.struct(F.col("cell_cos"), (-F.col("cell_id")).alias("neg_cell"))).alias("b")
+    agg = scored.groupBy(F.window("ingest_ts", "1 minute"), "vec_id").agg(best)
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "vec_id",
+        (-F.col("b.neg_cell")).alias("cell_id"),
+        F.round(F.col("b.cell_cos"), 6).alias("cell_cos"),
+    )
+    out = _run_available_now(out_stream, "streaming_ivf_assign")
+    return out.filter(F.col("vec_id") < SENTINEL_ORD)
+
+
 def _streaming_contamination_oracle() -> str:
     from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU, NGRAM_N as _N
 

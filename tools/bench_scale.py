@@ -134,15 +134,19 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         "pack_sequences": None,
         "doc_chunk_overlap": None,
         "dedup_exact": None,
+        # worst 10x ratio in round 3 — three points expose whether the
+        # sqrt(N)-growing coarse-assignment stage curves up (auto_cells
+        # sizing active via _knn_kwargs)
+        "sim_knn_graph": _knn_kwargs,
     }
     points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
               ("x30", "scale_corpus/x30", 30)]
     results: dict[str, dict] = {}
-    for name in critical:
+    for name, kw_fn in critical.items():
         fn = merged[name].fn
         row: dict[str, float] = {}
         for label, path, _f in points:
-            sec, nrows = _time_query(spark, fn, path, {})
+            sec, nrows = _time_query(spark, fn, path, kw_fn(spark, path) if kw_fn else {})
             row[label] = sec
             print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
         row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
