@@ -221,6 +221,25 @@ def test_knn_graph_centroids_broadcast(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_knn_graph_ranking_exchange_is_skinny(spark):
+    """The per-vector centroid-ranking exchange must carry ONLY
+    (vec_id, cell_id, cell_cos) — never the 64-dim arrays.  Before
+    round 4 the arrays rode the N x n_cells ranking shuffle (~30 GB at
+    a 30x corpus) and dominated the whole query; this pins the fix."""
+    import re
+
+    from banking_streamprocessing_demos_spark.operators.similarity import sim_knn_graph
+
+    plan = formatted_plan(sim_knn_graph(spark, SF_SMALL))
+    blocks = re.findall(
+        r"\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning", plan
+    )
+    ranking = [b for b in blocks if "cell_cos" in b]
+    assert ranking, plan[:2000]
+    for b in ranking:
+        assert not re.search(r"embedding#|qv#|cv#|\bv#", b), b
+
+
 def test_emb_random_project_no_shuffle(spark):
     """JL projection is a plan-literal matrix times each row: scan →
     project, zero Exchange."""
