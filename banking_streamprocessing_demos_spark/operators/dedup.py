@@ -137,7 +137,11 @@ def _hot_shingles(shingles: DataFrame, df_cap: int) -> DataFrame:
 
 def _kept_shingles(shingles: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Drop df>cap stop-shingles before any exact pair join (they carry
-    no Jaccard signal and make the equi-join quadratic on their key)."""
+    no Jaccard signal and make the equi-join quadratic on their key).
+    The capped set feeds several downstream reads (both pair-join sides,
+    per-doc sizes); Spark's exchange reuse shares the shuffled result
+    between them (measured: an explicit localCheckpoint is a wash), so
+    no manual materialization is needed."""
     return shingles.join(F.broadcast(_hot_shingles(shingles, df_cap)), "s", "left_anti")
 
 
@@ -519,16 +523,19 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
             .groupBy(id_col)
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        # checkpoint FIRST (eager) so the changed-count reads the
-        # materialized result instead of re-executing the round's plan
-        new_labels = propagated.localCheckpoint()
-        changed = (
-            new_labels.alias("p")
-            .join(labels.alias("l"), id_col)
-            .filter(F.col("p.cluster_id") != F.col("l.cluster_id"))
-            .count()
+        # fuse the convergence check into the checkpoint job: carry the
+        # previous round's label through the propagation join, eager-
+        # checkpoint ONCE, and read the changed-count as a plain scan of
+        # the materialized result — one distributed join per round
+        # instead of two (propagate + separate compare-join)
+        prev = labels.select(
+            F.col(id_col), F.col("cluster_id").alias("prev_cluster_id")
         )
-        labels = new_labels
+        new_labels = propagated.join(prev, id_col).localCheckpoint()
+        changed = new_labels.filter(
+            F.col("cluster_id") != F.col("prev_cluster_id")
+        ).count()
+        labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             converged = True
             break
@@ -712,30 +719,38 @@ def _semantic_oracle_sql() -> str:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot, _normed, hashed_buckets
 
-    n = _normed(spark, sf_dir)
-    hashed = hashed_buckets(n).select("vec_id", "tbl", "bucket")
+    hashed = hashed_buckets(_normed(spark, sf_dir))
     a = hashed.alias("a")
     b = hashed.alias("b")
-    cands = (
+    # exact-cosine verify INSIDE the bucket join: the vectors ride the
+    # one linear (tbl, bucket) shuffle, so every collision is scored
+    # map-side the moment it's produced and only true near-dup pairs
+    # reach the distinct (a pair colliding in k tables re-scores k
+    # times — k <= L, far cheaper than exchanging the full candidate
+    # set and joining the vectors back by id: that plan shuffles
+    # O(collisions) rows where this one shuffles O(N·L) skinny inputs
+    # plus O(true pairs) outputs).  Same output set as verify-after-
+    # distinct, so the oracle is unchanged.
+    pairs = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")) >= COSINE_TAU)
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .distinct()
     )
-    # exact-cosine verify on CANDIDATES only (never all-pairs): join the
-    # vectors back by id — the candidate set is the small relation here
-    x = n.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    y = n.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = (
-        cands.join(x, "doc_a")
-        .join(y, "doc_b")
-        .filter(_dot("va", "vb") / (F.col("na") * F.col("nb")) >= COSINE_TAU)
-        .select("doc_a", "doc_b")
-    )
+    # hashed feeds BOTH sides of the self-join: pin it (N·L skinny rows
+    # + vectors) for the one action that materializes pairs, then free
+    # it — the label-propagation loop only ever re-reads the tiny
+    # checkpointed pair list, never the hyperplane folds
+    hashed.cache()
+    try:
+        pairs = pairs.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
     return min_label_components(pairs, "vec_id")
 
 
