@@ -716,10 +716,14 @@ def _semantic_oracle_sql() -> str:
     "and the collision join stays linear-ish; the checked configuration "
     "pins the 4-bit/6-table family end-to-end against the oracle.",
 )
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _dot, _normed, hashed_buckets
+def dedup_semantic(spark: SparkSession, sf_dir: str, lsh_bits: int | None = None) -> DataFrame:
+    from .similarity import LSH_BITS, _dot, _normed, hashed_buckets
 
-    hashed = hashed_buckets(_normed(spark, sf_dir))
+    # lsh_bits=None pins the oracle's LSH_BITS hyperplane family (the
+    # driver-checked configuration); scale runs pass auto_lsh_bits(N) so
+    # expected bucket size — and with it the collision-join fan-out —
+    # stays constant as the corpus grows
+    hashed = hashed_buckets(_normed(spark, sf_dir), bits=LSH_BITS if lsh_bits is None else lsh_bits)
     a = hashed.alias("a")
     b = hashed.alias("b")
     # exact-cosine verify INSIDE the bucket join: the vectors ride the

@@ -323,17 +323,35 @@ def _lsh_oracle_sql() -> str:
     """
 
 
-def hashed_buckets(n: DataFrame) -> DataFrame:
+def auto_lsh_bits(n_vectors: int, target_bucket_size: int = 125) -> int:
+    """Production LSH sizing rule (the banding twin of ``auto_cells``):
+    bits grow with log2(N) so the EXPECTED bucket size N/2^bits stays
+    ~constant as the corpus grows — the invariant that keeps the
+    per-bucket collision join linear-ish (a frozen bit-width makes every
+    bucket N/2^bits_0 big and the join quadratic by configuration).
+    Never below the oracle-pinned LSH_BITS floor; at larger bit-widths a
+    production deployment also grows LSH_TABLES to hold recall
+    (recall ≈ 1-(1-p^bits)^L)."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return LSH_BITS
+    return max(LSH_BITS, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
+def hashed_buckets(n: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     """(vec_id, v, nrm, tbl, bucket) for every vector × LSH table: bucket
-    id = sign pattern over LSH_BITS deterministic hyperplanes, emitted
+    id = sign pattern over ``bits`` deterministic hyperplanes, emitted
     via a single explode — one pass over the vectors regardless of L.
-    Shared by the ANN search here and dedup_semantic_clusters."""
+    Shared by the ANN search here and dedup_semantic_clusters.  The
+    driver-checked configuration pins ``bits=LSH_BITS`` (the oracle's
+    baked hyperplane family); scale runs size it via ``auto_lsh_bits``."""
     table_buckets = []
     for t in range(LSH_TABLES):
         bucket = None
-        for bit in range(LSH_BITS):
+        for bit in range(bits):
             weights = F.array(
-                *[F.lit(float(_hyperplane_weight(t * LSH_BITS + bit, d))) for d in range(DIMS)]
+                *[F.lit(float(_hyperplane_weight(t * bits + bit, d))) for d in range(DIMS)]
             )
             proj = F.aggregate(
                 F.zip_with("v", weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x

@@ -173,6 +173,60 @@ def test_semantic_clusters_recall_vs_exact(spark):
     assert recovered / len(exact_pairs) >= 0.5, (recovered, len(exact_pairs))
 
 
+def test_auto_lsh_bits_sizing_rule():
+    """bits ~ log2(N) keeps expected bucket size N/2^bits within a
+    constant band as the corpus grows, and never drops below the
+    oracle-pinned LSH_BITS floor."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        LSH_BITS,
+        auto_lsh_bits,
+    )
+
+    assert auto_lsh_bits(0) == LSH_BITS
+    assert auto_lsh_bits(100) == LSH_BITS  # tiny corpus: floor
+    assert auto_lsh_bits(2_000) == LSH_BITS  # the checked sf0.1 config
+    for n in (20_000, 200_000, 2_000_000):
+        bits = auto_lsh_bits(n)
+        assert bits >= LSH_BITS
+        # expected bucket size stays in (target/2, target]
+        assert n / 2**bits <= 125
+        assert n / 2**bits > 125 / 2
+    # monotone in N
+    assert auto_lsh_bits(200_000) >= auto_lsh_bits(20_000)
+
+
+def test_semantic_clusters_scaled_bits_subset_of_exact(spark):
+    """Wider banding (bits=6) must produce clusters whose co-membership
+    relation is a SUBSET of the exact verifier's transitive closure —
+    candidates are exact-verified, so precision is structural."""
+    from banking_streamprocessing_demos_spark.operators.dedup import (
+        dedup_embedding,
+        dedup_semantic,
+    )
+
+    # union-find over the exact tau-pair graph
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in dedup_embedding(spark, SF_SMALL).collect():
+        ra, rb = find(r.vec_a), find(r.vec_b)
+        if ra != rb:
+            parent[ra] = rb
+
+    clusters: dict[int, list[int]] = {}
+    for r in dedup_semantic(spark, SF_SMALL, lsh_bits=6).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.vec_id)
+    for members in clusters.values():
+        roots = {find(m) for m in members}
+        assert len(roots) == 1, f"cluster mixes exact components: {members}"
+
+
 def test_substring_spans_merge_semantics(spark, tmp_path):
     """Pin the island rules random-corpus parity can't distinguish:
     overlapping dup grams merge to ONE span; ADJACENT spans (next start

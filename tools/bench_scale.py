@@ -39,6 +39,17 @@ def _knn_kwargs(spark, sf_dir: str) -> dict:
     return {"n_cells": auto_cells(n_vectors)}
 
 
+def _semantic_kwargs(spark, sf_dir: str) -> dict:
+    # production banding rule: bits ~ log2(N) keeps expected bucket size
+    # constant — measuring a frozen 4-bit table at 10x the corpus would
+    # measure the config error (every bucket 10x bigger, collision join
+    # quadratic), not the engine (same argument as _knn_kwargs)
+    from banking_streamprocessing_demos_spark.operators.similarity import auto_lsh_bits
+
+    n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    return {"lsh_bits": auto_lsh_bits(n_vectors)}
+
+
 # query name -> optional per-scale kwargs factory ((spark, sf_dir) -> kwargs)
 FAMILIES: dict[str, dict] = {
     # dedup family
@@ -55,6 +66,9 @@ FAMILIES: dict[str, dict] = {
     "sim_ann_ivf": {},
     "sim_ann_lsh": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
+    # semantic near-dup clustering (round-4 plan: cosine scored inside
+    # the bucket join) — bits sized by the production auto_lsh_bits rule
+    "dedup_semantic_clusters": {"scale_kwargs": _semantic_kwargs},
 }
 
 
