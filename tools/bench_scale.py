@@ -152,6 +152,11 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # sqrt(N)-growing coarse-assignment stage curves up (auto_cells
         # sizing active via _knn_kwargs)
         "sim_knn_graph": _knn_kwargs,
+        # round-4 plan change (in-join cosine) + auto_lsh_bits sizing:
+        # three points expose whether the growing true-pair volume (all
+        # cross-replica copies are real cosine-1.0 duplicates) curves
+        # the collision join or the label propagation up
+        "dedup_semantic_clusters": _semantic_kwargs,
     }
     points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
               ("x30", "scale_corpus/x30", 30)]
