@@ -117,8 +117,12 @@ _FLAGSHIP_REFRESH = [
     "pack_sequences",
 ]
 
-# Round-new overflow (none this round: 3 + 7 + 40 fit exactly).
-_ROUND4_OVERFLOW = []
+# Round-new overflow (window is full at 3 + 7 + 40): registered and
+# hash-verified via tools/check_correctness.py -> CORRECTNESS_FULL_r04,
+# promoted to the driver window next round per the standing policy.
+_ROUND4_OVERFLOW = [
+    "smp5_weighted_sample",
+]
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every

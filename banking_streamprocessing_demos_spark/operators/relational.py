@@ -1801,3 +1801,57 @@ def f13_morton_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = xb.bitwiseOR(yb)
         morton = bits if morton is None else morton.bitwiseOR(bits)
     return ev.select("event_id", "x", "y", morton.alias("morton"))
+
+
+WSAMPLE_N = 200  # sampled docs per run (token-budget stand-in)
+
+
+def _wsample_u() -> str:
+    from .message_domain import _u
+
+    return _u("wsample", "CAST(doc_id AS VARCHAR)")
+
+
+@REG.add(
+    "smp5_weighted_sample",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens,
+               {_wsample_u()} AS u
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_tokens,
+               ROUND(pow(u, 1.0 / CAST(n_tokens AS DOUBLE)), 9) AS sample_key
+        FROM t
+    )
+    SELECT doc_id, n_tokens, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {WSAMPLE_N}
+    """,
+    doc=f"SMP5 (extension): weighted sampling WITHOUT replacement via the "
+    f"Efraimidis-Spirakis exponential-race key — per doc, key = u^(1/w) with "
+    "u a deterministic md5 uniform and w = token count, then global top-"
+    f"{WSAMPLE_N} by key.  Equivalent to drawing docs one at a time with "
+    "probability proportional to length until the budget fills (token-budget-"
+    "aware corpus subsampling: longer docs proportionally likelier), but "
+    "expressed as one embarrassingly-parallel scan + a distributed top-k "
+    "(TakeOrderedAndProject: per-partition heaps, no global sort, no shuffle "
+    "of the corpus).  The key is rounded to 9dp BEFORE ordering (both "
+    "engines), the repo's standard guard against libm ULP drift flipping a "
+    "boundary rank; doc_id breaks exact ties identically everywhere.",
+)
+def smp5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_uniform
+
+    doc = _t(spark, sf_dir, "documents")
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    n_tokens = (spaces + 1).cast("long")
+    u = det_uniform("doc_id", seed="wsample")
+    key = F.round(F.pow(u, F.lit(1.0) / n_tokens.cast("double")), 9)
+    return (
+        doc.select("doc_id", n_tokens.alias("n_tokens"), key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WSAMPLE_N)
+    )

@@ -269,6 +269,39 @@ def test_vocab_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
+def test_smp5_weighted_sample_take_ordered(spark):
+    """Weighted sampling must select its top-k via TakeOrderedAndProject
+    (per-partition heaps + merge) — a global Sort of the corpus to take
+    200 rows is the plan bug this pins against.  Also pin the
+    length-weighting semantics: the sample's mean token count must
+    exceed the corpus mean (longer docs are proportionally likelier
+    under the Efraimidis-Spirakis key)."""
+    from banking_streamprocessing_demos_spark.operators.relational import (
+        smp5_weighted_sample,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    df = smp5_weighted_sample(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    rows = df.collect()
+    assert len(rows) == 200
+    from pyspark.sql import functions as F
+
+    corpus_mean = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(
+            (
+                F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + 1
+            ).alias("n")
+        )
+        .agg(F.avg("n"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
 def test_j9_reconcile_detail_preaggregated(spark):
     """The full-outer reconcile must aggregate the detail side BEFORE
     the join (key-to-key, never row-to-row): the join inputs are one
