@@ -89,6 +89,22 @@ HEADLINE_V2 = [
     "smp4_group_split",
 ]
 
+# Third series (round 4+): round-4 batch additions plus scale-sensitive
+# ops no earlier series covered — own round-over-round track, single
+# pass, without perturbing the frozen v1/v2 comparability.  (The
+# streaming_* registry queries are exercised by the dedicated streaming
+# probes and the driver's correctness runs, not re-timed here.)
+HEADLINE_V3 = [
+    "pipe_quality_gate",
+    "smp5_weighted_sample",
+    "u6_merge_upsert",
+    "a12_exact_group_median",
+    "f13_morton_code",
+    "sim_ann_lsh",
+    "dedup_ngram_jaccard",
+    "w4_sessionization",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,6 +116,7 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
     names_v2 = [n for n in HEADLINE_V2 if n in qs]
+    names_v3 = [n for n in HEADLINE_V3 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -145,11 +162,17 @@ def main() -> None:
     }
     emit(result)
 
-    # v2 series: single pass (warm JVM/session already) — comparability
-    # round-over-round matters less than fitting the driver budget.
+    # v2/v3 series: single pass (warm JVM/session already) —
+    # comparability round-over-round matters less than fitting the
+    # driver budget.
     timings_v2 = run_series(names_v2, passes=1)
     result["headline_v2_total"] = round(sum(timings_v2.values()), 3)
     result["queries_v2"] = timings_v2
+    emit(result)
+
+    timings_v3 = run_series(names_v3, passes=1)
+    result["headline_v3_total"] = round(sum(timings_v3.values()), 3)
+    result["queries_v3"] = timings_v3
     emit(result)
 
     for key, kwargs in (
