@@ -140,3 +140,18 @@ def test_oracle_schema_spark_representable(duck, name):
         if "UNREPRESENTABLE" in _arrow_family(f.type)
     }
     assert not bad, f"{name}: oracle columns with no Spark twin: {bad} (describe={schema})"
+    # round-3 emb_random_project lesson: the ROUND DRIVER canonicalizes
+    # results via a pandas row sort, which throws on list/struct/map
+    # cells — every registered output must be scalar-only (the Spark
+    # side is held equivalent by the hash gate)
+    import pyarrow.types as pat
+
+    nested = {
+        f.name: str(f.type)
+        for f in table.schema
+        if pat.is_nested(f.type)
+    }
+    assert not nested, (
+        f"{name}: nested (driver-unhashable) output columns: {nested} — "
+        "explode to scalar rows or name per-element columns"
+    )
