@@ -122,6 +122,7 @@ _FLAGSHIP_REFRESH = [
 # promoted to the driver window next round per the standing policy.
 _ROUND4_OVERFLOW = [
     "smp5_weighted_sample",
+    "pipe_epoch_plan",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

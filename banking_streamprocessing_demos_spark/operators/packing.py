@@ -310,3 +310,92 @@ def pipe_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard_id", F.row_number().over(w).cast("long").alias("pos_in_shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch/repeat planning under a fixed token budget (round-4 extension)
+# ---------------------------------------------------------------------------
+EPOCH_BUDGET_FACTOR = 2.0  # token budget = factor x corpus tokens
+MAX_EPOCHS = 4.0  # repeat ceiling per source (data-constrained scaling)
+
+
+def _epoch_u16() -> str:
+    return _hex4_sql("md5('epoch-' || CAST(doc_id AS VARCHAR))")
+
+
+@REG.add(
+    "pipe_epoch_plan",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    tot AS (SELECT source, SUM(n_tokens) AS t FROM toks GROUP BY source),
+    g AS (SELECT SUM(t) AS total_tokens, COUNT(*) AS n_src FROM tot),
+    rf AS (
+        SELECT source,
+               LEAST({MAX_EPOCHS},
+                     ({EPOCH_BUDGET_FACTOR} * total_tokens / n_src) / t) AS r
+        FROM tot, g
+    )
+    SELECT k.doc_id, k.source, k.n_tokens,
+           ROUND(rf.r, 6) AS repeat_factor,
+           CAST(FLOOR(rf.r) AS BIGINT)
+               + CASE WHEN {_epoch_u16()}
+                           < CAST(ROUND((rf.r - FLOOR(rf.r)) * 65536, 0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies,
+           (CAST(FLOOR(rf.r) AS BIGINT)
+               + CASE WHEN {_epoch_u16()}
+                           < CAST(ROUND((rf.r - FLOOR(rf.r)) * 65536, 0) AS BIGINT)
+                      THEN 1 ELSE 0 END) * k.n_tokens AS planned_tokens
+    FROM toks k JOIN rf USING (source)
+    """,
+    doc=f"Epoch/repeat planning under a fixed token budget (the data-"
+    f"constrained-scaling question): per-source token totals -> repeat factor "
+    f"r = min({MAX_EPOCHS}, fair-share / source-tokens) with budget = "
+    f"{EPOCH_BUDGET_FACTOR}x corpus tokens split evenly across sources -> "
+    "per-doc copy count floor(r) + deterministic fractional Bernoulli.  "
+    "Unlike pipe_domain_mix (a FIXED replica policy, pure map), the policy "
+    "here is DERIVED from the corpus: one map-side-combined per-source agg "
+    "(rows = n_sources) broadcast back over a narrow map — remixing 100 TB "
+    "costs one aggregate pass + one scan.  Over-represented sources get "
+    "r < 1 (probabilistic downsampling), scarce ones repeat up to the "
+    f"{MAX_EPOCHS}-epoch ceiling.  All arithmetic is IEEE +,*,/ on exact "
+    "integer sums (no libm), and the Bernoulli threshold is an INTEGER u16 "
+    "compare, so both engines agree bit-for-bit.",
+)
+def pipe_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = toks.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+    g = tot.agg(
+        F.sum("t").alias("total_tokens"), F.count("*").alias("n_src")
+    )
+    rf = tot.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.least(
+            F.lit(MAX_EPOCHS),
+            (F.lit(EPOCH_BUDGET_FACTOR) * F.col("total_tokens") / F.col("n_src"))
+            / F.col("t"),
+        ).alias("r"),
+    )
+    u16 = hex4_to_int(det_hash_hex("doc_id", seed="epoch"))
+    thr = F.round((F.col("r") - F.floor("r")) * 65536, 0).cast("long")
+    n_copies = F.floor("r").cast("long") + F.when(u16 < thr, 1).otherwise(0)
+    return toks.join(F.broadcast(rf), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("r", 6).alias("repeat_factor"),
+        n_copies.alias("n_copies"),
+        (n_copies * F.col("n_tokens")).alias("planned_tokens"),
+    )

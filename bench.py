@@ -96,6 +96,7 @@ HEADLINE_V2 = [
 # probes and the driver's correctness runs, not re-timed here.)
 HEADLINE_V3 = [
     "pipe_quality_gate",
+    "pipe_epoch_plan",
     "smp5_weighted_sample",
     "u6_merge_upsert",
     "a12_exact_group_median",

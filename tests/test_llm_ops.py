@@ -265,6 +265,59 @@ def test_substring_spans_merge_semantics(spark, tmp_path):
     assert out[6] == (1, 8)
 
 
+def test_epoch_plan_downsample_and_ceiling(spark, tmp_path):
+    """Skewed fixture pins the two regimes random-corpus parity can't
+    reach on balanced testdata: a dominant source gets r < 1
+    (probabilistic downsampling — some docs get 0 copies, realized
+    tokens track r), and a scarce source hits the MAX_EPOCHS ceiling
+    instead of blowing past it."""
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        EPOCH_BUDGET_FACTOR,
+        MAX_EPOCHS,
+        pipe_epoch_plan,
+    )
+
+    rows = []
+    doc = 0
+    # 4 sources, 50 tokens/doc: 'big' holds 75% of tokens (180 of 240
+    # docs), three 'tiny' sources hold ~8.3% each (20 docs apiece)
+    for _ in range(180):
+        rows.append((doc, " ".join(f"w{i}" for i in range(50)), "en", "big", 0))
+        doc += 1
+    for src in ("tiny_a", "tiny_b", "tiny_c"):
+        for _ in range(20):
+            rows.append((doc, " ".join(f"w{i}" for i in range(50)), "en", src, 0))
+            doc += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = pipe_epoch_plan(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    total = 240 * 50
+    fair = EPOCH_BUDGET_FACTOR * total / 4  # = 6000 tokens/source
+    # DOWNSAMPLING: big's fair share < its tokens -> r = 6000/9000 < 1,
+    # so copies are Bernoulli(0.667): some docs drop to 0 copies
+    big_r = by_src["big"][0].repeat_factor
+    assert abs(big_r - fair / (180 * 50)) < 1e-6, big_r
+    assert big_r < 1
+    big_copies = {r.n_copies for r in by_src["big"]}
+    assert big_copies == {0, 1}, big_copies
+    planned = sum(r.planned_tokens for r in by_src["big"])
+    assert abs(planned / (180 * 50) - big_r) < 0.2, planned
+    # CEILING: each tiny source's uncapped r would be 6000/1000 = 6 ->
+    # clamped to MAX_EPOCHS, every doc gets exactly that many copies
+    for src in ("tiny_a", "tiny_b", "tiny_c"):
+        assert by_src[src][0].repeat_factor == MAX_EPOCHS
+        assert {r.n_copies for r in by_src[src]} == {int(MAX_EPOCHS)}
+    for r in out:
+        assert 0 <= r.n_copies
+        assert r.planned_tokens == r.n_copies * r.n_tokens
+
+
 def test_exclusive_prefix_sum_recursion_exact(spark):
     """The recursive distributed prefix sum must equal the naive global
     window at every depth — exercised with a tiny fanin (4) so three
