@@ -123,6 +123,7 @@ _FLAGSHIP_REFRESH = [
 _ROUND4_OVERFLOW = [
     "smp5_weighted_sample",
     "pipe_epoch_plan",
+    "streaming_reservoir_sample",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -535,3 +535,75 @@ def streaming_contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = _run_available_now(out_stream, "streaming_contamination")
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
+# streaming weighted reservoir sample (round-4: the smp5 ingest twin)
+# ---------------------------------------------------------------------------
+RES_K = 200
+
+
+def _wres_u_sql() -> str:
+    from .message_domain import _u
+
+    return _u("wres", "CAST(doc_id AS VARCHAR)")
+
+
+@REG.add(
+    "streaming_reservoir_sample",
+    f"""
+    WITH {_REPLAY_DOCS_SQL},
+    t AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens,
+               {_wres_u_sql()} AS u
+        FROM replay
+    ),
+    keyed AS (
+        SELECT doc_id, n_tokens,
+               ROUND(pow(u, 1.0 / CAST(n_tokens AS DOUBLE)), 9) AS sample_key
+        FROM t
+    )
+    SELECT doc_id, n_tokens, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {RES_K}
+    """,
+    doc=f"Weighted reservoir sampling AT INGEST run FOR REAL (the streaming "
+    f"twin of smp5_weighted_sample): the corpus replay arrives in multiple "
+    "micro-batches (maxFilesPerTrigger=1 over a range-partitioned replay) "
+    "and a foreachBatch sink maintains the top-"
+    f"{RES_K} documents by the Efraimidis-Spirakis key u^(1/n_tokens).  "
+    "Top-k by a deterministic per-row key is a MERGEABLE summary — "
+    "top_k(top_k(A) ∪ B) = top_k(A ∪ B) — so the final reservoir equals "
+    "the batch answer over the whole replay NO MATTER how the stream was "
+    "batched (arrival order across files is irrelevant, unlike the "
+    "first-arrival dedup twins).  State outside the store is one k-row "
+    "parquet; per-batch work is O(batch + k).",
+)
+def streaming_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_streaming_reservoir
+
+    replay = _replay_corpus(spark, sf_dir).select("doc_id", "text")
+    # multi-file replay -> multiple micro-batches: the merge path is
+    # exercised for real, and the mergeable-summary property (not
+    # arrival order) carries determinism
+    path = tempfile.mkdtemp(prefix="srs-docs-")
+    replay.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(path)
+    reservoir_dir = tempfile.mkdtemp(prefix="srs-reservoir-")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = run_streaming_reservoir(
+        stream,
+        reservoir_dir,
+        checkpoint=tempfile.mkdtemp(prefix="srs-ckpt-"),
+        k=RES_K,
+        seed="wres",
+    )
+    q.awaitTermination(240)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("streaming_reservoir_sample did not finish within 240s")
+    return spark.read.parquet(reservoir_dir).select("doc_id", "n_tokens", "sample_key")

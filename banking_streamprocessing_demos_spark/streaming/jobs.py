@@ -494,3 +494,58 @@ def run_streaming_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_reservoir(
+    doc_stream: DataFrame,
+    reservoir_dir: str,
+    checkpoint: str,
+    k: int = 200,
+    seed: str = "wres",
+):
+    """Weighted reservoir sampling AT INGEST: maintain the top-k
+    documents by the Efraimidis-Spirakis key (u^(1/n_tokens), the same
+    scheme as smp5_weighted_sample) while the corpus streams in.
+
+    Top-k by a per-row deterministic key is a MERGEABLE summary:
+    top_k(top_k(A) ∪ B) = top_k(A ∪ B), so the maintained reservoir is
+    exactly the batch answer over everything ingested so far,
+    regardless of how the stream was batched — the property that makes
+    a driver-hashable streaming query possible.  Each foreachBatch
+    merges the arriving documents into the k-row reservoir parquet
+    (eager localCheckpoint decouples the read from the overwrite);
+    state outside the store is ONE k-row table, and per-batch work is
+    O(batch + k).  ``doc_stream`` needs (doc_id, text) columns."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    n_tokens = (spaces + 1).cast("long")
+    u = hex4_to_int(det_hash_hex("doc_id", seed=seed)) / F.lit(65536.0)
+    key = F.round(F.pow(u, F.lit(1.0) / n_tokens.cast("double")), 9)
+    scored_cols = ["doc_id", "n_tokens", "sample_key"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = batch_df.select(
+            "doc_id", n_tokens.alias("n_tokens"), key.alias("sample_key")
+        )
+        try:
+            current = spark.read.parquet(reservoir_dir).select(*scored_cols)
+        except AnalysisException:
+            current = spark.createDataFrame([], "doc_id long, n_tokens long, sample_key double")
+        merged = (
+            current.unionByName(scored)
+            .orderBy(F.desc("sample_key"), "doc_id")
+            .limit(k)
+            .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source dir
+        )
+        merged.write.mode("overwrite").parquet(reservoir_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

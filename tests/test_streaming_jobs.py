@@ -523,3 +523,64 @@ def test_streaming_heavy_hitters_serving(spark, tmp_path):
         )
         top_row = out[(out.window_start_ms == ws) & (out["rank"] == 1)].iloc[0]
         assert exact[(ws, top_row.k)] == best_true[0], (ws, top_row.k)
+
+
+def test_reservoir_batching_invariance(spark, tmp_path):
+    """The streaming weighted reservoir must produce the IDENTICAL
+    k-row sample whether the corpus arrives as one micro-batch or
+    many — top-k by a deterministic per-row key is a mergeable summary
+    (top_k(top_k(A) ∪ B) = top_k(A ∪ B)), which is exactly what makes
+    it safely restartable/driver-hashable.  Also pin that the result
+    equals the plain batch top-k."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import (
+        run_streaming_reservoir,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40))) for i in range(300)],
+        "doc_id long, text string",
+    )
+
+    def run(n_files: int, tag: str, per_trigger: int) -> list:
+        src = str(tmp_path / f"src-{tag}")
+        docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(src)
+        res = str(tmp_path / f"res-{tag}")
+        q = run_streaming_reservoir(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(src),
+            res,
+            checkpoint=str(tmp_path / f"ckpt-{tag}"),
+            k=50,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(
+            (r.doc_id, r.n_tokens, r.sample_key)
+            for r in spark.read.parquet(res).collect()
+        )
+
+    one = run(1, "one", per_trigger=100)   # single batch
+    many = run(6, "many", per_trigger=1)   # six batches, merge path
+    assert one == many
+    assert len(one) == 50
+    # equals the batch top-k with the same key
+    from banking_streamprocessing_demos_spark.functions.expressions import (
+        det_hash_hex,
+        hex4_to_int,
+    )
+
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    n_tokens = (spaces + 1).cast("long")
+    u = hex4_to_int(det_hash_hex("doc_id", seed="wres")) / F.lit(65536.0)
+    key = F.round(F.pow(u, F.lit(1.0) / n_tokens.cast("double")), 9)
+    batch = sorted(
+        (r.doc_id, r.n_tokens, r.sample_key)
+        for r in docs.select(
+            "doc_id", n_tokens.alias("n_tokens"), key.alias("sample_key")
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(50)
+        .collect()
+    )
+    assert one == batch
