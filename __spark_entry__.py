@@ -42,39 +42,40 @@ _REGISTRIES = [
 ]
 
 # The round driver checks the FIRST 50 queries() entries in insertion
-# order.  Round-4 rotation (standing policy from round-2 VERDICT #1,
+# order.  Round-5 rotation (standing policy from round-2 VERDICT #1,
 # re-ordered per round-3 VERDICT #3): slots go to (a) every query with
-# NO green driver row from any prior round — the round-3 overflow pair,
-# plus emb_random_project, red in r3 on output shape and reshaped this
-# round; (b) every query new this round; (c) flagship refreshes — the
-# highest-value driver-green queries, spanning every §2 + LLM-pipeline
-# capability family, re-earning rows on round-4's regenerated testdata.
-# Demoted queries stay registered and are hash-verified every round by
+# NO green driver row from any prior round; (b) every query new this
+# round; (c) flagship refreshes — the highest-value driver-green
+# queries, spanning every §2 + LLM-pipeline capability family,
+# re-earning rows on this round's regenerated testdata.  Demoted
+# queries stay registered and are hash-verified every round by
 # tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
 # artifact records the whole registry, not just the driver's window.
 _PROMOTED_NEVER_CHECKED = [
-    # round-3 overflow (window was full; carried CORRECTNESS_FULL_r03
-    # evidence) and the round-3 red row, reshaped to scalar columns
-    "a12_exact_group_median",
-    "f13_morton_code",
-    "emb_random_project",
+    # round-4 overflow (window was full; carried CORRECTNESS_FULL_r04
+    # evidence + the round-4 judge's independent rerun)
+    "smp5_weighted_sample",
+    "pipe_epoch_plan",
+    "streaming_reservoir_sample",
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND4_NEW = [
-    "streaming_doc_dedup",
-    "streaming_minhash_dedup",
-    "streaming_hll_distinct",
-    "streaming_cms_cells",
-    "streaming_contamination_check",
-    "streaming_ivf_assign",
-    "pipe_quality_gate",
+_ROUND_NEW = [
+    "streaming_sessionization",
+    "streaming_heavy_hitters",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
+    # round-4 window members re-earning rows (keeps each streaming-ingest
+    # family and the r4 curation gate represented on fresh testdata)
+    "streaming_doc_dedup",
+    "streaming_minhash_dedup",
+    "streaming_hll_distinct",
+    "pipe_quality_gate",
+    "emb_random_project",
     "st1_streaming_detector",
     "st1_join_variant",
     "gen_messages_snapshot",
@@ -117,19 +118,21 @@ _FLAGSHIP_REFRESH = [
     "pack_sequences",
 ]
 
-# Round-new overflow (window is full at 3 + 7 + 40): registered and
-# hash-verified via tools/check_correctness.py -> CORRECTNESS_FULL_r04,
-# promoted to the driver window next round per the standing policy.
-_ROUND4_OVERFLOW = [
-    "smp5_weighted_sample",
-    "pipe_epoch_plan",
-    "streaming_reservoir_sample",
-]
+# Round-new overflow (window full): registered and hash-verified via
+# tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
+# driver window next round per the standing policy.  Empty this round.
+_ROUND_OVERFLOW: list[str] = []
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # demoted after earning r4 driver rows
+    "a12_exact_group_median",
+    "f13_morton_code",
+    "streaming_cms_cells",
+    "streaming_contamination_check",
+    "streaming_ivf_assign",
     "p1_projection_sort_limit",
     "p2_filter_inequality",
     "p3_filter_eq_single_col",
@@ -192,9 +195,9 @@ _DEMOTED_TAIL = [
 
 _DRIVER_PRIORITY = (
     _PROMOTED_NEVER_CHECKED
-    + _ROUND4_NEW
+    + _ROUND_NEW
     + _FLAGSHIP_REFRESH
-    + _ROUND4_OVERFLOW
+    + _ROUND_OVERFLOW
     + _DEMOTED_TAIL
 )
 

@@ -717,13 +717,16 @@ def _semantic_oracle_sql() -> str:
     "pins the 4-bit/6-table family end-to-end against the oracle.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str, lsh_bits: int | None = None) -> DataFrame:
-    from .similarity import LSH_BITS, _dot, _normed, hashed_buckets
+    from .similarity import LSH_BITS, _dot, _normed, auto_lsh_tables, hashed_buckets
 
     # lsh_bits=None pins the oracle's LSH_BITS hyperplane family (the
     # driver-checked configuration); scale runs pass auto_lsh_bits(N) so
     # expected bucket size — and with it the collision-join fan-out —
-    # stays constant as the corpus grows
-    hashed = hashed_buckets(_normed(spark, sf_dir), bits=LSH_BITS if lsh_bits is None else lsh_bits)
+    # stays constant as the corpus grows, with L grown via
+    # auto_lsh_tables so wider bit-widths keep the design-point recall
+    # (the scale curve is iso-recall, not silently lossier)
+    bits = LSH_BITS if lsh_bits is None else lsh_bits
+    hashed = hashed_buckets(_normed(spark, sf_dir), bits=bits, tables=auto_lsh_tables(bits))
     a = hashed.alias("a")
     b = hashed.alias("b")
     # exact-cosine verify INSIDE the bucket join: the vectors ride the

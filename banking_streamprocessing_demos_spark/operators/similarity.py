@@ -110,20 +110,81 @@ def _centroids(n: "DataFrame", n_cells: int = IVF_CELLS) -> "DataFrame":
     )
 
 
-def rank_cells(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> DataFrame:
+def _jl_project(col: str):
+    """16-dim JL sign projection of a 64-dim array column — the same
+    literal sign matrix (and scale) as emb_random_project, folded
+    in-row.  Costs DIMS*JL_OUT_DIMS multiplies once per vector; each
+    subsequent centroid score then costs JL_OUT_DIMS instead of DIMS."""
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        * F.lit(_JL_SCALE)
+        for j in range(JL_OUT_DIMS)
+    ]
+    return F.array(*comps)
+
+
+def rank_cells(
+    n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1, jl_shortlist: int | None = None
+) -> DataFrame:
     """Per-vector centroid ranking on SKINNY rows: score every vector
     against every broadcast centroid map-side, then immediately project
     to (vec_id, cell_id, rn) BEFORE the ranking shuffle — the 64-dim
     arrays never ride the N x n_cells exchange (they did before round 4;
     at a 30x corpus that exchange carried ~30 GB of array payload and
     dominated the whole query).  Ordering: cell_cos desc, cell_id asc —
-    the same deterministic argmax every oracle twin encodes."""
+    the same deterministic argmax every oracle twin encodes.
+
+    ``jl_shortlist`` activates the scale remedy for the N x n_cells
+    term (the sqrt(N)-growing stage under ``auto_cells`` — SCALE.md):
+    centroids are pre-scored in the 16-dim JL sign-projection space
+    (4x fewer multiplies per cell than the 64-dim fold), only the
+    per-vector ``jl_shortlist`` best cells are rescored at full
+    dimension, and the final rn ordering is the exact full-dimension
+    cosine over that shortlist.  None (the default, and the
+    driver-checked configuration) ranks all cells at full dimension —
+    bit-identical to the oracle."""
     cents = _centroids(n, n_cells)
-    skinny = n.join(F.broadcast(cents), F.lit(True)).select(
-        "vec_id",
-        "cell_id",
-        (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("cell_cos"),
-    )
+    if jl_shortlist is not None and jl_shortlist < n_cells:
+        jv_n = n.select("vec_id", _jl_project("v").alias("jv"))
+        jv_c = cents.select("cell_id", _jl_project("cv").alias("jcv"))
+        jv_c = jv_c.withColumn("jcn", F.sqrt(_dot("jcv", "jcv")))
+        # the vector's own JL norm is constant within its ranking group,
+        # so only the centroid norm matters for the ordering
+        jl_scores = jv_n.join(F.broadcast(jv_c), F.lit(True)).select(
+            "vec_id", "cell_id", (_dot("jv", "jcv") / F.col("jcn")).alias("cell_cos")
+        )
+        wj = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+        short = (
+            jl_scores.withColumn("srn", F.row_number().over(wj))
+            .filter(F.col("srn") <= jl_shortlist)
+            .select("vec_id", "cell_id")
+        )
+        # full-dimension rescore of the shortlist only: vectors rejoin by
+        # vec_id (one N-row array exchange, reused by downstream
+        # consumers), centroids stay broadcast
+        skinny = (
+            short.join(n, "vec_id")
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "vec_id",
+                "cell_id",
+                (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("cell_cos"),
+            )
+        )
+    else:
+        skinny = n.join(F.broadcast(cents), F.lit(True)).select(
+            "vec_id",
+            "cell_id",
+            (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("cell_cos"),
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
     return (
         skinny.withColumn("rn", F.row_number().over(w))
@@ -339,15 +400,39 @@ def auto_lsh_bits(n_vectors: int, target_bucket_size: int = 125) -> int:
     return max(LSH_BITS, math.ceil(math.log2(n_vectors / target_bucket_size)))
 
 
-def hashed_buckets(n: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+# per-table collision probability at the semantic-dup design point:
+# a cosine-0.9 pair collides on one random hyperplane with
+# p = 1 - acos(0.9)/pi ~= 0.8567 (Charikar's SimHash bound)
+_LSH_P_DESIGN = 0.8567
+
+
+def auto_lsh_tables(bits: int, p: float = _LSH_P_DESIGN) -> int:
+    """Iso-recall companion of ``auto_lsh_bits``: as bits grow with
+    log2(N), per-table collision probability p^bits shrinks, so L must
+    grow to hold per-neighbor recall 1-(1-p^bits)^L at the design
+    point.  Exact solve: keep the miss probability (1-p^bits)^L equal
+    to the checked configuration's (1-p^LSH_BITS)^LSH_TABLES →
+    L(b) = L0 * ln(1-p^b0)/ln(1-p^b).  Growth is geometric in
+    (b - b0) but b itself only grows log2(N), so total hash work
+    N*L(b)*b stays polylog-linear in N."""
+    import math
+
+    if bits <= LSH_BITS:
+        return LSH_TABLES
+    target_miss = (1.0 - p**LSH_BITS) ** LSH_TABLES
+    return max(LSH_TABLES, math.ceil(math.log(target_miss) / math.log(1.0 - p**bits)))
+
+
+def hashed_buckets(n: DataFrame, bits: int = LSH_BITS, tables: int = LSH_TABLES) -> DataFrame:
     """(vec_id, v, nrm, tbl, bucket) for every vector × LSH table: bucket
     id = sign pattern over ``bits`` deterministic hyperplanes, emitted
     via a single explode — one pass over the vectors regardless of L.
     Shared by the ANN search here and dedup_semantic_clusters.  The
     driver-checked configuration pins ``bits=LSH_BITS`` (the oracle's
-    baked hyperplane family); scale runs size it via ``auto_lsh_bits``."""
+    baked hyperplane family); scale runs size bits via ``auto_lsh_bits``
+    and tables via ``auto_lsh_tables`` so the curve is iso-recall."""
     table_buckets = []
-    for t in range(LSH_TABLES):
+    for t in range(tables):
         bucket = None
         for bit in range(bits):
             weights = F.array(
@@ -528,8 +613,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
     # rn = 1 is its index cell (assign_cells semantics), rn <= probes are
     # the cells it probes as a query — the N x n_cells scoring no longer
     # runs twice, and the identical ranking exchange is reused by both
-    # consumers (ReusedExchange in the physical plan).
-    ranked = rank_cells(n, n_cells, keep=IVF_PROBES)
+    # consumers (ReusedExchange in the physical plan).  Scale runs
+    # (n_cells grown by auto_cells past the oracle-pinned floor) engage
+    # the JL prescreen: the sqrt(N)-growing N x n_cells term drops to
+    # 16-dim scoring with only a short cell list rescored at full
+    # dimension; the checked configuration stays exact full-dim.
+    jl_shortlist = max(4 * IVF_PROBES, 16) if n_cells > IVF_CELLS else None
+    ranked = rank_cells(n, n_cells, keep=IVF_PROBES, jl_shortlist=jl_shortlist)
     assigned = (
         ranked.filter(F.col("rn") == 1)
         .select("vec_id", "cell_id")

@@ -607,3 +607,181 @@ def streaming_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_reservoir_sample did not finish within 240s")
     return spark.read.parquet(reservoir_dir).select("doc_id", "n_tokens", "sample_key")
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization + CMS heavy-hitter serving (round 5: the last
+# two pytest-only streaming jobs graduate to hash-checked rows)
+# ---------------------------------------------------------------------------
+SESSION_GAP_MS = 45_000
+
+
+def _events_replay_path(spark: SparkSession, prefix: str) -> tuple[str, int]:
+    """Generated message fixture + a far-future sentinel event, written
+    for file replay.  The sentinel advances the global watermark past
+    every real session/window so append-mode state flushes; returns
+    (path, max real event ts)."""
+    events = _events(spark, CFG)
+    max_ts = events.agg(F.max("timestamp")).first()[0]
+    sentinel_ts = max_ts + SESSION_GAP_MS + 120_000 + 60_000
+    sentinel = spark.createDataFrame(
+        [
+            Row(
+                message_id="sentinel",
+                status="sent",
+                phone_number=0,
+                carrier="verizon",
+                timestamp=sentinel_ts,
+            )
+        ],
+        schema=events.schema,
+    )
+    path = tempfile.mkdtemp(prefix=prefix)
+    events.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(path)
+    return path, max_ts
+
+
+def _streaming_sessions_oracle() -> str:
+    # session_window touch-merge semantics (pinned by the batch w5 twin's
+    # boundary test): a new session starts only when the gap to the
+    # previous event EXCEEDS the gap duration; session end = last event
+    # + gap.  new_session is 0 across equal timestamps, so the tie order
+    # inside the running sum cannot move a session boundary.
+    return (
+        _PRELUDE
+        + f"""
+    , flagged AS (
+        SELECT phone_number, timestamp, message_id, status,
+               CASE WHEN LAG(timestamp) OVER w IS NULL
+                    OR timestamp - LAG(timestamp) OVER w > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM gen_events
+        WINDOW w AS (PARTITION BY phone_number ORDER BY timestamp, message_id, status)
+    ),
+    sess AS (
+        SELECT phone_number, timestamp,
+               CAST(SUM(new_session) OVER (PARTITION BY phone_number
+                    ORDER BY timestamp, message_id, status
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT MIN(timestamp) AS session_start_ms,
+           MAX(timestamp) + {SESSION_GAP_MS} AS session_end_ms,
+           phone_number,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY phone_number, session_id
+    """
+    )
+
+
+@REG.add(
+    "streaming_sessionization",
+    _streaming_sessions_oracle(),
+    doc="Streaming sessionization run FOR REAL with the NATIVE "
+    "session_window operator (streaming/jobs.py::phone_sessions — the "
+    "streaming twin of batch w5): bursts of per-phone activity separated "
+    "by > 45 s of silence, merged in the state store until the watermark "
+    "passes session end, emitted exactly once in append mode.  State is "
+    "one open session per active phone (the ST1 per-key budget).  "
+    "Session boundaries are pure integer-ms comparisons and the oracle "
+    "reproduces the touch-merge rule (split only when gap > 45 s) with a "
+    "lag + running-sum islands plan, so the stream hash-matches the SQL; "
+    "a far-future sentinel event closes every real session.",
+)
+def streaming_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import phone_sessions, read_event_stream_from_files
+
+    path, max_ts = _events_replay_path(spark, "ssess-events-")
+    stream = read_event_stream_from_files(spark, path)
+    out = _run_available_now(phone_sessions(stream, gap="45 seconds"), "streaming_sessions")
+    # the sentinel's own session starts after every real event; real
+    # sessions all start at or before max_ts
+    return out.filter(F.col("session_start_ms") <= F.lit(max_ts))
+
+
+HH_TOPK = 10
+
+
+def _streaming_hh_oracle() -> str:
+    return (
+        _PRELUDE
+        + f"""
+    , rows_h AS (
+        SELECT (timestamp // 60000) * 60000 AS window_start_ms, phone_number, r
+        FROM gen_events CROSS JOIN UNNEST(range({CMS_D})) AS t(r)
+    ),
+    cells AS (
+        SELECT window_start_ms, r, {_cms_bucket_sql('phone_number')} AS bucket,
+               COUNT(*) AS c
+        FROM rows_h GROUP BY 1, 2, 3
+    ),
+    cand AS (
+        SELECT DISTINCT (timestamp // 60000) * 60000 AS window_start_ms, phone_number
+        FROM gen_events
+    ),
+    probe AS (
+        SELECT window_start_ms, phone_number, r,
+               {_cms_bucket_sql('phone_number')} AS bucket
+        FROM cand CROSS JOIN UNNEST(range({CMS_D})) AS t(r)
+    ),
+    est AS (
+        SELECT p.window_start_ms, p.phone_number,
+               MIN(COALESCE(c.c, 0)) AS est_count
+        FROM probe p LEFT JOIN cells c
+          ON c.window_start_ms = p.window_start_ms
+         AND c.r = p.r AND c.bucket = p.bucket
+        GROUP BY 1, 2
+    )
+    SELECT window_start_ms, phone_number,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+                      ORDER BY est_count DESC, phone_number) AS rank
+        FROM est
+    ) WHERE rank <= {HH_TOPK}
+    """
+    )
+
+
+@REG.add(
+    "streaming_heavy_hitters",
+    _streaming_hh_oracle(),
+    doc=f"CMS SERVING LAYER run FOR REAL (streaming/jobs.py::"
+    "run_streaming_heavy_hitters — the publish half over "
+    "streaming_cms_cells): the stream maintains bounded per-window cell "
+    "grids; each foreachBatch of closed windows is probed with the batch "
+    f"candidate-key table and a top-{HH_TOPK} per window is published to "
+    "an idempotent batch-id-partitioned parquet sink.  Stream state never "
+    "holds the key universe — candidates live in a side table, the grid "
+    "is <= d x w integers per window (the 100 TB monitoring shape).  "
+    "Estimates are integer min-over-rows probes (est >= true by the CMS "
+    "guarantee) with deterministic (est desc, key) ranking, so the "
+    "published table hash-matches the SQL oracle end-to-end.",
+)
+def streaming_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_streaming_heavy_hitters
+
+    path, max_ts = _events_replay_path(spark, "shh-events-")
+    out_path = tempfile.mkdtemp(prefix="shh-out-")
+    q = run_streaming_heavy_hitters(
+        spark,
+        path,
+        out_path,
+        checkpoint=tempfile.mkdtemp(prefix="shh-ckpt-"),
+        key="phone_number",
+        window="1 minute",
+        delay="30 seconds",
+        topk=HH_TOPK,
+    )
+    q.awaitTermination(240)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("streaming_heavy_hitters did not finish within 240s")
+    out = spark.read.parquet(out_path)
+    return out.filter(F.col("window_start_ms") <= F.lit(max_ts)).select(
+        "window_start_ms",
+        F.col("k").alias("phone_number"),
+        "est_count",
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -59,6 +59,9 @@ def get_spark(
         # generous driver memory in local mode; ignored under spark-submit
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar redraws interleave with stdout and can
+        # displace the bench harness's final JSON line from log tails
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if rocksdb_state:
         builder = builder.config(

@@ -518,11 +518,13 @@ def run_streaming_reservoir(
     O(batch + k).  ``doc_stream`` needs (doc_id, text) columns."""
     from pyspark.sql.utils import AnalysisException
 
-    from ..functions.expressions import det_hash_hex, hex4_to_int
+    from ..functions.expressions import det_uniform
 
     spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
     n_tokens = (spaces + 1).cast("long")
-    u = hex4_to_int(det_hash_hex("doc_id", seed=seed)) / F.lit(65536.0)
+    # single definition of the uniform draw, shared with
+    # smp5_weighted_sample and its DuckDB oracle (bit parity)
+    u = det_uniform("doc_id", seed=seed)
     key = F.round(F.pow(u, F.lit(1.0) / n_tokens.cast("double")), 9)
     scored_cols = ["doc_id", "n_tokens", "sample_key"]
 
@@ -535,8 +537,13 @@ def run_streaming_reservoir(
             current = spark.read.parquet(reservoir_dir).select(*scored_cols)
         except AnalysisException:
             current = spark.createDataFrame([], "doc_id long, n_tokens long, sample_key double")
+        # foreachBatch is at-least-once: a replayed batch (reservoir
+        # overwritten, checkpoint not yet committed) unions the same docs
+        # in again.  dropDuplicates makes the merge a SET union, so a
+        # replay is a no-op and top-k can never hold a doc_id twice.
         merged = (
             current.unionByName(scored)
+            .dropDuplicates(["doc_id"])
             .orderBy(F.desc("sample_key"), "doc_id")
             .limit(k)
             .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source dir

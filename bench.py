@@ -186,6 +186,38 @@ def main() -> None:
             result[key] = {"error": str(exc)[:200]}
         emit(result)
 
+    # The driver keeps only a ~2 KB tail of combined stdout+stderr and
+    # parses the last JSON line it can find.  Rounds 3 and 4 both lost
+    # the payload: r3 to a kill before the end-only print, r4 to (a)
+    # teardown noise printed AFTER the last emit and (b) the full
+    # payload line itself outgrowing the tail window (2.1-4 KB), which
+    # truncates the JSON's HEAD.  Three defenses: silence all logging
+    # and drain async task-abort lines; persist the full payload to a
+    # committed-readable file; then emit a COMPACT final line (v1
+    # queries + v2/v3 totals + streaming) hard-capped under the tail
+    # window so the last line always parses.
+    get_spark("bench").sparkContext.setLogLevel("OFF")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full_local.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "headline_v2_total": result.get("headline_v2_total"),
+        "headline_v3_total": result.get("headline_v3_total"),
+        "streaming": result.get("streaming"),
+        "streaming_join_variant": result.get("streaming_join_variant"),
+        "full_payload_file": "BENCH_full_local.json",
+    }
+    if len(json.dumps(compact)) > 1900:  # still too wide? drop per-query detail
+        compact["queries"] = {"n_queries": len(result["queries"])}
+    time.sleep(3)
+    sys.stderr.flush()
+    emit(compact)
+
 
 def _streaming_throughput(
     measure_s: int = 25,
@@ -241,6 +273,10 @@ def _streaming_throughput(
             break
         time.sleep(5)
     progress = list(q.recentProgress)
+    # stop() aborts in-flight noop-write tasks, which log ERROR lines
+    # asynchronously; silence them so they can't land after the bench
+    # payload in the combined output stream
+    spark.sparkContext.setLogLevel("OFF")
     q.stop()
     data_batches = [p for p in progress if p["numInputRows"] > 0]
     # skip the first data batch (python-worker + state-store warm-up);

@@ -195,6 +195,33 @@ def test_auto_lsh_bits_sizing_rule():
     assert auto_lsh_bits(200_000) >= auto_lsh_bits(20_000)
 
 
+def test_auto_lsh_tables_iso_recall_rule():
+    """L grows alongside bits so per-neighbor recall at the cosine-0.9
+    design point — 1-(1-p^bits)^L — never drops below the checked
+    4-bit/6-table configuration's recall (the scale curve is
+    iso-recall, not silently lossier as bits widen)."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        _LSH_P_DESIGN,
+        LSH_BITS,
+        LSH_TABLES,
+        auto_lsh_bits,
+        auto_lsh_tables,
+    )
+
+    p = _LSH_P_DESIGN
+    base_recall = 1 - (1 - p**LSH_BITS) ** LSH_TABLES
+    # checked configuration is the floor
+    assert auto_lsh_tables(LSH_BITS) == LSH_TABLES
+    assert auto_lsh_tables(LSH_BITS - 1) == LSH_TABLES
+    for n in (20_000, 200_000, 2_000_000):
+        bits = auto_lsh_bits(n)
+        tables = auto_lsh_tables(bits)
+        recall = 1 - (1 - p**bits) ** tables
+        assert recall >= base_recall, (n, bits, tables, recall, base_recall)
+    # monotone in bits
+    assert auto_lsh_tables(10) >= auto_lsh_tables(8) >= auto_lsh_tables(6)
+
+
 def test_semantic_clusters_scaled_bits_subset_of_exact(spark):
     """Wider banding (bits=6) must produce clusters whose co-membership
     relation is a SUBSET of the exact verifier's transitive closure —
@@ -497,6 +524,62 @@ def test_knn_graph_recall_vs_bruteforce(spark):
     graph_q = {(q, n) for q, n in graph if q < 5}
     assert len(graph_q) == len(exact) == 5 * KNN_K
     recall = len(exact & graph_q) / len(exact)
+    assert recall >= 0.25, recall
+
+
+def test_knn_graph_jl_prescreen_recall(spark):
+    """The scale-path JL prescreen (rank_cells jl_shortlist — SCALE.md's
+    remedy for the sqrt(N)-growing N x n_cells term) must clear the same
+    recall floor as the exact full-dimension ranking, on the worst-case
+    uniform synthetic vectors where JL distortion is largest relative to
+    the true cosine gaps.  Forced on at the pinned 16-cell config with a
+    shortlist of half the cells."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        IVF_PROBES,
+        KNN_K,
+        _dot,
+        _normed,
+        rank_cells,
+        sim_topk,
+    )
+    from pyspark.sql import Window
+
+    from tests.conftest import SF_SMALL
+
+    exact = {(r.query_id, r.neighbor_id) for r in sim_topk(spark, SF_SMALL).collect()}
+    n = _normed(spark, SF_SMALL)
+    ranked = rank_cells(n, 16, keep=IVF_PROBES, jl_shortlist=8)
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+        .join(n, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            "cell_id",
+        )
+    )
+    qcells = ranked.select(F.col("vec_id").alias("query_id"), "cell_id").join(
+        n.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        ),
+        "query_id",
+    )
+    cand = qcells.join(assigned, "cell_id").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    graph = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id")
+        .collect()
+        if r.query_id < 5
+    }
+    recall = len(exact & graph) / len(exact)
     assert recall >= 0.25, recall
 
 

@@ -67,7 +67,7 @@ DRIVER_WINDOW = 50  # the round driver checks only the first 50 queries()
 
 
 def test_driver_window_rotation_invariants():
-    """Round-4 rotation policy (standing, from round-2 VERDICT #1 /
+    """Round-5 rotation policy (standing, from round-2 VERDICT #1 /
     round-3 VERDICT #3): the driver verifies only the first 50 entries
     of queries(); those slots belong to (a) every query with NO green
     driver row from any prior round, (b) every query new this round,
@@ -83,10 +83,10 @@ def test_driver_window_rotation_invariants():
     promoted = entrymod._PROMOTED_NEVER_CHECKED
     assert window[: len(promoted)] == promoted
     # (b) every round-new query sits inside the window
-    for name in entrymod._ROUND4_NEW:
+    for name in entrymod._ROUND_NEW:
         assert name in in_window, name
     # (c) remaining slots are the declared flagship refreshes
-    assert in_window == set(promoted) | set(entrymod._ROUND4_NEW) | set(
+    assert in_window == set(promoted) | set(entrymod._ROUND_NEW) | set(
         entrymod._FLAGSHIP_REFRESH
     )
     # the streaming detector (flagship) keeps earning driver rows
@@ -98,7 +98,7 @@ def test_driver_window_rotation_invariants():
     import json
 
     green = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
         try:
             with open(art) as f:
                 rows = json.load(f)
@@ -110,10 +110,10 @@ def test_driver_window_rotation_invariants():
     # round-new overflow queries (window full) must carry committed
     # full-registry evidence instead (the end-of-round artifact: overflow
     # can land after the round-entry _pre gate was recorded)
-    if entrymod._ROUND4_OVERFLOW:
-        with open("CORRECTNESS_FULL_r04.json") as f:
+    if entrymod._ROUND_OVERFLOW:
+        with open("CORRECTNESS_FULL_r05.json") as f:
             full = json.load(f)
-        for name in entrymod._ROUND4_OVERFLOW:
+        for name in entrymod._ROUND_OVERFLOW:
             assert name in ORACLES, name
             assert full.get(name, {}).get("hash_match"), (
                 f"overflow query {name} lacks committed full-registry evidence"
