@@ -63,6 +63,8 @@ _PROMOTED_NEVER_CHECKED = [
 _ROUND_NEW = [
     "streaming_sessionization",
     "streaming_heavy_hitters",
+    "streaming_epoch_plan",
+    "pipe_curriculum_pack",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -90,7 +92,6 @@ _FLAGSHIP_REFRESH = [
     "w1_hourly_event_counts",
     "w4_sessionization",
     "w5_session_window",
-    "w6_retention_cohorts",
     "w9_scd2_intervals",
     "u3_snapshot_last_event_wins",
     "u6_merge_upsert",
@@ -98,7 +99,6 @@ _FLAGSHIP_REFRESH = [
     "smp4_group_split",
     "s8_set_operations",
     "f_expressions",
-    "f12_json_props",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -130,6 +130,8 @@ _DEMOTED_TAIL = [
     # demoted after earning r4 driver rows
     "a12_exact_group_median",
     "f13_morton_code",
+    "f12_json_props",
+    "w6_retention_cohorts",
     "streaming_cms_cells",
     "streaming_contamination_check",
     "streaming_ivf_assign",

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from . import Registry
 from .sketches import _hex8_sql
-from .text import BIGRAM_LM_SQL
+from .text import BIGRAM_LM_SQL, _quality_gate_sql
 
 REG = Registry()
 
@@ -398,4 +398,94 @@ def pipe_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("repeat_factor"),
         n_copies.alias("n_copies"),
         (n_copies * F.col("n_tokens")).alias("planned_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum packing: quality-tier-ordered concat-and-chunk (round 5)
+# ---------------------------------------------------------------------------
+# tier thresholds on the 6dp-rounded corpus-bigram LM score (gate floor
+# is QG_MIN_AVG_LOGPROB = -3.41; passing docs at the test SF span about
+# [-3.41, -3.26], so these cut the gated corpus into ~thirds)
+CURR_T1 = -3.37  # tier 0 (best): avg_logprob >= T1
+CURR_T2 = -3.39  # tier 1: T2 <= avg_logprob < T1; tier 2: the rest
+CURR_TIER_STRIDE = 1 << 40  # curriculum order id = tier * stride + doc_id
+
+
+@REG.add(
+    "pipe_curriculum_pack",
+    f"""
+    WITH gate AS ({_quality_gate_sql()}),
+    toks AS (
+        SELECT d.doc_id, g.avg_logprob,
+               CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents d JOIN gate g USING (doc_id)
+        WHERE g.passed
+    ),
+    tiered AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN avg_logprob >= {CURR_T1!r} THEN 0
+                    WHEN avg_logprob >= {CURR_T2!r} THEN 1
+                    ELSE 2 END AS tier
+        FROM toks
+    ),
+    o AS (
+        SELECT doc_id, tier, n_tokens,
+               COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY tier, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                        0) AS start_offset
+        FROM tiered
+    )
+    SELECT doc_id, CAST(tier AS BIGINT) AS tier, n_tokens, start_offset,
+           start_offset // {SEQ_LEN} AS start_seq,
+           (start_offset + n_tokens - 1) // {SEQ_LEN} AS end_seq,
+           (start_offset + n_tokens - 1) // {SEQ_LEN} - start_offset // {SEQ_LEN} + 1
+               AS n_seqs
+    FROM o
+    """,
+    doc=f"CURRICULUM packing (pack_sequences ∘ pipe_quality_gate, the round-4 "
+    "verdict's suggested composition): gate the corpus with the composed "
+    "quality classifier, bucket survivors into quality TIERS by fixed "
+    "thresholds on the 6dp-rounded bigram-LM score (best tier first — "
+    "easy-to-hard curriculum ordering for pretraining), then concat-and-"
+    "chunk tier by tier.  The curriculum total order is (tier, doc_id), "
+    f"realized as the integer key tier*2^40 + doc_id fed to the SAME "
+    "recursive distributed prefix sum as pack_sequences — fixed tier "
+    "thresholds mean NO global sort and no quantile pass; the only new "
+    "cost over pack_sequences is the gate itself.  Offsets are exact "
+    "integer arithmetic; the oracle states them with one naive window.",
+)
+def pipe_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import pipe_quality_gate
+
+    gate = pipe_quality_gate(spark, sf_dir).filter("passed").select("doc_id", "avg_logprob")
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (spaces + 1).cast("long").alias("n_tokens")
+    )
+    tiered = docs.join(gate, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("avg_logprob") >= CURR_T1, 0)
+        .when(F.col("avg_logprob") >= CURR_T2, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("tier"),
+    )
+    keyed = tiered.withColumn(
+        "curr_id", F.col("tier") * F.lit(CURR_TIER_STRIDE) + F.col("doc_id")
+    )
+    out = exclusive_prefix_sum(keyed, "curr_id", "n_tokens", "start_offset")
+    last = F.col("start_offset") + F.col("n_tokens") - 1
+    start_seq = F.expr(f"start_offset div {SEQ_LEN}")
+    end_seq = (last - last % SEQ_LEN) / SEQ_LEN
+    return out.select(
+        "doc_id",
+        "tier",
+        "n_tokens",
+        "start_offset",
+        start_seq.alias("start_seq"),
+        end_seq.cast("long").alias("end_seq"),
+        (end_seq.cast("long") - start_seq + 1).alias("n_seqs"),
     )

@@ -406,21 +406,37 @@ def auto_lsh_bits(n_vectors: int, target_bucket_size: int = 125) -> int:
 _LSH_P_DESIGN = 0.8567
 
 
-def auto_lsh_tables(bits: int, p: float = _LSH_P_DESIGN) -> int:
-    """Iso-recall companion of ``auto_lsh_bits``: as bits grow with
+def auto_lsh_tables(bits: int, p: float = _LSH_P_DESIGN, cap: int = 2 * LSH_TABLES) -> int:
+    """Recall-holding companion of ``auto_lsh_bits``: as bits grow with
     log2(N), per-table collision probability p^bits shrinks, so L must
-    grow to hold per-neighbor recall 1-(1-p^bits)^L at the design
-    point.  Exact solve: keep the miss probability (1-p^bits)^L equal
-    to the checked configuration's (1-p^LSH_BITS)^LSH_TABLES →
-    L(b) = L0 * ln(1-p^b0)/ln(1-p^b).  Growth is geometric in
-    (b - b0) but b itself only grows log2(N), so total hash work
-    N*L(b)*b stays polylog-linear in N."""
+    grow to hold per-neighbor recall 1-(1-p^bits)^L at the cosine-0.9
+    design point.  Exact iso-recall solve: keep the miss probability
+    (1-p^bits)^L equal to the checked configuration's →
+    L(b) = L0 * ln(1-p^b0)/ln(1-p^b) — but that L grows like
+    p^-(b-b0) ~= N^0.22, making total banding cost N^1.22: the known
+    structural price of iso-recall banding LSH (measured: the x30
+    semantic-dedup step went 2.4 -> 5.1 with uncapped L).  Production
+    stance: grow L up to ``cap`` (default 2x the base), which keeps
+    design-point recall within ~2 points of the checked configuration
+    across the measured scale range, and RECORD the expected recall per
+    scale point (lsh_expected_recall, surfaced in the scale-bench
+    artifact + SCALE.md) so the curve's quality is explicit, never
+    silent.  Corpora big enough to exhaust the cap should shard the
+    LSH pass or move semantic dedup to the IVF path."""
     import math
 
     if bits <= LSH_BITS:
         return LSH_TABLES
     target_miss = (1.0 - p**LSH_BITS) ** LSH_TABLES
-    return max(LSH_TABLES, math.ceil(math.log(target_miss) / math.log(1.0 - p**bits)))
+    iso = math.ceil(math.log(target_miss) / math.log(1.0 - p**bits))
+    return min(cap, max(LSH_TABLES, iso))
+
+
+def lsh_expected_recall(bits: int, tables: int, p: float = _LSH_P_DESIGN) -> float:
+    """Per-neighbor recall 1-(1-p^bits)^L at collision probability p
+    (default: the cosine-0.9 design point) — the number the scale
+    artifacts record next to each (bits, tables) configuration."""
+    return round(1.0 - (1.0 - p**bits) ** tables, 4)
 
 
 def hashed_buckets(n: DataFrame, bits: int = LSH_BITS, tables: int = LSH_TABLES) -> DataFrame:

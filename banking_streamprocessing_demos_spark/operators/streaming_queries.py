@@ -109,13 +109,15 @@ def _write_sorted_replay(df: DataFrame, prefix: str, order_cols: list[str]) -> s
     return path
 
 
-def _run_available_now(df: DataFrame, prefix: str, timeout_s: int = 240) -> DataFrame:
+def _run_available_now(
+    df: DataFrame, prefix: str, timeout_s: int = 240, output_mode: str = "append"
+) -> DataFrame:
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     spark = df.sparkSession
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}-ckpt-"))
         .trigger(availableNow=True)
         .start()
@@ -784,4 +786,84 @@ def streaming_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("phone_number"),
         "est_count",
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming epoch/repeat planning (round 5: pipe_epoch_plan's ingest twin)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_epoch_oracle() -> str:
+    from .packing import EPOCH_BUDGET_FACTOR, MAX_EPOCHS
+
+    return f"""
+    WITH toks AS (
+        SELECT source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        FROM toks GROUP BY source
+    ),
+    g AS (SELECT SUM(total_tokens) AS all_tokens, COUNT(*) AS n_src FROM tot)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(LEAST({MAX_EPOCHS},
+                       ({EPOCH_BUDGET_FACTOR} * all_tokens / n_src) / total_tokens),
+                 6) AS repeat_factor
+    FROM tot, g
+    """
+
+
+@REG.add(
+    "streaming_epoch_plan",
+    _streaming_epoch_oracle(),
+    doc="INCREMENTAL epoch/repeat planning run FOR REAL (the streaming twin "
+    "of pipe_epoch_plan): documents arrive as a stream and the per-source "
+    "token/doc totals — the sufficient statistic for the repeat policy — "
+    "are maintained as a complete-mode streaming aggregation (state = one "
+    "row per source, NEVER per-doc).  The repeat factors r = min(max-"
+    "epochs, fair-share/source-tokens) are derived from the final totals "
+    "table exactly as the batch op derives them: at 100 TB the policy "
+    "updates continuously at ingest while the expensive per-doc copy "
+    "materialization stays a separate batch pass.  Integer sums are "
+    "order-independent, so the streamed totals — and the r derived from "
+    "them — hash-match the batch SQL bit-for-bit.",
+)
+def streaming_epoch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .packing import EPOCH_BUDGET_FACTOR, MAX_EPOCHS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    path = _write_sorted_replay(docs, "sep-docs-", ["doc_id"])
+    stream = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        path
+    )
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    totals_stream = (
+        stream.select("source", (spaces + 1).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+    totals = _run_available_now(
+        totals_stream, "streaming_epoch_plan", output_mode="complete"
+    )
+    g = totals.agg(
+        F.sum("total_tokens").alias("all_tokens"), F.count("*").alias("n_src")
+    )
+    return totals.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.least(
+                F.lit(MAX_EPOCHS),
+                (F.lit(EPOCH_BUDGET_FACTOR) * F.col("all_tokens") / F.col("n_src"))
+                / F.col("total_tokens"),
+            ),
+            6,
+        ).alias("repeat_factor"),
     )

@@ -106,6 +106,13 @@ HEADLINE_V3 = [
     "w4_sessionization",
 ]
 
+# Fourth series (round 5+): round-5 batch additions — own
+# round-over-round track.  (The new streaming_* registry entries are
+# exercised by the streaming probes + driver correctness runs.)
+HEADLINE_V4 = [
+    "pipe_curriculum_pack",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,6 +125,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     names_v2 = [n for n in HEADLINE_V2 if n in qs]
     names_v3 = [n for n in HEADLINE_V3 if n in qs]
+    names_v4 = [n for n in HEADLINE_V4 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,8 +157,32 @@ def main() -> None:
     # after EVERY phase — the driver keeps the last parseable line, and
     # a kill at any point still leaves the frozen headline series on
     # stdout.
+    def _compact(payload: dict) -> dict:
+        c = {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "sf": payload["sf"],
+            "queries": payload["queries"],
+            "headline_v2_total": payload.get("headline_v2_total"),
+            "headline_v3_total": payload.get("headline_v3_total"),
+            "headline_v4_total": payload.get("headline_v4_total"),
+            "streaming": payload.get("streaming"),
+            "streaming_join_variant": payload.get("streaming_join_variant"),
+            "full_payload_file": "BENCH_full_local.json",
+        }
+        if len(json.dumps(c)) > 1900:  # still too wide? drop per-query detail
+            c["queries"] = {"n_queries": len(payload["queries"])}
+        return c
+
     def emit(payload: dict) -> None:
-        print(json.dumps(payload))
+        line = json.dumps(payload)
+        print(line)
+        # the driver parses the LAST JSON line of a ~2 KB output tail; a
+        # payload line wider than the tail window would truncate its own
+        # head, so follow any wide line with a parseable compact twin
+        if len(line) > 1900:
+            print(json.dumps(_compact(payload)))
         sys.stdout.flush()
 
     timings = run_series(names)
@@ -174,6 +206,11 @@ def main() -> None:
     timings_v3 = run_series(names_v3, passes=1)
     result["headline_v3_total"] = round(sum(timings_v3.values()), 3)
     result["queries_v3"] = timings_v3
+    emit(result)
+
+    timings_v4 = run_series(names_v4, passes=1)
+    result["headline_v4_total"] = round(sum(timings_v4.values()), 3)
+    result["queries_v4"] = timings_v4
     emit(result)
 
     for key, kwargs in (
@@ -200,23 +237,10 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_full_local.json"), "w") as f:
         json.dump(result, f, indent=1)
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "sf": result["sf"],
-        "queries": result["queries"],
-        "headline_v2_total": result.get("headline_v2_total"),
-        "headline_v3_total": result.get("headline_v3_total"),
-        "streaming": result.get("streaming"),
-        "streaming_join_variant": result.get("streaming_join_variant"),
-        "full_payload_file": "BENCH_full_local.json",
-    }
-    if len(json.dumps(compact)) > 1900:  # still too wide? drop per-query detail
-        compact["queries"] = {"n_queries": len(result["queries"])}
     time.sleep(3)
     sys.stderr.flush()
-    emit(compact)
+    print(json.dumps(_compact(result)))
+    sys.stdout.flush()
 
 
 def _streaming_throughput(

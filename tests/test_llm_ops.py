@@ -195,31 +195,43 @@ def test_auto_lsh_bits_sizing_rule():
     assert auto_lsh_bits(200_000) >= auto_lsh_bits(20_000)
 
 
-def test_auto_lsh_tables_iso_recall_rule():
+def test_auto_lsh_tables_recall_rule():
     """L grows alongside bits so per-neighbor recall at the cosine-0.9
-    design point — 1-(1-p^bits)^L — never drops below the checked
-    4-bit/6-table configuration's recall (the scale curve is
-    iso-recall, not silently lossier as bits widen)."""
+    design point — 1-(1-p^bits)^L — stays within ~2 points of the
+    checked 4-bit/6-table configuration across the practical scale
+    range, under the documented cap (exact iso-recall L grows like
+    N^0.22; the cap trades that structural blow-up for an explicit,
+    RECORDED recall level per scale point)."""
     from banking_streamprocessing_demos_spark.operators.similarity import (
         _LSH_P_DESIGN,
         LSH_BITS,
         LSH_TABLES,
         auto_lsh_bits,
         auto_lsh_tables,
+        lsh_expected_recall,
     )
 
     p = _LSH_P_DESIGN
-    base_recall = 1 - (1 - p**LSH_BITS) ** LSH_TABLES
+    base_recall = lsh_expected_recall(LSH_BITS, LSH_TABLES)
     # checked configuration is the floor
     assert auto_lsh_tables(LSH_BITS) == LSH_TABLES
     assert auto_lsh_tables(LSH_BITS - 1) == LSH_TABLES
-    for n in (20_000, 200_000, 2_000_000):
+    for n in (20_000, 60_000):  # the measured x10/x30 scale range
         bits = auto_lsh_bits(n)
         tables = auto_lsh_tables(bits)
-        recall = 1 - (1 - p**bits) ** tables
-        assert recall >= base_recall, (n, bits, tables, recall, base_recall)
-    # monotone in bits
+        recall = lsh_expected_recall(bits, tables)
+        assert recall >= base_recall - 0.03, (n, bits, tables, recall, base_recall)
+        assert tables <= 2 * LSH_TABLES  # the cap bounds banding cost
+    # beyond the measured range the cap starts to bite — the recorded
+    # recall makes the decay explicit (SCALE.md documents shard/IVF as
+    # the move once it matters)
+    assert lsh_expected_recall(auto_lsh_bits(200_000), auto_lsh_tables(11)) >= 0.90
+    # monotone (non-decreasing) in bits, saturating at the cap
     assert auto_lsh_tables(10) >= auto_lsh_tables(8) >= auto_lsh_tables(6)
+    # uncapped solve really is iso-recall (the formula itself is exact)
+    for bits in (6, 8, 10):
+        iso = auto_lsh_tables(bits, cap=10_000)
+        assert lsh_expected_recall(bits, iso) >= base_recall
 
 
 def test_semantic_clusters_scaled_bits_subset_of_exact(spark):
@@ -639,3 +651,58 @@ def test_auto_cells_sizing():
     assert auto_cells(500) == IVF_CELLS            # floor at the oracle config
     assert auto_cells(20_000) == 156               # 10x corpus -> ~10x cells
     assert auto_cells(2_000_000) == 15_625         # constant ~128/cell
+
+
+def test_curriculum_pack_tier_order_and_contiguity(spark):
+    """Curriculum packing invariants on real testdata: (1) only gate-
+    passing docs appear; (2) offsets are an exclusive prefix sum of
+    n_tokens in (tier, doc_id) order — the corpus is contiguous with no
+    gaps; (3) every tier-0 document packs before every tier-1 document,
+    etc. (the curriculum property)."""
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        pipe_curriculum_pack,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_quality_gate
+    from tests.conftest import SF_SMALL
+
+    out = sorted(
+        pipe_curriculum_pack(spark, SF_SMALL).collect(),
+        key=lambda r: (r.tier, r.doc_id),
+    )
+    assert out, "gate must pass at least one doc on the small fixture"
+    passed = {
+        r.doc_id for r in pipe_quality_gate(spark, SF_SMALL).filter("passed").collect()
+    }
+    assert {r.doc_id for r in out} == passed
+    offset = 0
+    prev_tier = 0
+    for r in out:
+        assert r.tier >= prev_tier
+        prev_tier = r.tier
+        assert r.start_offset == offset, (r.doc_id, r.start_offset, offset)
+        assert r.start_seq == r.start_offset // 2048
+        assert r.end_seq == (r.start_offset + r.n_tokens - 1) // 2048
+        assert r.n_seqs == r.end_seq - r.start_seq + 1
+        offset += r.n_tokens
+
+
+def test_streaming_epoch_plan_matches_batch_policy(spark):
+    """The streamed per-source totals must reproduce the batch
+    pipe_epoch_plan repeat factors exactly (integer sums are order-
+    independent, so ingest batching cannot perturb the policy)."""
+    from banking_streamprocessing_demos_spark.operators.packing import pipe_epoch_plan
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_epoch_plan_q,
+    )
+    from tests.conftest import SF_SMALL
+
+    streamed = {
+        r.source: (r.total_tokens, r.repeat_factor)
+        for r in streaming_epoch_plan_q(spark, SF_SMALL).collect()
+    }
+    batch = {}
+    for r in pipe_epoch_plan(spark, SF_SMALL).collect():
+        batch.setdefault(r.source, r.repeat_factor)
+    assert set(streamed) == set(batch)
+    for src, (_tok, r_streamed) in streamed.items():
+        assert r_streamed == batch[src], (src, r_streamed, batch[src])

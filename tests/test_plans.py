@@ -325,3 +325,18 @@ def test_j9_reconcile_detail_preaggregated(spark):
     assert "FullOuter" in plan, plan[:2000]
     # the detail side reaches the join through its own aggregate
     assert plan.count("partial_sum") >= 1, plan[:2000]
+
+
+def test_curriculum_pack_prefix_sum_shape(spark):
+    """Curriculum packing reuses the recursive prefix sum on the
+    (tier, doc_id) composite key: still exactly one SinglePartition
+    exchange (the doubly-reduced super-bucket table) — the quality gate
+    composition must not smuggle in a global sort."""
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        pipe_curriculum_pack,
+    )
+
+    df = pipe_curriculum_pack(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") == 1, plan
+    assert "__b3" in plan and "__b2" in plan, plan

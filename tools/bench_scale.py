@@ -39,15 +39,34 @@ def _knn_kwargs(spark, sf_dir: str) -> dict:
     return {"n_cells": auto_cells(n_vectors)}
 
 
+_LSH_CONFIGS: dict[str, dict] = {}  # sf_dir -> recorded banding config
+
+
 def _semantic_kwargs(spark, sf_dir: str) -> dict:
     # production banding rule: bits ~ log2(N) keeps expected bucket size
     # constant — measuring a frozen 4-bit table at 10x the corpus would
     # measure the config error (every bucket 10x bigger, collision join
-    # quadratic), not the engine (same argument as _knn_kwargs)
-    from banking_streamprocessing_demos_spark.operators.similarity import auto_lsh_bits
+    # quadratic), not the engine (same argument as _knn_kwargs).  Tables
+    # grow with bits under the capped recall rule; the per-point
+    # expected recall is RECORDED in the artifact so the curve's
+    # quality level is explicit (round-4 ADVICE).
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        auto_lsh_bits,
+        auto_lsh_tables,
+        lsh_expected_recall,
+    )
 
     n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    return {"lsh_bits": auto_lsh_bits(n_vectors)}
+    bits = auto_lsh_bits(n_vectors)
+    tables = auto_lsh_tables(bits)
+    _LSH_CONFIGS[sf_dir] = {
+        "n_vectors": n_vectors,
+        "lsh_bits": bits,
+        "lsh_tables": tables,
+        "expected_recall_cos09": lsh_expected_recall(bits, tables),
+    }
+    print(f"# semantic lsh config @ {sf_dir}: {_LSH_CONFIGS[sf_dir]}", file=sys.stderr)
+    return {"lsh_bits": bits}
 
 
 # query name -> optional per-scale kwargs factory ((spark, sf_dir) -> kwargs)
@@ -122,6 +141,7 @@ def main() -> None:
         "linear_budget_ratio": 12.0,
         "families": results,
         "max_ratio": max(r["ratio"] for r in results.values()),
+        "lsh_configs": _LSH_CONFIGS,
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
@@ -171,7 +191,12 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
         row["ratio_30_10"] = round(row["x30"] / row["x10"], 2)
         results[name] = row
-    payload = {"metric": "scaling_curve_3pt", "points": [1, 10, 30], "families": results}
+    payload = {
+        "metric": "scaling_curve_3pt",
+        "points": [1, 10, 30],
+        "families": results,
+        "lsh_configs": _LSH_CONFIGS,
+    }
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps({k: (v["ratio_10_1"], v["ratio_30_10"]) for k, v in results.items()}))
