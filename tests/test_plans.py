@@ -340,3 +340,23 @@ def test_curriculum_pack_prefix_sum_shape(spark):
     plan = formatted_plan(df)
     assert plan.count("SinglePartition") == 1, plan
     assert "__b3" in plan and "__b2" in plan, plan
+
+
+def test_knn_graph_jl_prescreen_exchanges_are_skinny(spark):
+    """The scale path (auto_cells past the pinned floor engages the JL
+    prescreen) must keep BOTH ranking exchanges skinny: the 16-dim JL
+    scoring shuffle carries (vec_id, cell_id, cell_cos) and the
+    full-dimension rescore shuffles only the shortlist — no 64-dim
+    array ever rides an N x n_cells exchange."""
+    import re
+
+    from banking_streamprocessing_demos_spark.operators.similarity import sim_knn_graph
+
+    plan = formatted_plan(sim_knn_graph(spark, SF_SMALL, n_cells=32))
+    blocks = re.findall(
+        r"\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning", plan
+    )
+    ranking = [b for b in blocks if "cell_cos" in b]
+    assert ranking, plan[:2000]
+    for b in ranking:
+        assert not re.search(r"embedding#|qv#|cv#|jv#|\bv#", b), b
