@@ -632,9 +632,15 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
     # consumers (ReusedExchange in the physical plan).  Scale runs
     # (n_cells grown by auto_cells past the oracle-pinned floor) engage
     # the JL prescreen: the sqrt(N)-growing N x n_cells term drops to
-    # 16-dim scoring with only a short cell list rescored at full
-    # dimension; the checked configuration stays exact full-dim.
-    jl_shortlist = max(4 * IVF_PROBES, 16) if n_cells > IVF_CELLS else None
+    # 16-dim scoring with only a shortlist rescored at full dimension;
+    # the checked configuration stays exact full-dim.  The shortlist is
+    # a constant FRACTION of the cells (1/16, floored at 4x probes) so
+    # the full-dim rescore stays 1/16th of the naive cost while the
+    # chance the true best cells clear the noisy JL ranking holds
+    # constant as n_cells grows with the corpus.
+    jl_shortlist = (
+        max(4 * IVF_PROBES, n_cells // 16) if n_cells > IVF_CELLS else None
+    )
     ranked = rank_cells(n, n_cells, keep=IVF_PROBES, jl_shortlist=jl_shortlist)
     assigned = (
         ranked.filter(F.col("rn") == 1)

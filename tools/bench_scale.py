@@ -203,8 +203,61 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
     print(f"wrote {out}")
 
 
+def four_point(out: str = "BENCH_scale4.json") -> None:
+    """Fourth scale point (x100) for the two scale-critical ANN/dedup
+    families: two full decades of measured growth answer "would this
+    survive 100x?" with a number instead of a plan reading.  Single
+    pass per point (the x100 corpus doesn't fit a warm-cache protocol
+    in the round budget); sizing rules active at every point.
+    Run: python tools/bench_scale.py --four-point"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    spark = get_spark("bench-scale4")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    critical = {
+        "sim_knn_graph": _knn_kwargs,
+        "dedup_semantic_clusters": _semantic_kwargs,
+    }
+    points = [
+        ("x1", "/root/testdata/sf0.1", 1),
+        ("x10", "scale_corpus/x10", 10),
+        ("x30", "scale_corpus/x30", 30),
+        ("x100", "scale_corpus/x100", 100),
+    ]
+    results: dict[str, dict] = {}
+    for name, kw_fn in critical.items():
+        fn = merged[name].fn
+        row: dict[str, float] = {}
+        for label, path, _f in points:
+            sec, nrows = _time_query(
+                spark, fn, path, kw_fn(spark, path) if kw_fn else {}, passes=1
+            )
+            row[label] = sec
+            print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
+        row["ratio_100_30"] = round(row["x100"] / row["x30"], 2)  # linear = 3.33
+        row["ratio_100_1"] = round(row["x100"] / row["x1"], 2)  # linear = 100
+        results[name] = row
+    payload = {
+        "metric": "scaling_curve_4pt",
+        "points": [1, 10, 30, 100],
+        "families": results,
+        "lsh_configs": _LSH_CONFIGS,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: (v["ratio_100_30"], v["ratio_100_1"]) for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    if "--three-point" in sys.argv:
+    if "--four-point" in sys.argv:
+        four_point()
+    elif "--three-point" in sys.argv:
         three_point()
     else:
         main()
