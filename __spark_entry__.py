@@ -120,8 +120,10 @@ _FLAGSHIP_REFRESH = [
 
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
-# driver window next round per the standing policy.  Empty this round.
-_ROUND_OVERFLOW: list[str] = []
+# driver window next round per the standing policy.
+_ROUND_OVERFLOW: list[str] = [
+    "dedup_semantic_ivf",
+]
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every

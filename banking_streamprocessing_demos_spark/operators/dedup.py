@@ -762,6 +762,102 @@ def dedup_semantic(spark: SparkSession, sf_dir: str, lsh_bits: int | None = None
 
 
 # ---------------------------------------------------------------------------
+# IVF-path semantic dedup (round 5: the documented scale successor to
+# the LSH-banding path once iso-recall table growth stops paying)
+# ---------------------------------------------------------------------------
+IVF_DEDUP_PROBES = 2  # cells each vector contributes to as a dedup candidate
+
+
+def _semantic_ivf_oracle_sql() -> str:
+    from .similarity import IVF_CELLS
+
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
+    probed AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT n.vec_id, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn <= {IVF_DEDUP_PROBES}
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM probed a JOIN probed b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    nd AS (
+        SELECT c.vec_a, c.vec_b
+        FROM cands c
+        JOIN n x ON x.vec_id = c.vec_a
+        JOIN n y ON y.vec_id = c.vec_b
+        WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= {COSINE_TAU}
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM nd
+        UNION ALL SELECT vec_b, vec_a FROM nd
+    ),
+    walk(vec, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.vec
+    )
+    SELECT vec_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM (SELECT vec AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY vec)
+    """
+
+
+@REG.add(
+    "dedup_semantic_ivf",
+    _semantic_ivf_oracle_sql(),
+    doc=f"Semantic near-dup clustering on the IVF layout — the documented "
+    "scale SUCCESSOR to the LSH-banding path (SCALE.md): candidate pairs "
+    f"are vectors sharing any of their top-{IVF_DEDUP_PROBES} quantizer "
+    "cells (the same deterministic rank_cells ordering as the k-NN graph), "
+    "exact-cosine verified IN the cell self-join, then min-label "
+    "components.  Scale shape: per-vector verify cost = probes x cell "
+    "size, CONSTANT at any corpus size under auto_cells — unlike banding "
+    "LSH, holding recall needs no geometric table growth, so the family "
+    "stays linear where iso-recall banding goes N^1.22.  The checked "
+    "configuration pins the 16-cell quantizer end-to-end against the "
+    "recursive-walk SQL oracle; scale runs engage the JL centroid "
+    "prescreen exactly as sim_knn_graph does.",
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str, n_cells: int | None = None) -> DataFrame:
+    from .similarity import IVF_CELLS, _dot, _normed, rank_cells
+
+    n = _normed(spark, sf_dir)
+    cells = IVF_CELLS if n_cells is None else n_cells
+    jl_shortlist = (
+        max(4 * IVF_DEDUP_PROBES, cells // 16) if cells > IVF_CELLS else None
+    )
+    ranked = rank_cells(n, cells, keep=IVF_DEDUP_PROBES, jl_shortlist=jl_shortlist)
+    # vectors ride the (cell_id) shuffle so every candidate is scored
+    # map-side inside the self-join — the same in-join verify shape as
+    # the LSH path, with <= probes rows per vector instead of L
+    assigned = ranked.select("vec_id", "cell_id").join(n, "vec_id")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")) >= COSINE_TAU)
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return min_label_components(pairs, "vec_id")
+
+
+# ---------------------------------------------------------------------------
 # substring-span dedup (suffix-array-style, Spark-shaped)
 # ---------------------------------------------------------------------------
 SPAN_N = 8  # tokens per duplicated-substring probe gram

@@ -706,3 +706,48 @@ def test_streaming_epoch_plan_matches_batch_policy(spark):
     assert set(streamed) == set(batch)
     for src, (_tok, r_streamed) in streamed.items():
         assert r_streamed == batch[src], (src, r_streamed, batch[src])
+
+
+def test_semantic_ivf_precision_and_recall(spark):
+    """IVF-path semantic dedup: every co-clustered pair must be in the
+    exact verifier's transitive closure (precision is structural — the
+    in-join cosine verify), and recall over exact tau-pairs must clear
+    the same 0.5 floor as the LSH path (cell-boundary splits cost some
+    borderline pairs — the documented trade for candidate cost that
+    stays constant per vector at any corpus size)."""
+    from banking_streamprocessing_demos_spark.operators.dedup import (
+        dedup_embedding,
+        dedup_semantic_ivf,
+    )
+    from tests.conftest import SF_SMALL
+
+    exact_pairs = {(r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF_SMALL).collect()}
+    out = dedup_semantic_ivf(spark, SF_SMALL).collect()
+    clusters = {r.vec_id: r.cluster_id for r in out}
+    if not exact_pairs:
+        assert clusters == {}
+        return
+    # precision: union-find over the exact pair graph; co-clustered ⊆ closure
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        parent[find(a)] = find(b)
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    for members in by_cluster.values():
+        roots = {find(m) for m in members}
+        assert len(roots) == 1, (members, roots)
+    recovered = sum(
+        1
+        for a, b in exact_pairs
+        if a in clusters and b in clusters and clusters[a] == clusters[b]
+    )
+    assert recovered / len(exact_pairs) >= 0.5, (recovered, len(exact_pairs))

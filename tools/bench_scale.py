@@ -222,6 +222,9 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
     critical = {
         "sim_knn_graph": _knn_kwargs,
         "dedup_semantic_clusters": _semantic_kwargs,
+        # the IVF-path successor: candidate cost/vector constant under
+        # auto_cells — measured side by side with the banding path
+        "dedup_semantic_ivf": _knn_kwargs,
     }
     points = [
         ("x1", "/root/testdata/sf0.1", 1),
