@@ -843,17 +843,24 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str, n_cells: int | None = N
     assigned = ranked.select("vec_id", "cell_id").join(n, "vec_id")
     a = assigned.alias("a")
     b = assigned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # assigned feeds BOTH sides of the self-join: pin it so the
+    # N x n_cells centroid ranking runs once, not twice (same pattern
+    # as the LSH path's hashed.cache())
+    assigned.cache()
+    try:
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.cell_id") == F.col("b.cell_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")) >= COSINE_TAU)
+            .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")) >= COSINE_TAU)
-        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    finally:
+        assigned.unpersist()
     return min_label_components(pairs, "vec_id")
 
 

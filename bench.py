@@ -111,6 +111,7 @@ HEADLINE_V3 = [
 # exercised by the streaming probes + driver correctness runs.)
 HEADLINE_V4 = [
     "pipe_curriculum_pack",
+    "dedup_semantic_ivf",
 ]
 
 
