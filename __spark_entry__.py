@@ -123,6 +123,7 @@ _FLAGSHIP_REFRESH = [
 # driver window next round per the standing policy.
 _ROUND_OVERFLOW: list[str] = [
     "dedup_semantic_ivf",
+    "streaming_token_histogram",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

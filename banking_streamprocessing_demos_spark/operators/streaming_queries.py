@@ -790,6 +790,88 @@ def streaming_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming token-count histogram (round 5: ingest-time corpus stats)
+# ---------------------------------------------------------------------------
+HIST_BUCKET_TOKENS = 16  # histogram grid: n_tokens div 16
+HIST_MAX_BUCKET = 63  # overflow bucket: everything >= 1008 tokens
+
+
+def _streaming_hist_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+               LEAST(n_tokens // {HIST_BUCKET_TOKENS}, {HIST_MAX_BUCKET}) AS bucket
+        FROM toks
+    )
+    SELECT window_start_ms, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM binned GROUP BY 1, 2
+    """
+
+
+@REG.add(
+    "streaming_token_histogram",
+    _streaming_hist_oracle(),
+    doc=f"Ingest-time corpus statistics run FOR REAL: per tumbling ingest "
+    f"minute, a fixed-grid histogram of document token counts (bucket = "
+    f"n_tokens div {HIST_BUCKET_TOKENS}, overflow at bucket {HIST_MAX_BUCKET}) "
+    "as a windowed streaming aggregation — the data-quality monitor a "
+    "100 TB ingest runs continuously (length-distribution drift is the "
+    "first symptom of a broken upstream extractor).  State per window is "
+    f"at most {HIST_MAX_BUCKET + 1} integer cells regardless of document "
+    "count or length distribution (the CMS/HLL bounded-state argument "
+    "applied to quantile-ish monitoring: a fixed grid is the mergeable, "
+    "order-independent summary).  Integer counts hash-match the batch SQL "
+    "bit-for-bit; the far-future sentinel closes every real window.",
+)
+def streaming_token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    )
+    replay = docs.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "sth-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    n_tokens = (spaces + 1).cast("long")
+    binned = stream.select(
+        "doc_id",
+        "ingest_ts",
+        F.least(
+            (n_tokens - n_tokens % HIST_BUCKET_TOKENS) / HIST_BUCKET_TOKENS,
+            F.lit(HIST_MAX_BUCKET),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    agg = binned.groupBy(F.window("ingest_ts", "1 minute"), "bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+    out = _run_available_now(out_stream, "streaming_token_histogram")
+    # the sentinel's own never-closed window is absent; bound anyway
+    return out.filter(
+        F.col("window_start_ms") < F.lit(INGEST_BASE_MS + SENTINEL_ORD * 1000)
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming epoch/repeat planning (round 5: pipe_epoch_plan's ingest twin)
 # ---------------------------------------------------------------------------
 

@@ -751,3 +751,30 @@ def test_semantic_ivf_precision_and_recall(spark):
         if a in clusters and b in clusters and clusters[a] == clusters[b]
     )
     assert recovered / len(exact_pairs) >= 0.5, (recovered, len(exact_pairs))
+
+
+def test_exclusive_prefix_sum_tier_stride_ids(spark):
+    """The curriculum key tier*2^40 + doc_id leaves astronomically sparse
+    id space between tiers; the bucket decomposition must stay exact
+    there (bucket ids far apart but totals/offsets pure integer math)."""
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        CURR_TIER_STRIDE,
+        exclusive_prefix_sum,
+    )
+
+    rows = []
+    for tier in (0, 1, 2):
+        for d in range(0, 40, 7):
+            rows.append((tier * CURR_TIER_STRIDE + d, d % 5 + 1))
+    df = spark.createDataFrame(rows, "id long, v long")
+    expected = {}
+    acc = 0
+    for i, v in sorted(rows):
+        expected[i] = acc
+        acc += v
+    for levels in (1, 3):
+        got = {
+            r.id: r.off
+            for r in exclusive_prefix_sum(df, "id", "v", "off", levels=levels).collect()
+        }
+        assert got == expected, levels

@@ -584,3 +584,79 @@ def test_reservoir_batching_invariance(spark, tmp_path):
         .collect()
     )
     assert one == batch
+
+
+def test_streaming_heavy_hitters_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a sink
+    write but before the checkpoint commit must rewrite its own
+    batch_id partition, not append duplicates.  Simulated by running
+    the whole query twice against the SAME output dir with a fresh
+    checkpoint (every batch replays) — the published table must be
+    row-for-row identical, and no (window, key) may appear twice."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import (
+        run_streaming_heavy_hitters,
+    )
+
+    events = generate_events(spark, CFG)
+    path = str(tmp_path / "hhr_ev")
+    events.coalesce(2).write.mode("overwrite").parquet(path)
+    out_path = str(tmp_path / "hhr_out")
+
+    def run(ckpt: str):
+        q = run_streaming_heavy_hitters(spark, path, out_path, str(tmp_path / ckpt), topk=5)
+        q.awaitTermination(180)
+        assert not q.isActive
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(out_path)
+                .select("window_start_ms", "k", "est_count", "rank")
+                .collect(),
+            )
+        )
+
+    first = run("ck1")
+    second = run("ck2")  # full replay into the same sink
+    assert first == second
+    keys = [(w, k) for (w, k, _e, _r) in second]
+    assert len(keys) == len(set(keys)), "duplicate (window, key) after replay"
+
+
+def test_reservoir_replay_idempotent(spark, tmp_path):
+    """At-least-once replay safety (round-4 advice): re-merging a batch
+    whose docs are already in the reservoir must be a no-op — the merge
+    is a SET union on doc_id, so a replayed batch can never seat the
+    same document twice and evict a legitimate row.  Simulated by
+    re-running the whole stream into the SAME reservoir dir with a
+    fresh checkpoint (every batch replays)."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import (
+        run_streaming_reservoir,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+    res = str(tmp_path / "res")
+
+    def run(ckpt: str) -> list:
+        q = run_streaming_reservoir(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            res,
+            checkpoint=str(tmp_path / ckpt),
+            k=50,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        rows = spark.read.parquet(res).collect()
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids)), "reservoir seated a doc_id twice"
+        return sorted((r.doc_id, r.n_tokens, r.sample_key) for r in rows)
+
+    first = run("ck1")
+    second = run("ck2")  # full replay against the populated reservoir
+    assert first == second
