@@ -124,6 +124,7 @@ _FLAGSHIP_REFRESH = [
 _ROUND_OVERFLOW: list[str] = [
     "dedup_semantic_ivf",
     "streaming_token_histogram",
+    "streaming_quality_gate",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -872,6 +872,233 @@ def streaming_token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming quality gate (round 5: pipe_quality_gate's ingest twin)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_gate_oracle() -> str:
+    from .text import (
+        QG_MAX_DUP_2GRAM,
+        QG_MAX_DUP_WORD,
+        QG_MIN_AVG_LOGPROB,
+        QG_MIN_WC,
+    )
+
+    # frozen reference LM from the BASE corpus; survivors of first-
+    # arrival dedup over the replay (originals precede their planted
+    # copies, so survivors = the originals) scored against it
+    return f"""
+    WITH {_REPLAY_DOCS_SQL},
+    kept AS (
+        SELECT MIN(doc_id) AS doc_id, text FROM replay GROUP BY text
+    ),
+    ref_big AS (
+        SELECT words[i] AS w1, words[i+1] AS w2, COUNT(*) AS k
+        FROM (SELECT string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM ref_big GROUP BY 1),
+    logp AS (
+        SELECT b.w1, b.w2,
+               CAST(ROUND(ln(CAST(b.k AS DOUBLE) / c1.c1), 6) AS DECIMAL(18,6)) AS logp
+        FROM ref_big b JOIN c1 USING (w1)
+    ),
+    doc_big AS (
+        SELECT k.doc_id, words[i] AS w1, words[i+1] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM kept) k,
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    lm AS (
+        SELECT d.doc_id,
+               CAST(COUNT(l.logp) AS BIGINT) AS n_bigrams,
+               CAST(ROUND(CAST(SUM(l.logp) AS DOUBLE) / COUNT(l.logp), 6) AS DOUBLE)
+                   AS avg_logprob
+        FROM doc_big d LEFT JOIN logp l USING (w1, w2)
+        GROUP BY d.doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS wc,
+               ROUND(1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+                   AS dup_word_frac,
+               CASE WHEN len(words) >= 2
+                    THEN ROUND(1.0 - len(list_distinct(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])))
+                               / CAST(len(words) - 1 AS DOUBLE), 6)
+                    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM kept)
+    )
+    SELECT {INGEST_BASE_MS} + (s.doc_id // 60) * 60000 AS window_start_ms,
+           s.doc_id, s.wc, s.dup_word_frac, s.dup_2gram_frac, l.avg_logprob,
+           concat_ws(',',
+               CASE WHEN s.wc < {QG_MIN_WC} THEN 'short' END,
+               CASE WHEN s.dup_word_frac > {QG_MAX_DUP_WORD!r} THEN 'rep_word' END,
+               CASE WHEN s.dup_2gram_frac > {QG_MAX_DUP_2GRAM!r} THEN 'rep_2gram' END,
+               CASE WHEN l.avg_logprob IS NULL OR l.avg_logprob < {QG_MIN_AVG_LOGPROB!r}
+                    THEN 'lm' END
+           ) AS fail_reasons,
+           (s.wc >= {QG_MIN_WC}
+            AND s.dup_word_frac <= {QG_MAX_DUP_WORD!r}
+            AND s.dup_2gram_frac <= {QG_MAX_DUP_2GRAM!r}
+            AND l.avg_logprob IS NOT NULL
+            AND l.avg_logprob >= {QG_MIN_AVG_LOGPROB!r}) AS passed
+    FROM sig s LEFT JOIN lm l USING (doc_id)
+    """
+
+
+@REG.add(
+    "streaming_quality_gate",
+    _streaming_gate_oracle(),
+    doc="The composed curation classifier AT INGEST run FOR REAL "
+    "(pipe_quality_gate's streaming twin): documents flow through "
+    "first-arrival dedup (dropDuplicatesWithinWatermark on md5(text) — "
+    "canonicality becomes survival, the planted late re-ingests die "
+    "here), in-row repetition/length signals, a BROADCAST probe of the "
+    "FROZEN reference bigram LM (derived offline from the base corpus — "
+    "the production shape: the quality model is a fixed side table, "
+    "re-trained out of band), and a windowed per-doc verdict with the "
+    "same named fail reasons and 6dp-rounded thresholds as the batch "
+    "gate.  Chained stateful ops (dedup state + windowed agg) with "
+    "state bounded by the watermark horizon; DECIMAL(18,6) per-bigram "
+    "logs make the score sum exact and order-independent, so the "
+    "streamed verdicts hash-match the SQL oracle bit-for-bit.",
+)
+def streaming_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import (
+        QG_MAX_DUP_2GRAM,
+        QG_MAX_DUP_WORD,
+        QG_MIN_AVG_LOGPROB,
+        QG_MIN_WC,
+        text_bigram_lm_score,  # noqa: F401  (doc pointer: same LM family)
+    )
+
+    # frozen reference LM (w1, w2, logp) from the base corpus — small
+    # relative to the corpus (distinct bigrams), broadcast to the stream
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.struct(F.get("words", i).alias("w1"), F.get("words", i + 1).alias("w2")),
+    )
+    ref_big = (
+        base.filter(F.size("words") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    c1 = ref_big.groupBy("w1").agg(F.sum("k").cast("long").alias("c1"))
+    logp = ref_big.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("k").cast("double") / F.col("c1")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    )
+    replay = _replay_corpus(spark, sf_dir).unionByName(
+        sentinel.withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+    path = _write_sorted_replay(replay, "sqg-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    # stage 1: canonicality = surviving first-arrival dedup at ingest
+    kept = stream.withColumn("content_hash", F.md5("text")).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    grams2 = F.transform(
+        F.sequence(F.lit(0), n_words - 2),
+        lambda i: F.concat_ws(" ", F.get(words, i), F.get(words, i + 1)),
+    )
+    sig = kept.select(
+        "doc_id",
+        "ingest_ts",
+        words.alias("words"),
+        n_words.cast("long").alias("wc"),
+        F.round(1.0 - F.size(F.array_distinct(words)) / n_words.cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.when(
+            n_words >= 2,
+            F.round(1.0 - F.size(F.array_distinct(grams2)) / (n_words - 1).cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_2gram_frac"),
+    )
+    doc_pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.struct(F.get("words", i).alias("w1"), F.get("words", i + 1).alias("w2")),
+    )
+    exploded = sig.select(
+        "doc_id",
+        "ingest_ts",
+        "wc",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        F.explode_outer(F.when(F.size("words") >= 2, doc_pairs)).alias("p"),
+    ).select(
+        "doc_id",
+        "ingest_ts",
+        "wc",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+    probed = exploded.join(F.broadcast(logp), ["w1", "w2"], "left")
+    # stage 2: windowed per-doc fold — in-row signals ride via first()
+    agg = probed.groupBy(F.window("ingest_ts", "1 minute"), "doc_id").agg(
+        F.first("wc").alias("wc"),
+        F.first("dup_word_frac").alias("dup_word_frac"),
+        F.first("dup_2gram_frac").alias("dup_2gram_frac"),
+        F.count("logp").alias("n_bigrams"),
+        F.sum("logp").alias("sum_logp"),
+    )
+    avg_lp = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.col("sum_logp").cast("double") / F.col("n_bigrams"), 6),
+    )
+    lm_ok = avg_lp.isNotNull() & (avg_lp >= F.lit(QG_MIN_AVG_LOGPROB))
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        "wc",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        avg_lp.alias("avg_logprob"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("wc") < QG_MIN_WC, F.lit("short")),
+            F.when(F.col("dup_word_frac") > QG_MAX_DUP_WORD, F.lit("rep_word")),
+            F.when(F.col("dup_2gram_frac") > QG_MAX_DUP_2GRAM, F.lit("rep_2gram")),
+            F.when(~lm_ok, F.lit("lm")),
+        ).alias("fail_reasons"),
+        (
+            (F.col("wc") >= QG_MIN_WC)
+            & (F.col("dup_word_frac") <= QG_MAX_DUP_WORD)
+            & (F.col("dup_2gram_frac") <= QG_MAX_DUP_2GRAM)
+            & lm_ok
+        ).alias("passed"),
+    )
+    out = _run_available_now(out_stream, "streaming_quality_gate")
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
 # streaming epoch/repeat planning (round 5: pipe_epoch_plan's ingest twin)
 # ---------------------------------------------------------------------------
 

@@ -660,3 +660,31 @@ def test_reservoir_replay_idempotent(spark, tmp_path):
     first = run("ck1")
     second = run("ck2")  # full replay against the populated reservoir
     assert first == second
+
+
+def test_streaming_gate_matches_batch_gate(spark):
+    """The ingest-time quality gate must agree with the batch
+    pipe_quality_gate verdict for every canonical document (the only
+    difference by construction is the 'dup' reason, which streaming
+    expresses as death at the dedup stage instead of a named reason)."""
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_quality_gate_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_quality_gate
+    from tests.conftest import SF_SMALL
+
+    streamed = {
+        r.doc_id: (r.passed, r.fail_reasons, r.avg_logprob)
+        for r in streaming_quality_gate_q(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r.doc_id: (r.passed, r.fail_reasons, r.avg_logprob, r.is_canonical)
+        for r in pipe_quality_gate(spark, SF_SMALL).collect()
+    }
+    # streaming emits exactly the canonical docs
+    assert set(streamed) == {d for d, v in batch.items() if v[3]}
+    for doc_id, (s_pass, s_reasons, s_lp) in streamed.items():
+        b_pass, b_reasons, b_lp, _ = batch[doc_id]
+        assert s_pass == b_pass, (doc_id, s_reasons, b_reasons)
+        assert s_lp == b_lp, (doc_id, s_lp, b_lp)
+        assert s_reasons == b_reasons, (doc_id, s_reasons, b_reasons)
