@@ -125,6 +125,7 @@ _ROUND_OVERFLOW: list[str] = [
     "dedup_semantic_ivf",
     "streaming_token_histogram",
     "streaming_quality_gate",
+    "streaming_pack_sequences",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -872,6 +872,92 @@ def streaming_token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming sequence packing (round 5: pack_sequences' ingest twin)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_pack_oracle() -> str:
+    from .packing import SEQ_LEN
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                        0) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {SEQ_LEN} AS start_seq,
+           (start_offset + n_tokens - 1) // {SEQ_LEN} AS end_seq,
+           (start_offset + n_tokens - 1) // {SEQ_LEN} - start_offset // {SEQ_LEN} + 1 AS n_seqs
+    FROM o
+    """
+
+
+@REG.add(
+    "streaming_pack_sequences",
+    _streaming_pack_oracle(),
+    doc="Concat-and-chunk sequence packing AT INGEST run FOR REAL "
+    "(streaming/jobs.py::run_streaming_pack — pack_sequences' streaming "
+    "twin, the last batch family to gain one): the corpus arrives in "
+    "multiple micro-batches (one range file per trigger, written in "
+    "doc_id order so arrival order == the batch op's total order) and "
+    "each batch assigns its documents' GLOBAL token offsets as it "
+    "lands.  Cross-batch state is one scalar per processed batch (the "
+    "batch token total); carry-in = sum of earlier batches' totals, so "
+    "a replayed batch recomputes the identical offsets and dynamically "
+    "overwrites its own partition — at-least-once replay is a no-op.  "
+    "Within-batch offsets use the same recursive distributed prefix "
+    "sum as the batch op.  Pure integer arithmetic end-to-end: the "
+    "streamed layout hash-matches the corpus-wide batch SQL.",
+)
+def streaming_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_streaming_pack
+    from .packing import SEQ_LEN
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    path = tempfile.mkdtemp(prefix="spk-docs-")
+    # sequential per-range appends: one file per doc_id range, written
+    # in range order, so FileStreamSource's (mtime, path) ordering
+    # replays them as ordered micro-batches
+    n_slices = 4
+    step = (n_docs // n_slices) + 1
+    for i in range(n_slices):
+        (
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    out_dir = tempfile.mkdtemp(prefix="spk-out-")
+    q = run_streaming_pack(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        out_dir,
+        state_dir=tempfile.mkdtemp(prefix="spk-state-"),
+        checkpoint=tempfile.mkdtemp(prefix="spk-ckpt-"),
+        seq_len=SEQ_LEN,
+    )
+    q.awaitTermination(240)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("streaming_pack_sequences did not finish within 240s")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_tokens", "start_offset", "start_seq", "end_seq", "n_seqs"
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming quality gate (round 5: pipe_quality_gate's ingest twin)
 # ---------------------------------------------------------------------------
 

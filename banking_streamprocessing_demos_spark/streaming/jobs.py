@@ -496,6 +496,83 @@ def run_streaming_heavy_hitters(
     )
 
 
+def run_streaming_pack(
+    doc_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    seq_len: int = 2048,
+):
+    """Concat-and-chunk sequence packing AT INGEST (the streaming twin
+    of ``pack_sequences``): documents append to a global token stream
+    in arrival order and each batch assigns its docs' global offsets /
+    packed-sequence ranges as they arrive — the production shape where
+    training shards are laid out continuously instead of by a corpus-
+    wide batch job.
+
+    The only cross-batch state is ONE scalar per processed batch (the
+    batch's token total, in ``state_dir`` partitioned by batch_id).
+    Batch b's carry-in = the sum of totals of batches < b, so a
+    REPLAYED batch recomputes the identical carry (earlier partitions
+    are immutable) and dynamically overwrites its own out/state
+    partitions — at-least-once replay is a row-for-row no-op, the same
+    idempotency pattern as every other foreachBatch sink here.  Within
+    a batch, offsets come from the same recursive distributed prefix
+    sum the batch op uses (doc_id order).  ``doc_stream`` needs
+    (doc_id, text)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.packing import exclusive_prefix_sum
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+        toks = batch_df.select("doc_id", (spaces + 1).cast("long").alias("n_tokens"))
+        local = exclusive_prefix_sum(toks, "doc_id", "n_tokens", "local_off")
+        try:
+            prev = spark.read.parquet(state_dir).filter(F.col("batch_id") < batch_id)
+            carry = prev.agg(F.coalesce(F.sum("batch_tokens"), F.lit(0))).first()[0]
+        except AnalysisException:
+            carry = 0
+        start = F.col("local_off") + F.lit(int(carry))
+        last = start + F.col("n_tokens") - 1
+        start_seq = (start - start % seq_len) / seq_len
+        end_seq = (last - last % seq_len) / seq_len
+        out = local.select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            start_seq.cast("long").alias("start_seq"),
+            end_seq.cast("long").alias("end_seq"),
+            (end_seq.cast("long") - start_seq.cast("long") + 1).alias("n_seqs"),
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        total = toks.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).first()[0]
+        (
+            spark.createDataFrame(
+                [(int(total),)], "batch_tokens long"
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_reservoir(
     doc_stream: DataFrame,
     reservoir_dir: str,

@@ -688,3 +688,58 @@ def test_streaming_gate_matches_batch_gate(spark):
         assert s_pass == b_pass, (doc_id, s_reasons, b_reasons)
         assert s_lp == b_lp, (doc_id, s_lp, b_lp)
         assert s_reasons == b_reasons, (doc_id, s_reasons, b_reasons)
+
+
+def test_streaming_pack_matches_batch_and_replays_idempotent(spark, tmp_path):
+    """Ingest-time packing must lay out the identical global offsets as
+    the corpus-wide batch op (arrival order == doc_id order in the
+    harness), and a full replay into the same sink (fresh checkpoint,
+    same batching) must be a row-for-row no-op — the carry is derived
+    from immutable earlier-batch totals, never from the replayed
+    batch's own writes."""
+    from banking_streamprocessing_demos_spark.operators.packing import pack_sequences
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_pack_sequences_q,
+    )
+    from tests.conftest import SF_SMALL
+
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+    from banking_streamprocessing_demos_spark.streaming.jobs import run_streaming_pack
+
+    batch = sorted(map(tuple, pack_sequences(spark, SF_SMALL).collect()))
+    first = sorted(map(tuple, streaming_pack_sequences_q(spark, SF_SMALL).collect()))
+    assert first == batch
+
+    # true replay: same source files, same out/state dirs, fresh
+    # checkpoint — every batch re-executes against the populated sink
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter((F.col("doc_id") % 3) == i).coalesce(1).write.mode("append").parquet(src)
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+
+    def run(ckpt: str):
+        q = run_streaming_pack(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out_dir,
+            state_dir=state_dir,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(out_dir)
+                .select("doc_id", "n_tokens", "start_offset", "start_seq", "end_seq")
+                .collect(),
+            )
+        )
+
+    one = run("ck1")
+    two = run("ck2")
+    assert one == two
+    ids = [r[0] for r in two]
+    assert len(ids) == len(set(ids)), "replay duplicated a document row"
