@@ -225,6 +225,12 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
         # the IVF-path successor: candidate cost/vector constant under
         # auto_cells — measured side by side with the banding path
         "dedup_semantic_ivf": _knn_kwargs,
+        # the cheap families ride along for two-decade breadth
+        "dedup_exact": None,
+        "dedup_minhash_lsh": None,
+        "dedup_substring_spans": None,
+        "pack_sequences": None,
+        "doc_chunk_overlap": None,
     }
     points = [
         ("x1", "/root/testdata/sf0.1", 1),
