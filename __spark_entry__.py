@@ -42,7 +42,7 @@ _REGISTRIES = [
 ]
 
 # The round driver checks the FIRST 50 queries() entries in insertion
-# order.  Round-5 rotation (standing policy from round-2 VERDICT #1,
+# order.  Round-6 rotation (standing policy from round-2 VERDICT #1,
 # re-ordered per round-3 VERDICT #3): slots go to (a) every query with
 # NO green driver row from any prior round; (b) every query new this
 # round; (c) flagship refreshes — the highest-value driver-green
@@ -52,27 +52,29 @@ _REGISTRIES = [
 # tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
 # artifact records the whole registry, not just the driver's window.
 _PROMOTED_NEVER_CHECKED = [
-    # round-4 overflow (window was full; carried CORRECTNESS_FULL_r04
-    # evidence + the round-4 judge's independent rerun)
-    "smp5_weighted_sample",
-    "pipe_epoch_plan",
-    "streaming_reservoir_sample",
+    # round-5 overflow (window was full; carried CORRECTNESS_FULL_r05
+    # evidence + the round-5 judge's independent rerun).  With these
+    # promoted, every registered query has driver-green evidence from
+    # some round.
+    "dedup_semantic_ivf",
+    "streaming_token_histogram",
+    "streaming_quality_gate",
+    "streaming_pack_sequences",
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND_NEW = [
-    "streaming_sessionization",
-    "streaming_heavy_hitters",
-    "streaming_epoch_plan",
-    "pipe_curriculum_pack",
-]
+_ROUND_NEW: list[str] = []
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # round-4 window members re-earning rows (keeps each streaming-ingest
-    # family and the r4 curation gate represented on fresh testdata)
+    # round-5 window members re-earning rows (keeps each streaming-ingest
+    # family, the curation gate, and curriculum packing represented on
+    # fresh testdata)
+    "pipe_curriculum_pack",
+    "streaming_sessionization",
+    "streaming_epoch_plan",
     "streaming_doc_dedup",
     "streaming_minhash_dedup",
     "streaming_hll_distinct",
@@ -121,17 +123,17 @@ _FLAGSHIP_REFRESH = [
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
-_ROUND_OVERFLOW: list[str] = [
-    "dedup_semantic_ivf",
-    "streaming_token_histogram",
-    "streaming_quality_gate",
-    "streaming_pack_sequences",
-]
+_ROUND_OVERFLOW: list[str] = []
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # demoted after earning r5 driver rows
+    "smp5_weighted_sample",
+    "pipe_epoch_plan",
+    "streaming_reservoir_sample",
+    "streaming_heavy_hitters",
     # demoted after earning r4 driver rows
     "a12_exact_group_median",
     "f13_morton_code",

@@ -845,14 +845,16 @@ def _semantic_ivf_oracle_sql() -> str:
     "prescreen exactly as sim_knn_graph does.",
 )
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str, n_cells: int | None = None) -> DataFrame:
-    from .similarity import IVF_CELLS, _dot, _normed, rank_cells
+    from .similarity import IVF_CELLS, _dot, _normed, auto_jl_shortlist, rank_cells
 
     n = _normed(spark, sf_dir)
     cells = IVF_CELLS if n_cells is None else n_cells
-    jl_shortlist = (
-        max(4 * IVF_DEDUP_PROBES, cells // 16) if cells > IVF_CELLS else None
+    ranked = rank_cells(
+        n,
+        cells,
+        keep=IVF_DEDUP_PROBES,
+        jl_shortlist=auto_jl_shortlist(cells, IVF_DEDUP_PROBES),
     )
-    ranked = rank_cells(n, cells, keep=IVF_DEDUP_PROBES, jl_shortlist=jl_shortlist)
     # vectors ride the (cell_id) shuffle so every candidate is scored
     # map-side inside the self-join — the same in-join verify shape as
     # the LSH path, with <= probes rows per vector instead of L

@@ -121,16 +121,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exclusive_prefix_sum(docs, "doc_id", "n_tokens", "start_offset").select(
         "doc_id", "n_tokens", "start_offset"
     )
-    last = F.col("start_offset") + F.col("n_tokens") - 1
+    # integer `div` end-to-end: float division is exact only below 2^53
+    # cumulative tokens, which a 100 TB corpus exceeds
     start_seq = F.expr(f"start_offset div {SEQ_LEN}")
-    end_seq = (last - last % SEQ_LEN) / SEQ_LEN  # div via exact integer arithmetic
+    end_seq = F.expr(f"(start_offset + n_tokens - 1) div {SEQ_LEN}")
     return out.select(
         "doc_id",
         "n_tokens",
         "start_offset",
         start_seq.alias("start_seq"),
-        end_seq.cast("long").alias("end_seq"),
-        (end_seq.cast("long") - start_seq + 1).alias("n_seqs"),
+        end_seq.alias("end_seq"),
+        (end_seq - start_seq + 1).alias("n_seqs"),
     )
 
 
@@ -477,15 +478,14 @@ def pipe_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "curr_id", F.col("tier") * F.lit(CURR_TIER_STRIDE) + F.col("doc_id")
     )
     out = exclusive_prefix_sum(keyed, "curr_id", "n_tokens", "start_offset")
-    last = F.col("start_offset") + F.col("n_tokens") - 1
     start_seq = F.expr(f"start_offset div {SEQ_LEN}")
-    end_seq = (last - last % SEQ_LEN) / SEQ_LEN
+    end_seq = F.expr(f"(start_offset + n_tokens - 1) div {SEQ_LEN}")
     return out.select(
         "doc_id",
         "tier",
         "n_tokens",
         "start_offset",
         start_seq.alias("start_seq"),
-        end_seq.cast("long").alias("end_seq"),
-        (end_seq.cast("long") - start_seq + 1).alias("n_seqs"),
+        end_seq.alias("end_seq"),
+        (end_seq - start_seq + 1).alias("n_seqs"),
     )

@@ -131,6 +131,18 @@ def _jl_project(col: str):
     return F.array(*comps)
 
 
+def auto_jl_shortlist(n_cells: int, probes: int) -> int | None:
+    """Single source of the JL-prescreen shortlist sizing rule, shared
+    by ``sim_knn_graph`` and ``dedup_semantic_ivf`` so the two families
+    cannot silently drift apart in scale-run candidate recall: a
+    constant FRACTION of the cells (1/16, floored at 4x probes) keeps
+    the full-dim rescore 1/16th of the naive cost while the chance the
+    true best cells clear the noisy JL ranking holds constant as
+    n_cells grows with the corpus.  None below the oracle-pinned floor
+    (the driver-checked exact full-dimension configuration)."""
+    return max(4 * probes, n_cells // 16) if n_cells > IVF_CELLS else None
+
+
 def rank_cells(
     n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1, jl_shortlist: int | None = None
 ) -> DataFrame:
@@ -633,15 +645,12 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
     # (n_cells grown by auto_cells past the oracle-pinned floor) engage
     # the JL prescreen: the sqrt(N)-growing N x n_cells term drops to
     # 16-dim scoring with only a shortlist rescored at full dimension;
-    # the checked configuration stays exact full-dim.  The shortlist is
-    # a constant FRACTION of the cells (1/16, floored at 4x probes) so
-    # the full-dim rescore stays 1/16th of the naive cost while the
-    # chance the true best cells clear the noisy JL ranking holds
-    # constant as n_cells grows with the corpus.
-    jl_shortlist = (
-        max(4 * IVF_PROBES, n_cells // 16) if n_cells > IVF_CELLS else None
+    # the checked configuration stays exact full-dim.  Shortlist sizing
+    # comes from auto_jl_shortlist — the one rule shared with
+    # dedup_semantic_ivf.
+    ranked = rank_cells(
+        n, n_cells, keep=IVF_PROBES, jl_shortlist=auto_jl_shortlist(n_cells, IVF_PROBES)
     )
-    ranked = rank_cells(n, n_cells, keep=IVF_PROBES, jl_shortlist=jl_shortlist)
     assigned = (
         ranked.filter(F.col("rn") == 1)
         .select("vec_id", "cell_id")

@@ -34,7 +34,9 @@ parallelism.
 
 from __future__ import annotations
 
+import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -929,6 +931,13 @@ def streaming_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays them as ordered micro-batches
     n_slices = 4
     step = (n_docs // n_slices) + 1
+    # FileStreamSource orders new files by (mtime, path); two appends
+    # landing in the same mtime tick would tie-break on arbitrary UUID
+    # part-file names and could reorder micro-batches.  Stamp each
+    # slice's part files with a strictly increasing mtime so batch
+    # order == slice (doc_id) order deterministically.
+    stamped: set[str] = set()
+    base_mtime = time.time() - n_slices
     for i in range(n_slices):
         (
             docs.filter(
@@ -938,6 +947,10 @@ def streaming_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(path)
         )
+        for fname in os.listdir(path):
+            if fname.endswith(".parquet") and fname not in stamped:
+                stamped.add(fname)
+                os.utime(os.path.join(path, fname), (base_mtime + i, base_mtime + i))
     out_dir = tempfile.mkdtemp(prefix="spk-out-")
     q = run_streaming_pack(
         spark.readStream.schema("doc_id long, text string")

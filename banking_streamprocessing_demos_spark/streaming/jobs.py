@@ -535,16 +535,21 @@ def run_streaming_pack(
         except AnalysisException:
             carry = 0
         start = F.col("local_off") + F.lit(int(carry))
-        last = start + F.col("n_tokens") - 1
-        start_seq = (start - start % seq_len) / seq_len
-        end_seq = (last - last % seq_len) / seq_len
-        out = local.select(
+        # integer `div` (not float division, exact only < 2^53 cumulative
+        # tokens) so the "pure integer arithmetic end-to-end" contract
+        # holds at the 100 TB production shape, matching the batch op
+        with_start = local.select(
+            "doc_id", "n_tokens", start.alias("start_offset")
+        )
+        start_seq = F.expr(f"start_offset div {seq_len}")
+        end_seq = F.expr(f"(start_offset + n_tokens - 1) div {seq_len}")
+        out = with_start.select(
             "doc_id",
             "n_tokens",
-            start.alias("start_offset"),
-            start_seq.cast("long").alias("start_seq"),
-            end_seq.cast("long").alias("end_seq"),
-            (end_seq.cast("long") - start_seq.cast("long") + 1).alias("n_seqs"),
+            "start_offset",
+            start_seq.alias("start_seq"),
+            end_seq.alias("end_seq"),
+            (end_seq - start_seq + 1).alias("n_seqs"),
         )
         (
             out.withColumn("batch_id", F.lit(batch_id))
