@@ -63,7 +63,9 @@ _PROMOTED_NEVER_CHECKED = [
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND_NEW: list[str] = []
+_ROUND_NEW: list[str] = [
+    "streaming_curriculum_histogram",
+]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
@@ -116,7 +118,6 @@ _FLAGSHIP_REFRESH = [
     "emb_label_centroids",
     "text_tfidf_topk",
     "text_pii_scrub",
-    "text_bigram_lm_score",
     "pack_sequences",
 ]
 
@@ -130,6 +131,7 @@ _ROUND_OVERFLOW: list[str] = []
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
     # demoted after earning r5 driver rows
+    "text_bigram_lm_score",
     "smp5_weighted_sample",
     "pipe_epoch_plan",
     "streaming_reservoir_sample",

@@ -844,7 +844,12 @@ def _semantic_ivf_oracle_sql() -> str:
     "recursive-walk SQL oracle; scale runs engage the JL centroid "
     "prescreen exactly as sim_knn_graph does.",
 )
-def dedup_semantic_ivf(spark: SparkSession, sf_dir: str, n_cells: int | None = None) -> DataFrame:
+def dedup_semantic_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+    probes: int = IVF_DEDUP_PROBES,
+) -> DataFrame:
     from .similarity import IVF_CELLS, _dot, _normed, auto_jl_shortlist, rank_cells
 
     n = _normed(spark, sf_dir)
@@ -852,8 +857,8 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str, n_cells: int | None = N
     ranked = rank_cells(
         n,
         cells,
-        keep=IVF_DEDUP_PROBES,
-        jl_shortlist=auto_jl_shortlist(cells, IVF_DEDUP_PROBES),
+        keep=probes,
+        jl_shortlist=auto_jl_shortlist(cells, probes),
     )
     # vectors ride the (cell_id) shuffle so every candidate is scored
     # map-side inside the self-join — the same in-join verify shape as

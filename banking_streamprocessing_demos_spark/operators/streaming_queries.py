@@ -975,7 +975,11 @@ def streaming_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _streaming_gate_oracle() -> str:
+def _gate_verdict_cte_sql() -> str:
+    """Shared CTE chain ending in ``verdict`` (doc_id, wc,
+    dup_word_frac, dup_2gram_frac, avg_logprob, fail_reasons, passed)
+    — the per-doc gate verdict over the dedup-surviving replay, used
+    by both the per-doc gate oracle and the tier-histogram oracle."""
     from .text import (
         QG_MAX_DUP_2GRAM,
         QG_MAX_DUP_WORD,
@@ -987,7 +991,7 @@ def _streaming_gate_oracle() -> str:
     # arrival dedup over the replay (originals precede their planted
     # copies, so survivors = the originals) scored against it
     return f"""
-    WITH {_REPLAY_DOCS_SQL},
+    {_REPLAY_DOCS_SQL},
     kept AS (
         SELECT MIN(doc_id) AS doc_id, text FROM replay GROUP BY text
     ),
@@ -1027,49 +1031,49 @@ def _streaming_gate_oracle() -> str:
                                / CAST(len(words) - 1 AS DOUBLE), 6)
                     ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM kept)
+    ),
+    verdict AS (
+        SELECT s.doc_id, s.wc, s.dup_word_frac, s.dup_2gram_frac, l.avg_logprob,
+               concat_ws(',',
+                   CASE WHEN s.wc < {QG_MIN_WC} THEN 'short' END,
+                   CASE WHEN s.dup_word_frac > {QG_MAX_DUP_WORD!r} THEN 'rep_word' END,
+                   CASE WHEN s.dup_2gram_frac > {QG_MAX_DUP_2GRAM!r} THEN 'rep_2gram' END,
+                   CASE WHEN l.avg_logprob IS NULL OR l.avg_logprob < {QG_MIN_AVG_LOGPROB!r}
+                        THEN 'lm' END
+               ) AS fail_reasons,
+               (s.wc >= {QG_MIN_WC}
+                AND s.dup_word_frac <= {QG_MAX_DUP_WORD!r}
+                AND s.dup_2gram_frac <= {QG_MAX_DUP_2GRAM!r}
+                AND l.avg_logprob IS NOT NULL
+                AND l.avg_logprob >= {QG_MIN_AVG_LOGPROB!r}) AS passed
+        FROM sig s LEFT JOIN lm l USING (doc_id)
     )
-    SELECT {INGEST_BASE_MS} + (s.doc_id // 60) * 60000 AS window_start_ms,
-           s.doc_id, s.wc, s.dup_word_frac, s.dup_2gram_frac, l.avg_logprob,
-           concat_ws(',',
-               CASE WHEN s.wc < {QG_MIN_WC} THEN 'short' END,
-               CASE WHEN s.dup_word_frac > {QG_MAX_DUP_WORD!r} THEN 'rep_word' END,
-               CASE WHEN s.dup_2gram_frac > {QG_MAX_DUP_2GRAM!r} THEN 'rep_2gram' END,
-               CASE WHEN l.avg_logprob IS NULL OR l.avg_logprob < {QG_MIN_AVG_LOGPROB!r}
-                    THEN 'lm' END
-           ) AS fail_reasons,
-           (s.wc >= {QG_MIN_WC}
-            AND s.dup_word_frac <= {QG_MAX_DUP_WORD!r}
-            AND s.dup_2gram_frac <= {QG_MAX_DUP_2GRAM!r}
-            AND l.avg_logprob IS NOT NULL
-            AND l.avg_logprob >= {QG_MIN_AVG_LOGPROB!r}) AS passed
-    FROM sig s LEFT JOIN lm l USING (doc_id)
     """
 
 
-@REG.add(
-    "streaming_quality_gate",
-    _streaming_gate_oracle(),
-    doc="The composed curation classifier AT INGEST run FOR REAL "
-    "(pipe_quality_gate's streaming twin): documents flow through "
-    "first-arrival dedup (dropDuplicatesWithinWatermark on md5(text) — "
-    "canonicality becomes survival, the planted late re-ingests die "
-    "here), in-row repetition/length signals, a BROADCAST probe of the "
-    "FROZEN reference bigram LM (derived offline from the base corpus — "
-    "the production shape: the quality model is a fixed side table, "
-    "re-trained out of band), and a windowed per-doc verdict with the "
-    "same named fail reasons and 6dp-rounded thresholds as the batch "
-    "gate.  Chained stateful ops (dedup state + windowed agg) with "
-    "state bounded by the watermark horizon; DECIMAL(18,6) per-bigram "
-    "logs make the score sum exact and order-independent, so the "
-    "streamed verdicts hash-match the SQL oracle bit-for-bit.",
-)
-def streaming_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _streaming_gate_oracle() -> str:
+    return f"""
+    WITH {_gate_verdict_cte_sql()}
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           doc_id, wc, dup_word_frac, dup_2gram_frac, avg_logprob,
+           fail_reasons, passed
+    FROM verdict
+    """
+
+
+def _gate_verdict_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc windowed gate verdict as a STREAMING DataFrame with the
+    window struct retained: (window, doc_id, wc, dup_word_frac,
+    dup_2gram_frac, avg_logprob, fail_reasons, passed).  Consumers
+    either project per-doc verdicts (streaming_quality_gate) or chain
+    a SECOND windowed aggregation on top (streaming_curriculum_
+    histogram — Spark's multi-stateful-operator support: dedup state →
+    windowed agg → windowed agg in one query)."""
     from .text import (
         QG_MAX_DUP_2GRAM,
         QG_MAX_DUP_WORD,
         QG_MIN_AVG_LOGPROB,
         QG_MIN_WC,
-        text_bigram_lm_score,  # noqa: F401  (doc pointer: same LM family)
     )
 
     # frozen reference LM (w1, w2, logp) from the base corpus — small
@@ -1172,8 +1176,8 @@ def streaming_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_logp").cast("double") / F.col("n_bigrams"), 6),
     )
     lm_ok = avg_lp.isNotNull() & (avg_lp >= F.lit(QG_MIN_AVG_LOGPROB))
-    out_stream = agg.select(
-        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+    return agg.select(
+        "window",
         "doc_id",
         "wc",
         "dup_word_frac",
@@ -1193,8 +1197,115 @@ def streaming_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & lm_ok
         ).alias("passed"),
     )
+
+
+@REG.add(
+    "streaming_quality_gate",
+    _streaming_gate_oracle(),
+    doc="The composed curation classifier AT INGEST run FOR REAL "
+    "(pipe_quality_gate's streaming twin): documents flow through "
+    "first-arrival dedup (dropDuplicatesWithinWatermark on md5(text) — "
+    "canonicality becomes survival, the planted late re-ingests die "
+    "here), in-row repetition/length signals, a BROADCAST probe of the "
+    "FROZEN reference bigram LM (derived offline from the base corpus — "
+    "the production shape: the quality model is a fixed side table, "
+    "re-trained out of band), and a windowed per-doc verdict with the "
+    "same named fail reasons and 6dp-rounded thresholds as the batch "
+    "gate.  Chained stateful ops (dedup state + windowed agg) with "
+    "state bounded by the watermark horizon; DECIMAL(18,6) per-bigram "
+    "logs make the score sum exact and order-independent, so the "
+    "streamed verdicts hash-match the SQL oracle bit-for-bit.",
+)
+def streaming_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import text_bigram_lm_score  # noqa: F401  (doc pointer: same LM family)
+
+    out_stream = _gate_verdict_stream(spark, sf_dir).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        "wc",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "avg_logprob",
+        "fail_reasons",
+        "passed",
+    )
     out = _run_available_now(out_stream, "streaming_quality_gate")
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
+# streaming curriculum/tier histogram (round 6: pipe_curriculum_pack's
+# monitoring twin — tier-mix drift at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_curr_hist_oracle() -> str:
+    from .packing import CURR_T1, CURR_T2
+
+    return f"""
+    WITH {_gate_verdict_cte_sql()}
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           CAST(CASE WHEN avg_logprob >= {CURR_T1!r} THEN 0
+                     WHEN avg_logprob >= {CURR_T2!r} THEN 1
+                     ELSE 2 END AS BIGINT) AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wc) AS BIGINT) AS total_tokens
+    FROM verdict
+    WHERE passed
+    GROUP BY 1, 2
+    """
+
+
+@REG.add(
+    "streaming_curriculum_histogram",
+    _streaming_curr_hist_oracle(),
+    doc="Curriculum TIER-MIX monitoring at ingest run FOR REAL (the "
+    "round-5 verdict's suggested streaming twin of pipe_curriculum_pack's "
+    "tiering stage): per tumbling ingest minute, the count of gate-passing "
+    "documents and their token total per curriculum tier (the same fixed "
+    "frozen-LM thresholds as the batch curriculum), so a drifting tier mix "
+    "— the upstream symptom that would silently skew a curriculum-ordered "
+    "training shard layout — is visible the minute it happens.  THREE "
+    "chained stateful operators in one query (Spark multi-stateful-"
+    "operator support): first-arrival dedup state, the per-doc windowed "
+    "gate verdict, and a SECOND windowed aggregation over window_time() "
+    "folding verdicts into per-(window, tier) cells.  State: dedup keys "
+    "within the watermark horizon + at most 3 integer cells per window "
+    "regardless of document count.  Integer counts and the 6dp-rounded "
+    "tier rule make the streamed histogram hash-match the batch SQL.",
+)
+def streaming_curriculum_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .packing import CURR_T1, CURR_T2
+
+    verdict = _gate_verdict_stream(spark, sf_dir)
+    tier = (
+        F.when(F.col("avg_logprob") >= CURR_T1, 0)
+        .when(F.col("avg_logprob") >= CURR_T2, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    passed = verdict.filter("passed").select("window", tier.alias("tier"), "wc")
+    # chained windowed aggregation: window_time() re-derives the event
+    # time from the first agg's window struct, so the second agg lands
+    # in the same tumbling minute (watermark propagates through both
+    # stateful operators; the far-future sentinel closes every real
+    # window in both layers)
+    agg2 = passed.groupBy(
+        F.window(F.window_time("window"), "1 minute"), "tier"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wc").cast("long").alias("total_tokens"),
+    )
+    out_stream = agg2.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "tier",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens",
+    )
+    out = _run_available_now(out_stream, "streaming_curriculum_histogram")
+    return out.filter(
+        F.col("window_start_ms") < F.lit(INGEST_BASE_MS + SENTINEL_ORD * 1000)
+    )
 
 
 # ---------------------------------------------------------------------------

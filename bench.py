@@ -170,6 +170,7 @@ def main() -> None:
             "headline_v4_total": payload.get("headline_v4_total"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
+            "streaming_uncontended": payload.get("streaming_uncontended"),
             "full_payload_file": "BENCH_full_local.json",
         }
         if len(json.dumps(c)) > 1900:  # still too wide? drop per-query detail
@@ -223,6 +224,25 @@ def main() -> None:
         except Exception as exc:  # a failed probe must not lose batch numbers
             result[key] = {"error": str(exc)[:200]}
         emit(result)
+
+    # Fold in the round's DEDICATED uncontended detector measurement
+    # (tools/bench_detector_sustained.py, run alone before bench) so the
+    # round artifact carries both the contended in-bench figure and the
+    # uncontended protocol figure side by side (round-5 VERDICT #5: the
+    # in-bench sustained number absorbs contention from the ~40 queries
+    # that just ran in this same session).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_stream_uncontended.json")) as f:
+            unc = json.load(f)
+        result["streaming_uncontended"] = {
+            "events_per_sec": unc.get("events_per_sec"),
+            "best_batch_events_per_sec": unc.get("best_batch_events_per_sec"),
+            "source": "BENCH_stream_uncontended.json (dedicated session)",
+        }
+        emit(result)
+    except FileNotFoundError:
+        pass
 
     # The driver keeps only a ~2 KB tail of combined stdout+stderr and
     # parses the last JSON line it can find.  Rounds 3 and 4 both lost

@@ -743,3 +743,33 @@ def test_streaming_pack_matches_batch_and_replays_idempotent(spark, tmp_path):
     assert one == two
     ids = [r[0] for r in two]
     assert len(ids) == len(set(ids)), "replay duplicated a document row"
+
+
+def test_streaming_curriculum_histogram_matches_batch(spark):
+    """The ingest-time tier histogram (THREE chained stateful operators:
+    dedup -> per-doc windowed gate verdict -> per-tier windowed fold)
+    must equal the batch gate's canonical+passed docs bucketed by the
+    batch curriculum tier rule per ingest minute."""
+    from collections import defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.packing import CURR_T1, CURR_T2
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        INGEST_BASE_MS,
+        streaming_curriculum_histogram_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_quality_gate
+    from tests.conftest import SF_SMALL
+
+    expected: dict = defaultdict(lambda: [0, 0])
+    for r in pipe_quality_gate(spark, SF_SMALL).collect():
+        if not (r.is_canonical and r.passed):
+            continue
+        tier = 0 if r.avg_logprob >= CURR_T1 else (1 if r.avg_logprob >= CURR_T2 else 2)
+        key = (INGEST_BASE_MS + (r.doc_id // 60) * 60000, tier)
+        expected[key][0] += 1
+        expected[key][1] += r.wc
+    got = {
+        (r.window_start_ms, r.tier): (r.n_docs, r.total_tokens)
+        for r in streaming_curriculum_histogram_q(spark, SF_SMALL).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expected.items()}

@@ -30,7 +30,132 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from banking_streamprocessing_demos_spark.session import get_spark
+
+
+def _semantic_pair_counts(spark, sf_dir: str, lsh_bits: int | None = None) -> dict:
+    """Candidate / true-pair volume behind a dedup_semantic_clusters
+    point (round-5 VERDICT #3): the >linear 100/30 wall steps are
+    defended by C(k,2) cross-replica TRUE-pair growth — record the
+    counts in the artifact instead of prose.  One extra pass over the
+    same in-join-scored collision join the operator runs."""
+    from banking_streamprocessing_demos_spark.operators.dedup import COSINE_TAU
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        LSH_BITS,
+        _dot,
+        _normed,
+        auto_lsh_tables,
+        hashed_buckets,
+    )
+
+    bits = LSH_BITS if lsh_bits is None else lsh_bits
+    hashed = hashed_buckets(
+        _normed(spark, sf_dir), bits=bits, tables=auto_lsh_tables(bits)
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        (_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")) >= COSINE_TAU)
+        .cast("long")
+        .alias("t"),
+    )
+    row = (
+        scored.groupBy("va", "vb")
+        .agg(F.max("t").alias("t"))
+        .agg(F.count("*").alias("c"), F.sum("t").alias("p"))
+        .first()
+    )
+    return {"n_candidates": int(row["c"]), "n_true_pairs": int(row["p"])}
+
+
+def _ivf_pair_counts(
+    spark, sf_dir: str, n_cells: int | None = None, probes: int | None = None
+) -> dict:
+    """Same diagnostics for the IVF dedup path: distinct cell-sharing
+    candidate pairs and the cosine>=tau true pairs among them."""
+    from banking_streamprocessing_demos_spark.operators.dedup import (
+        COSINE_TAU,
+        IVF_DEDUP_PROBES,
+    )
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        IVF_CELLS,
+        _dot,
+        _normed,
+        auto_jl_shortlist,
+        rank_cells,
+    )
+
+    n = _normed(spark, sf_dir)
+    cells = IVF_CELLS if n_cells is None else n_cells
+    p = IVF_DEDUP_PROBES if probes is None else probes
+    ranked = rank_cells(
+        n, cells, keep=p,
+        jl_shortlist=auto_jl_shortlist(cells, p),
+    )
+    assigned = ranked.select("vec_id", "cell_id").join(n, "vec_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        (_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")) >= COSINE_TAU)
+        .cast("long")
+        .alias("t"),
+    )
+    row = (
+        scored.groupBy("va", "vb")
+        .agg(F.max("t").alias("t"))
+        .agg(F.count("*").alias("c"), F.sum("t").alias("p"))
+        .first()
+    )
+    return {"n_candidates": int(row["c"]), "n_true_pairs": int(row["p"])}
+
+
+def _knn_candidate_count(spark, sf_dir: str, n_cells: int) -> dict:
+    """Scored (query, neighbor) pair volume behind a sim_knn_graph
+    point: each vector is scored against every member of its probed
+    cells, so the count is sum over (vector, probed cell) of cell
+    size.  Cheap — no vector arrays, just the ranking skeleton."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        IVF_PROBES,
+        _normed,
+        auto_jl_shortlist,
+        rank_cells,
+    )
+
+    n = _normed(spark, sf_dir)
+    ranked = rank_cells(
+        n, n_cells, keep=IVF_PROBES,
+        jl_shortlist=auto_jl_shortlist(n_cells, IVF_PROBES),
+    )
+    sizes = ranked.filter(F.col("rn") == 1).groupBy("cell_id").count()
+    row = (
+        ranked.select("vec_id", "cell_id")
+        .join(sizes, "cell_id")
+        .agg(F.sum("count").alias("c"))
+        .first()
+    )
+    return {"n_candidates": int(row["c"])}
+
+
+# family -> (spark, sf_dir, kwargs) -> output-volume diagnostics
+PAIR_DIAGNOSTICS = {
+    "dedup_semantic_clusters": lambda spark, d, kw: _semantic_pair_counts(spark, d, **kw),
+    "dedup_semantic_ivf": lambda spark, d, kw: _ivf_pair_counts(spark, d, **kw),
+    "sim_knn_graph": lambda spark, d, kw: _knn_candidate_count(spark, d, **kw),
+}
+
 
 def _knn_kwargs(spark, sf_dir: str) -> dict:
     from banking_streamprocessing_demos_spark.operators.similarity import auto_cells
@@ -168,6 +293,11 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         "pack_sequences": None,
         "doc_chunk_overlap": None,
         "dedup_exact": None,
+        # round-6: the two composed pipeline operators (gate + prefix-sum
+        # compositions) join the curve — the most expensive v4 queries
+        # had wall-time evidence at sf0.1 only (round-5 VERDICT #6)
+        "pipe_quality_gate": None,
+        "pipe_curriculum_pack": None,
         # worst 10x ratio in round 3 — three points expose whether the
         # sqrt(N)-growing coarse-assignment stage curves up (auto_cells
         # sizing active via _knn_kwargs)
@@ -241,21 +371,44 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
     results: dict[str, dict] = {}
     for name, kw_fn in critical.items():
         fn = merged[name].fn
-        row: dict[str, float] = {}
+        row: dict = {}
+        diag_fn = PAIR_DIAGNOSTICS.get(name)
         for label, path, _f in points:
-            sec, nrows = _time_query(
-                spark, fn, path, kw_fn(spark, path) if kw_fn else {}, passes=1
-            )
+            kwargs = kw_fn(spark, path) if kw_fn else {}
+            sec, nrows = _time_query(spark, fn, path, kwargs, passes=1)
             row[label] = sec
+            row[f"{label}_rows"] = nrows
             print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
+            if diag_fn is not None:
+                d = diag_fn(spark, path, kwargs)
+                for k, v in d.items():
+                    row[f"{label}_{k}"] = v
+                print(f"#   {name} @{label} volume: {d}", file=sys.stderr)
         row["ratio_100_30"] = round(row["x100"] / row["x30"], 2)  # linear = 3.33
         row["ratio_100_1"] = round(row["x100"] / row["x1"], 2)  # linear = 100
+        # per-unit-output normalization (round-5 VERDICT #3): the wall
+        # ratio divided by the growth of the work the step actually
+        # produced — true near-dup pairs for the dedup families, scored
+        # candidate pairs for the knn graph.  <= 1.0 means the engine
+        # got CHEAPER per unit of output across the step; the residual
+        # above linear in the raw ratio is the output growth itself
+        # (C(k,2) per replica group in the replicated corpus).
+        vol_key = "n_true_pairs" if "x100_n_true_pairs" in row else (
+            "n_candidates" if "x100_n_candidates" in row else None
+        )
+        if vol_key is not None and row[f"x30_{vol_key}"] > 0:
+            vol_growth = row[f"x100_{vol_key}"] / row[f"x30_{vol_key}"]
+            row["volume_growth_100_30"] = round(vol_growth, 2)
+            row["ratio_100_30_per_output"] = round(row["ratio_100_30"] / vol_growth, 3)
         results[name] = row
     payload = {
         "metric": "scaling_curve_4pt",
         "points": [1, 10, 30, 100],
         "families": results,
         "lsh_configs": _LSH_CONFIGS,
+        "note": "x{N}_n_candidates / x{N}_n_true_pairs record the pair volume "
+        "behind each point; ratio_100_30_per_output = wall ratio / output "
+        "growth (<=1.0 means cheaper per unit of output across the step)",
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
@@ -263,8 +416,64 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
     print(f"wrote {out}")
 
 
+def ivf_probe_sensitivity(
+    sf_dir: str = "scale_corpus/x30", out: str = "BENCH_ivf_probes.json"
+) -> None:
+    """Probe-count sensitivity for the IVF dedup path at one scale
+    point (round-5 VERDICT #7): IVF_DEDUP_PROBES is a constant 2 —
+    measure what 1 / 2 / 3 probes buy.  Per probe count: wall time,
+    candidate volume, and true-pair volume; recall proxy = true pairs
+    found relative to the widest (probes=3) setting (a superset by
+    construction: more probed cells can only add candidate pairs).
+    Run: python tools/bench_scale.py --ivf-probes [sf_dir]"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    fn = merged["dedup_semantic_ivf"].fn
+    spark = get_spark("bench-ivf-probes")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    kwargs = _knn_kwargs(spark, sf_dir)
+    results: dict[str, dict] = {}
+    for probes in (1, 2, 3):
+        sec, nrows = _time_query(
+            spark, fn, sf_dir, {**kwargs, "probes": probes}, passes=1
+        )
+        d = _ivf_pair_counts(spark, sf_dir, probes=probes, **kwargs)
+        results[f"probes_{probes}"] = {
+            "sec": sec,
+            "rows": nrows,
+            **d,
+        }
+        print(f"# probes={probes}: {sec}s rows={nrows} {d}", file=sys.stderr)
+    widest = results["probes_3"]["n_true_pairs"]
+    for row in results.values():
+        row["true_pair_recall_vs_p3"] = (
+            round(row["n_true_pairs"] / widest, 4) if widest else None
+        )
+    payload = {
+        "metric": "ivf_probe_sensitivity",
+        "sf_dir": sf_dir,
+        "n_cells": kwargs.get("n_cells"),
+        "results": results,
+        "note": "true_pair_recall_vs_p3 is relative to the probes=3 candidate "
+        "superset, not absolute near-dup recall (the exact verifier pins that "
+        "separately in tests)",
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: v["sec"] for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    if "--four-point" in sys.argv:
+    if "--ivf-probes" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        ivf_probe_sensitivity(*args)
+    elif "--four-point" in sys.argv:
         four_point()
     elif "--three-point" in sys.argv:
         three_point()
