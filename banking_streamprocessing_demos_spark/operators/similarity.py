@@ -14,6 +14,8 @@ already knows how to do.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -143,6 +145,38 @@ def auto_jl_shortlist(n_cells: int, probes: int) -> int | None:
     return max(4 * probes, n_cells // 16) if n_cells > IVF_CELLS else None
 
 
+# The flat JL prescreen still scores every vector against every cell
+# (N x n_cells 16-dim dots — the term that grows ~N^2 under auto_cells
+# and left sim_knn_graph's per-output 100/30 ratio at 1.35).  Past this
+# many cells, rank_cells adds a SECOND quantizer level over the
+# centroid table itself: ~sqrt(n_cells) coarse groups, each vector
+# JL-scores only the group seeds plus the member cells of its best
+# groups — the same trick applied once more, dropping the scoring term
+# from N x n_cells to ~N x (sqrt(n_cells) + n_cells/4).
+#
+# Gate MEASURED, not guessed (round 6): at 468 cells (x30 corpus) the
+# two-level path is 27% SLOWER and at 1562 cells (x100) a wash — the
+# flat scan is a zero-exchange pipelined broadcast loop, and the
+# coarse path's extra exchanges (group window + candidate joins + the
+# N-row JL-vector rejoin) cost more than the ~4x compute cut saves up
+# to at least 1562 cells.  The gate therefore sits past the measured
+# boundary: the path exists (recall pinned by
+# test_rank_cells_coarse_prescreen_recall) for the >500k-vector
+# corpora where the flat N x n_cells term finally dominates, and
+# engages nowhere the measured range shows it losing.
+COARSE_MIN_CELLS = 4096
+
+
+def auto_coarse_groups(n_cells: int) -> tuple[int, int]:
+    """(n_groups, groups_kept) for the two-level prescreen: ~sqrt
+    groups (floored at 16) and a constant QUARTER of them kept per
+    vector — candidate cells stay ~n_cells/4 in expectation while the
+    group-seed scan is ~sqrt(n_cells), so the total JL work per vector
+    is ~4x below the flat prescreen at any n_cells above the gate."""
+    n_groups = max(16, math.isqrt(n_cells))
+    return n_groups, max(4, n_groups // 4)
+
+
 def rank_cells(
     n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1, jl_shortlist: int | None = None
 ) -> DataFrame:
@@ -168,11 +202,71 @@ def rank_cells(
         jv_n = n.select("vec_id", _jl_project("v").alias("jv"))
         jv_c = cents.select("cell_id", _jl_project("cv").alias("jcv"))
         jv_c = jv_c.withColumn("jcn", F.sqrt(_dot("jcv", "jcv")))
-        # the vector's own JL norm is constant within its ranking group,
-        # so only the centroid norm matters for the ordering
-        jl_scores = jv_n.join(F.broadcast(jv_c), F.lit(True)).select(
-            "vec_id", "cell_id", (_dot("jv", "jcv") / F.col("jcn")).alias("cell_cos")
-        )
+        if n_cells >= COARSE_MIN_CELLS:
+            # Two-level prescreen (round 6): the flat JL scan below is
+            # still N x n_cells and grows ~N^2 under auto_cells.  Add a
+            # second quantizer level OVER THE CENTROID TABLE: the first
+            # ~sqrt(n_cells) cell centroids seed coarse groups; every
+            # cell joins its best group (a tiny broadcast-squared job);
+            # every vector JL-scores only the group seeds, keeps its
+            # best quarter of groups, and JL-scores just those groups'
+            # member cells — ~N x (sqrt(C) + C/4) instead of N x C.
+            # All candidate pruning happens in the same deterministic
+            # (score desc, id asc) order as everything else.
+            n_groups, g_keep = auto_coarse_groups(n_cells)
+            seeds = jv_c.filter(F.col("cell_id") < n_groups).select(
+                F.col("cell_id").alias("group_id"),
+                F.col("jcv").alias("gv"),
+                F.col("jcn").alias("gn"),
+            )
+            wg = Window.partitionBy("cell_id").orderBy(
+                F.col("gcos").desc(), F.col("group_id")
+            )
+            cell_group = (
+                jv_c.join(F.broadcast(seeds), F.lit(True))
+                .select(
+                    "cell_id",
+                    "group_id",
+                    (_dot("jcv", "gv") / F.col("gn")).alias("gcos"),
+                )
+                .withColumn("grn", F.row_number().over(wg))
+                .filter(F.col("grn") == 1)
+                .select("cell_id", "group_id")
+            )
+            wv = Window.partitionBy("vec_id").orderBy(
+                F.col("gcos").desc(), F.col("group_id")
+            )
+            top_groups = (
+                jv_n.join(F.broadcast(seeds), F.lit(True))
+                .select(
+                    "vec_id",
+                    "group_id",
+                    (_dot("jv", "gv") / F.col("gn")).alias("gcos"),
+                )
+                .withColumn("vgrn", F.row_number().over(wv))
+                .filter(F.col("vgrn") <= g_keep)
+                .select("vec_id", "group_id")
+            )
+            # candidate cells = member cells of the vector's top groups;
+            # the JL vectors rejoin by vec_id — the same accepted N-row
+            # array exchange as the full-dim rescore below
+            jl_scores = (
+                top_groups.join(F.broadcast(cell_group), "group_id")
+                .select("vec_id", "cell_id")
+                .join(jv_n, "vec_id")
+                .join(F.broadcast(jv_c), "cell_id")
+                .select(
+                    "vec_id",
+                    "cell_id",
+                    (_dot("jv", "jcv") / F.col("jcn")).alias("cell_cos"),
+                )
+            )
+        else:
+            # the vector's own JL norm is constant within its ranking
+            # group, so only the centroid norm matters for the ordering
+            jl_scores = jv_n.join(F.broadcast(jv_c), F.lit(True)).select(
+                "vec_id", "cell_id", (_dot("jv", "jcv") / F.col("jcn")).alias("cell_cos")
+            )
         wj = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
         short = (
             jl_scores.withColumn("srn", F.row_number().over(wj))
