@@ -753,7 +753,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str, lsh_bits: int | None = None
     # set and joining the vectors back by id: that plan shuffles
     # O(collisions) rows where this one shuffles O(N·L) skinny inputs
     # plus O(true pairs) outputs).  Same output set as verify-after-
-    # distinct, so the oracle is unchanged.
+    # distinct, so the oracle is unchanged.  (A 32-dim sign-projection
+    # PREFILTER of this verify was built and measured in round 6 and
+    # REJECTED: at tau=0.45 the projected dot added to every collision
+    # costs about what the skipped 64-dim dots save — x30 54.6s ->
+    # 50-51s, x100 238s -> 295s with the fatter shuffle payload — so
+    # the exact in-join verify stays; see SCALE.md.)
     pairs = (
         a.join(
             b,
@@ -862,7 +867,8 @@ def dedup_semantic_ivf(
     )
     # vectors ride the (cell_id) shuffle so every candidate is scored
     # map-side inside the self-join — the same in-join verify shape as
-    # the LSH path, with <= probes rows per vector instead of L
+    # the LSH path, with <= probes rows per vector instead of L (and
+    # the same round-6 prefilter verdict: exact verify wins).
     assigned = ranked.select("vec_id", "cell_id").join(n, "vec_id")
     a = assigned.alias("a")
     b = assigned.alias("b")

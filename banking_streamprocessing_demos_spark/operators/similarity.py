@@ -112,25 +112,32 @@ def _centroids(n: "DataFrame", n_cells: int = IVF_CELLS) -> "DataFrame":
     )
 
 
-def _jl_project(col: str):
-    """16-dim JL sign projection of a 64-dim array column — the same
-    literal sign matrix (and scale) as emb_random_project, folded
-    in-row.  Costs DIMS*JL_OUT_DIMS multiplies once per vector; each
-    subsequent centroid score then costs JL_OUT_DIMS instead of DIMS."""
+def _sign_project(col: str, signs, scale: float):
+    """Fold a ±1 sign-projection of a 64-dim array column in-row:
+    len(signs) output dims, DIMS multiplies each, computed once per
+    vector."""
     comps = [
         F.aggregate(
             F.zip_with(
                 col,
-                F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]]),
+                F.array(*[F.lit(float(s)) for s in row]),
                 lambda x, w: x * w,
             ),
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        * F.lit(_JL_SCALE)
-        for j in range(JL_OUT_DIMS)
+        * F.lit(scale)
+        for row in signs
     ]
     return F.array(*comps)
+
+
+def _jl_project(col: str):
+    """16-dim JL sign projection of a 64-dim array column — the same
+    literal sign matrix (and scale) as emb_random_project, folded
+    in-row.  Costs DIMS*JL_OUT_DIMS multiplies once per vector; each
+    subsequent centroid score then costs JL_OUT_DIMS instead of DIMS."""
+    return _sign_project(col, _JL_SIGNS, _JL_SCALE)
 
 
 def auto_jl_shortlist(n_cells: int, probes: int) -> int | None:
@@ -682,6 +689,11 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 5
+# scale-path exact-rescore depth: the top KNN_RESCORE JL-scored
+# candidates per query are rescored at full dimension before the final
+# top-KNN_K cut (6.4x headroom over k — the JL ranking only has to get
+# the true neighbors into the top 32, not rank them exactly)
+KNN_RESCORE = 32
 
 
 @REG.add(
@@ -745,20 +757,21 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
     ranked = rank_cells(
         n, n_cells, keep=IVF_PROBES, jl_shortlist=auto_jl_shortlist(n_cells, IVF_PROBES)
     )
-    assigned = (
-        ranked.filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id")
-        .join(n, "vec_id")
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
-            "cell_id",
+    if auto_jl_shortlist(n_cells, IVF_PROBES) is None:
+        # driver-checked configuration: exact full-dimension candidate
+        # scoring, bit-identical to the oracle
+        assigned = (
+            ranked.filter(F.col("rn") == 1)
+            .select("vec_id", "cell_id")
+            .join(n, "vec_id")
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+                "cell_id",
+            )
         )
-    )
-    qcells = (
-        ranked.select(F.col("vec_id").alias("query_id"), "cell_id")
-        .join(
+        qcells = ranked.select(F.col("vec_id").alias("query_id"), "cell_id").join(
             n.select(
                 F.col("vec_id").alias("query_id"),
                 F.col("v").alias("qv"),
@@ -766,13 +779,81 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
             ),
             "query_id",
         )
-    )
-    cand = qcells.join(assigned, "cell_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = cand.withColumn(
-        "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
-    )
+        cand = qcells.join(assigned, "cell_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = cand.withColumn(
+            "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
+    else:
+        # Scale path (round 6): compressed-domain candidate scoring —
+        # the IVF-Flat → IVF-compressed upgrade every production ANN
+        # index makes.  The candidate join is the wall-owner at x100
+        # (~107M pairs x 64-dim dots, with 64-dim arrays on BOTH sides
+        # of the cell_id exchange); scoring candidates in the 16-dim JL
+        # space cuts the in-join compute 4x AND the exchange payload
+        # 4x, then only the top KNN_RESCORE per query are rescored at
+        # full dimension (two id-keyed array joins over N-row tables —
+        # the accepted skinny-rejoin pattern).  Recall pinned by
+        # test_knn_graph_jl_candidate_recall.
+        jn = n.select("vec_id", _jl_project("v").alias("jv"))
+        jn = jn.withColumn("jnn", F.sqrt(_dot("jv", "jv")))
+        assigned = (
+            ranked.filter(F.col("rn") == 1)
+            .select("vec_id", "cell_id")
+            .join(jn, "vec_id")
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("jv").alias("cjv"),
+                F.col("jnn").alias("cjn"),
+                "cell_id",
+            )
+        )
+        qcells = ranked.select(F.col("vec_id").alias("query_id"), "cell_id").join(
+            jn.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("jv").alias("qjv"),
+                F.col("jnn").alias("qjn"),
+            ),
+            "query_id",
+        )
+        cand = qcells.join(assigned, "cell_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        jl_scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qjv", "cjv") / (F.col("qjn") * F.col("cjn"))).alias("jl_cos"),
+        )
+        wj = Window.partitionBy("query_id").orderBy(
+            F.col("jl_cos").desc(), F.col("neighbor_id")
+        )
+        shortl = (
+            jl_scored.withColumn("jrn", F.row_number().over(wj))
+            .filter(F.col("jrn") <= KNN_RESCORE)
+            .select("query_id", "neighbor_id")
+        )
+        scored = (
+            shortl.join(
+                n.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                ),
+                "query_id",
+            )
+            .join(
+                n.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("cv"),
+                    F.col("nrm").alias("cn"),
+                ),
+                "neighbor_id",
+            )
+            .withColumn(
+                "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

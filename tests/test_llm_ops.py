@@ -820,3 +820,42 @@ def test_rank_cells_coarse_prescreen_recall(spark):
         sim.COARSE_MIN_CELLS = old_gate
     assert len(exact & coarse) / len(exact) >= 0.30
     assert len(flat & coarse) / len(flat) >= 0.55
+
+
+def test_knn_graph_jl_candidate_recall(spark, tmp_path):
+    """The round-6 compressed-domain candidate scoring (JL-16 in-join
+    scores, exact rescore of the top KNN_RESCORE per query) must keep
+    every HIGH-similarity neighbor: a planted near-duplicate
+    (cos ~0.999) must appear in the scale-path graph in both
+    directions.  Uniform-noise ranking overlap is separately ~0.6 on
+    this worst-case data (all true cosines ~0 +- 0.12, where JL noise
+    dominates); the contract that matters to the dedup/semantic
+    pipeline is that real neighbors with real cosine gaps survive."""
+    import numpy as np
+
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        IVF_PROBES,
+        auto_jl_shortlist,
+        sim_knn_graph,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(500, 64)
+    dups = base[:20] + 0.05 * rng.randn(20, 64)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([base, dups]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    assert auto_jl_shortlist(32, IVF_PROBES) is not None  # scale path engaged
+    edges = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_knn_graph(spark, str(tmp_path), n_cells=32).collect()
+    }
+    missed = [
+        (i, 500 + i)
+        for i in range(20)
+        if (i, 500 + i) not in edges or (500 + i, i) not in edges
+    ]
+    assert not missed, missed
