@@ -471,10 +471,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", simhash.alias("simhash"))
 
 
-@REG.add(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
+# Recursive-CTE twin of min_label_components over the exact-Jaccard pair
+# graph: ends in a ``labels (doc_id, cluster_id)`` CTE covering exactly the
+# clustered (non-singleton) documents.  Shared by the dedup_clusters and
+# dedup_keep_best oracles so the two can't drift.
+_CLUSTER_LABELS_SQL = f"""
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
         FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -494,9 +495,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT src, src FROM edges
         UNION
         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc
-    )
+    ),
+    labels AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)
+"""
+
+
+@REG.add(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_CLUSTER_LABELS_SQL}
     SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-    FROM (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)
+    FROM labels
     """,
     doc="Near-duplicate CLUSTERING: connected components over the exact-Jaccard "
     "pair graph via iterative min-label propagation (the Spark pattern for "
@@ -563,6 +573,70 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
         )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+
+
+@REG.add(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_CLUSTER_LABELS_SQL},
+    docs AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS word_count
+        FROM documents
+    ),
+    lab AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.word_count
+        FROM docs d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, cluster_id, word_count,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY word_count DESC, doc_id) AS rn
+        FROM lab
+    )
+    SELECT doc_id, cluster_id, cluster_size, word_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Cluster-representative selection (the curation step AFTER near-dup "
+    "clustering): every document lands in a cluster (singletons are their own, "
+    "cluster_id = doc_id), and exactly one representative per cluster survives — "
+    "the highest-quality member (word count, doc_id tiebreak).  Composes "
+    "dedup_clusters' min-label components with a per-cluster argmax: the only "
+    "new work over clustering is one doc_id equi-join against the skinny label "
+    "table plus ONE keyed window (row_number + count share the cluster_id "
+    "shuffle and sort).  No global sort, no driver collect; at 100 TB the "
+    "window partition is a duplicate cluster — bounded by near-dup group "
+    "size, never corpus size.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _pair_jaccard(_kept_shingles(_shingles(spark, sf_dir)))
+        .filter(F.col("jaccard_raw") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    clusters = min_label_components(pairs, "doc_id").select("doc_id", "cluster_id")
+    doc = load_table(spark, sf_dir, "documents")
+    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    docs = doc.select("doc_id", (spaces + 1).cast("long").alias("word_count"))
+    lab = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    by_cluster = Window.partitionBy("cluster_id")
+    best_first = Window.partitionBy("cluster_id").orderBy(
+        F.col("word_count").desc(), "doc_id"
+    )
+    return (
+        lab.withColumn("cluster_size", F.count("*").over(by_cluster))
+        .withColumn("rn", F.row_number().over(best_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "word_count",
+        )
+    )
 
 
 @REG.add(

@@ -570,6 +570,98 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# inter-document boilerplate removal (the CCNet/RefinedWeb line-dedup step:
+# drop text segments that repeat across many documents — headers, footers,
+# navigation chrome — and reassemble the cleaned document)
+# ---------------------------------------------------------------------------
+
+BP_SEG_WORDS = 4  # segment granularity ("line" analog for newline-free corpora)
+BP_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
+
+
+@REG.add(
+    "text_boilerplate_strip",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(list_slice(words, i * {BP_SEG_WORDS} + 1,
+                                          i * {BP_SEG_WORDS} + {BP_SEG_WORDS}), ' ') AS s
+        FROM w, UNNEST(range(0, ((n_words - 1) // {BP_SEG_WORDS}) + 1)) AS t(i)
+    ),
+    bp AS (
+        SELECT md5(s) AS seg_key FROM seg
+        GROUP BY md5(s) HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    marked AS (
+        SELECT g.doc_id, g.seg_idx, g.s, (b.seg_key IS NOT NULL) AS is_bp
+        FROM seg g LEFT JOIN bp b ON md5(g.s) = b.seg_key
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT is_bp THEN s END, ' ' ORDER BY seg_idx),
+                    '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+    doc=f"Inter-document boilerplate removal (the CCNet/RefinedWeb line-dedup "
+    f"curation step, on {BP_SEG_WORDS}-word segments since this corpus has no "
+    f"newlines): a segment appearing in >= {BP_MIN_DOCS} distinct documents is "
+    "chrome, stripped from every document; cleaned text reassembles the kept "
+    "segments in order.  Plan: in-row segmentation (posexplode around the "
+    "expression), ONE map-side-combined distinct+count on the 16-byte segment "
+    "md5 to find the boilerplate set, one equi-join back on that skinny key, "
+    "and one doc_id groupBy whose in-row sort_array reassembly needs no "
+    "per-partition ordering guarantee.  Every shuffle is on a hash key; "
+    "nothing is corpus-global except the boilerplate set itself, which is "
+    "bounded by repeated-content volume, not corpus size.",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .withColumn("n_words", F.size("words"))
+    )
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), ((F.col("n_words") - 1) / BP_SEG_WORDS).cast("int"))
+        ).alias("seg_idx", "i"),
+        "words",
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice("words", F.col("i") * BP_SEG_WORDS + 1, BP_SEG_WORDS)
+        ).alias("s"),
+    ).withColumn("seg_key", F.md5("s"))
+    boilerplate = (
+        segs.select("seg_key", "doc_id")
+        .distinct()
+        .groupBy("seg_key")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BP_MIN_DOCS)
+        .select("seg_key", F.lit(True).alias("bp_hit"))
+    )
+    marked = segs.join(boilerplate, "seg_key", "left").withColumn(
+        "is_bp", F.col("bp_hit").isNotNull()
+    )
+    in_order = F.sort_array(F.collect_list(F.struct("seg_idx", "is_bp", "s")))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(F.filter(in_order, lambda x: ~x["is_bp"]), lambda x: x["s"]),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 VOCAB_TOPK = 100
 
 

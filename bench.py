@@ -114,6 +114,13 @@ HEADLINE_V4 = [
     "dedup_semantic_ivf",
 ]
 
+# Fifth series (round 6+): round-6 batch additions — own
+# round-over-round track.
+HEADLINE_V5 = [
+    "text_boilerplate_strip",
+    "dedup_keep_best",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +134,7 @@ def main() -> None:
     names_v2 = [n for n in HEADLINE_V2 if n in qs]
     names_v3 = [n for n in HEADLINE_V3 if n in qs]
     names_v4 = [n for n in HEADLINE_V4 if n in qs]
+    names_v5 = [n for n in HEADLINE_V5 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -168,6 +176,7 @@ def main() -> None:
             "headline_v2_total": payload.get("headline_v2_total"),
             "headline_v3_total": payload.get("headline_v3_total"),
             "headline_v4_total": payload.get("headline_v4_total"),
+            "headline_v5_total": payload.get("headline_v5_total"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
             "streaming_uncontended": payload.get("streaming_uncontended"),
@@ -213,6 +222,11 @@ def main() -> None:
     timings_v4 = run_series(names_v4, passes=1)
     result["headline_v4_total"] = round(sum(timings_v4.values()), 3)
     result["queries_v4"] = timings_v4
+    emit(result)
+
+    timings_v5 = run_series(names_v5, passes=1)
+    result["headline_v5_total"] = round(sum(timings_v5.values()), 3)
+    result["queries_v5"] = timings_v5
     emit(result)
 
     for key, kwargs in (

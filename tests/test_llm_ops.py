@@ -859,3 +859,64 @@ def test_knn_graph_jl_candidate_recall(spark, tmp_path):
         if (i, 500 + i) not in edges or (500 + i, i) not in edges
     ]
     assert not missed, missed
+
+
+def test_boilerplate_strip_planted(spark, tmp_path):
+    """The CCNet/RefinedWeb curation semantics on a planted corpus: a
+    segment repeated across >= BP_MIN_DOCS documents is stripped from
+    every one of them, unique content is untouched, and a document that
+    is ALL boilerplate survives as an empty-text row (never silently
+    dropped)."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        BP_MIN_DOCS,
+        BP_SEG_WORDS,
+        text_boilerplate_strip,
+    )
+
+    assert BP_SEG_WORDS == 4 and BP_MIN_DOCS == 3  # planted layout assumes these
+    boiler = "nav1 nav2 nav3 nav4"  # aligned at segment 0 in every carrier
+    uniq = {
+        0: "a1 a2 a3 a4 a5 a6 a7 a8",
+        1: "b1 b2 b3 b4 b5 b6 b7 b8",
+        2: "c1 c2 c3 c4 c5 c6 c7 c8",
+    }
+    rows = [(i, f"{boiler} {u}") for i, u in uniq.items()]
+    rows.append((3, boiler))  # all-boilerplate doc
+    rows.append((4, "d1 d2 d3 d4 d5 d6 d7 d8"))  # no boilerplate at all
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = {r.doc_id: r for r in text_boilerplate_strip(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc survives
+    for i, u in uniq.items():
+        assert out[i].cleaned_text == u, out[i]
+        assert out[i].n_segments == 3 and out[i].n_removed == 1
+    assert out[3].cleaned_text == "" and out[3].n_removed == 1
+    assert out[4].cleaned_text == rows[4][1] and out[4].n_removed == 0
+
+
+def test_keep_best_one_representative_per_cluster(spark, tmp_path):
+    """Cluster-representative selection: exactly one survivor per
+    near-dup cluster — the highest word count (doc_id tiebreak) — and
+    singletons survive as their own cluster."""
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_keep_best
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, base),                      # clone group {0,1,2}: 2 is longest
+        (1, base + " extra1"),
+        (2, base + " extra2 extra3"),
+        (7, "lone words that match nothing else at all"),  # singleton
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = {r.doc_id: r for r in dedup_keep_best(spark, sf).collect()}
+    assert set(out) == {2, 7}
+    assert out[2].cluster_id == 0 and out[2].cluster_size == 3
+    assert out[2].word_count == 42
+    assert out[7].cluster_id == 7 and out[7].cluster_size == 1

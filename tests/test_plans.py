@@ -360,3 +360,36 @@ def test_knn_graph_jl_prescreen_exchanges_are_skinny(spark):
     assert ranking, plan[:2000]
     for b in ranking:
         assert not re.search(r"embedding#|qv#|cv#|jv#|\bv#", b), b
+
+
+def test_boilerplate_strip_shuffle_budget(spark):
+    """text_boilerplate_strip: three hash-keyed exchanges only — the
+    (seg_key, doc_id) distinct, the seg_key df-count, and the final
+    doc_id reassembly.  The boilerplate probe joins broadcast/equi on
+    the 16-byte md5 key, never on raw segment text."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        text_boilerplate_strip,
+    )
+
+    df = text_boilerplate_strip(spark, SF_SMALL)
+    assert count_shuffles(df) <= 3, formatted_plan(df)
+    assert_no_cartesian(df)
+
+
+def test_keep_best_window_exchange_skinny(spark):
+    """dedup_keep_best: the per-cluster argmax window shuffles only the
+    skinny (doc_id, word_count, cluster_id) projection — document text
+    must be consumed by the scan-side word_count projection and never
+    travel through the cluster_id exchange."""
+    import re
+
+    from banking_streamprocessing_demos_spark.operators.dedup import dedup_keep_best
+
+    plan = formatted_plan(dedup_keep_best(spark, SF_SMALL))
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\][^(]*hashpartitioning\(cluster_id",
+        plan,
+    )
+    assert exchanges, plan
+    for cols in exchanges:
+        assert "text#" not in cols, cols

@@ -206,6 +206,11 @@ FAMILIES: dict[str, dict] = {
     "text_stats_quality": {},
     "doc_chunk_overlap": {},
     "pack_sequences": {},
+    # round-6 curation additions: inter-doc boilerplate removal (segment
+    # df-count + skinny-key join + reassembly) and cluster-representative
+    # selection (pair join + label propagation + keyed argmax window)
+    "text_boilerplate_strip": {},
+    "dedup_keep_best": {},
     # ANN family
     "sim_ann_ivf": {},
     "sim_ann_lsh": {},
