@@ -1386,3 +1386,80 @@ def streaming_epoch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repeat_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming boilerplate strip (round 6: text_boilerplate_strip's ingest twin)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_bp_oracle() -> str:
+    from .text import BP_SEG_SQL
+
+    return f"""
+    WITH {BP_SEG_SQL},
+    marked AS (
+        SELECT g.doc_id, g.seg_idx, g.s, (b.seg_key IS NOT NULL) AS is_bp
+        FROM bp_seg g LEFT JOIN bp_set b ON md5(g.s) = b.seg_key
+    )
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT is_bp THEN s END, ' ' ORDER BY seg_idx),
+                    '') AS cleaned_text
+    FROM marked GROUP BY 1, 2
+    """
+
+
+@REG.add(
+    "streaming_boilerplate_strip",
+    _streaming_bp_oracle(),
+    doc="Ingest-time boilerplate removal run FOR REAL: documents arrive as "
+    "a stream and are stripped against the FROZEN boilerplate inventory "
+    "(segments in >= BP_MIN_DOCS distinct docs of the static corpus, "
+    "refreshed offline — the production shape: the inventory is a slowly- "
+    "changing side table, the corpus never re-scans at ingest).  The "
+    "segment explode and md5 are in-row on the stream; the inventory probe "
+    "is a broadcast stream-static left join; per-doc reassembly is one "
+    "windowed aggregation whose sort_array needs no arrival-order "
+    "guarantee, so state = in-flight windows only.  Shares segmentation, "
+    "inventory, and reassembly expressions with the batch op "
+    "(text.py::segment_rows/boilerplate_keys/strip_agg_columns) and the "
+    "oracle CTE (BP_SEG_SQL), so batch and stream can't drift.",
+)
+def streaming_boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import boilerplate_keys, segment_rows, strip_agg_columns
+
+    # frozen inventory from the static corpus (the offline refresh product)
+    static_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inventory = boilerplate_keys(segment_rows(static_docs)).select("seg_key", "bp_hit")
+
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    )
+    replay = static_docs.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "sbp-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    segs = segment_rows(stream)
+    marked = segs.join(F.broadcast(inventory), "seg_key", "left").withColumn(
+        "is_bp", F.col("bp_hit").isNotNull()
+    )
+    agg = marked.groupBy(F.window("ingest_ts", "1 minute"), "doc_id").agg(
+        *strip_agg_columns()
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        "cleaned_text",
+    )
+    out = _run_available_now(out_stream, "streaming_boilerplate_strip")
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)

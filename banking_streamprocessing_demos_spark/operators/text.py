@@ -579,28 +579,90 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 BP_SEG_WORDS = 4  # segment granularity ("line" analog for newline-free corpora)
 BP_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
 
-
-@REG.add(
-    "text_boilerplate_strip",
-    f"""
-    WITH w AS (
+# SQL twins of the helpers below — shared by the batch oracle and the
+# streaming twin's oracle so the two can't drift.
+BP_SEG_SQL = f"""
+    bp_w AS (
         SELECT doc_id, string_split(text, ' ') AS words,
                len(string_split(text, ' ')) AS n_words
         FROM documents
     ),
-    seg AS (
+    bp_seg AS (
         SELECT doc_id, CAST(i AS INT) AS seg_idx,
                array_to_string(list_slice(words, i * {BP_SEG_WORDS} + 1,
                                           i * {BP_SEG_WORDS} + {BP_SEG_WORDS}), ' ') AS s
-        FROM w, UNNEST(range(0, ((n_words - 1) // {BP_SEG_WORDS}) + 1)) AS t(i)
+        FROM bp_w, UNNEST(range(0, ((n_words - 1) // {BP_SEG_WORDS}) + 1)) AS t(i)
     ),
-    bp AS (
-        SELECT md5(s) AS seg_key FROM seg
+    bp_set AS (
+        SELECT md5(s) AS seg_key FROM bp_seg
         GROUP BY md5(s) HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
-    ),
+    )
+"""
+
+
+def segment_rows(docs: DataFrame) -> DataFrame:
+    """In-row segmentation of a (doc_id, text, ...) frame into
+    (doc_id, seg_idx, s, seg_key, <other cols>) rows — BP_SEG_WORDS-word
+    non-overlapping segments, short tail kept.  The posexplode wraps the
+    sequence EXPRESSION directly (the round-5 explode-of-projected-array
+    rule) and per-row work is one O(segment) slice."""
+    extra = [c for c in docs.columns if c not in ("doc_id", "text")]
+    d = docs.select(
+        "doc_id", *extra, F.split("text", " ").alias("words")
+    ).withColumn("n_words", F.size("words"))
+    return d.select(
+        "doc_id",
+        *extra,
+        F.posexplode(
+            F.sequence(F.lit(0), ((F.col("n_words") - 1) / BP_SEG_WORDS).cast("int"))
+        ).alias("seg_idx", "i"),
+        "words",
+    ).select(
+        "doc_id",
+        *extra,
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice("words", F.col("i") * BP_SEG_WORDS + 1, BP_SEG_WORDS)
+        ).alias("s"),
+    ).withColumn("seg_key", F.md5("s"))
+
+
+def boilerplate_keys(segs: DataFrame) -> DataFrame:
+    """The boilerplate inventory: segment md5 keys appearing in >=
+    BP_MIN_DOCS distinct documents — one map-side-combined distinct +
+    count on the 16-byte key.  Bounded by repeated-content volume."""
+    return (
+        segs.select("seg_key", "doc_id")
+        .distinct()
+        .groupBy("seg_key")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BP_MIN_DOCS)
+        .select("seg_key", F.lit(True).alias("bp_hit"))
+    )
+
+
+def strip_agg_columns() -> list[F.Column]:
+    """The per-document reassembly aggregates over marked (seg_idx,
+    is_bp, s) segment rows — shared by the batch op and the streaming
+    twin's windowed aggregation."""
+    in_order = F.sort_array(F.collect_list(F.struct("seg_idx", "is_bp", "s")))
+    return [
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(F.filter(in_order, lambda x: ~x["is_bp"]), lambda x: x["s"]),
+            " ",
+        ).alias("cleaned_text"),
+    ]
+
+
+@REG.add(
+    "text_boilerplate_strip",
+    f"""
+    WITH {BP_SEG_SQL},
     marked AS (
         SELECT g.doc_id, g.seg_idx, g.s, (b.seg_key IS NOT NULL) AS is_bp
-        FROM seg g LEFT JOIN bp b ON md5(g.s) = b.seg_key
+        FROM bp_seg g LEFT JOIN bp_set b ON md5(g.s) = b.seg_key
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
@@ -622,44 +684,11 @@ BP_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
     "bounded by repeated-content volume, not corpus size.",
 )
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("words"))
-        .withColumn("n_words", F.size("words"))
-    )
-    segs = d.select(
-        "doc_id",
-        F.posexplode(
-            F.sequence(F.lit(0), ((F.col("n_words") - 1) / BP_SEG_WORDS).cast("int"))
-        ).alias("seg_idx", "i"),
-        "words",
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.concat_ws(
-            " ", F.slice("words", F.col("i") * BP_SEG_WORDS + 1, BP_SEG_WORDS)
-        ).alias("s"),
-    ).withColumn("seg_key", F.md5("s"))
-    boilerplate = (
-        segs.select("seg_key", "doc_id")
-        .distinct()
-        .groupBy("seg_key")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= BP_MIN_DOCS)
-        .select("seg_key", F.lit(True).alias("bp_hit"))
-    )
-    marked = segs.join(boilerplate, "seg_key", "left").withColumn(
+    segs = segment_rows(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    marked = segs.join(boilerplate_keys(segs), "seg_key", "left").withColumn(
         "is_bp", F.col("bp_hit").isNotNull()
     )
-    in_order = F.sort_array(F.collect_list(F.struct("seg_idx", "is_bp", "s")))
-    return marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_segments"),
-        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
-        F.array_join(
-            F.transform(F.filter(in_order, lambda x: ~x["is_bp"]), lambda x: x["s"]),
-            " ",
-        ).alias("cleaned_text"),
-    )
+    return marked.groupBy("doc_id").agg(*strip_agg_columns())
 
 
 VOCAB_TOPK = 100

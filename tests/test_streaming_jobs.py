@@ -773,3 +773,26 @@ def test_streaming_curriculum_histogram_matches_batch(spark):
         for r in streaming_curriculum_histogram_q(spark, SF_SMALL).collect()
     }
     assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_streaming_boilerplate_strip_matches_batch(spark):
+    """Ingest-time boilerplate removal must clean every document exactly
+    as the batch op does (same frozen inventory, same segmentation, same
+    reassembly) — the stream only adds the ingest window column."""
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_boilerplate_strip_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import (
+        text_boilerplate_strip,
+    )
+    from tests.conftest import SF_SMALL
+
+    streamed = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in streaming_boilerplate_strip_q(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in text_boilerplate_strip(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
