@@ -303,6 +303,10 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # had wall-time evidence at sf0.1 only (round-5 VERDICT #6)
         "pipe_quality_gate": None,
         "pipe_curriculum_pack": None,
+        # round-6: the repo's only iterative fixpoint (min-label
+        # propagation) joins the curve — three points expose whether
+        # propagation rounds x join cost curves up as clusters multiply
+        "dedup_keep_best": None,
         # worst 10x ratio in round 3 — three points expose whether the
         # sqrt(N)-growing coarse-assignment stage curves up (auto_cells
         # sizing active via _knn_kwargs)
