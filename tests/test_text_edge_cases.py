@@ -156,3 +156,33 @@ def test_chunk_tiling_properties_fuzz(spark, tmp_path):
             assert min(dropped_tail_tokens) >= n - (CHUNK_MIN_TAIL - 1), (n, dropped_tail_tokens)
         else:
             assert covered == set(range(n))
+
+
+def test_boilerplate_segment_reassembly_identity(spark, tmp_path):
+    """Property: when no segment crosses the boilerplate threshold, the
+    cleaned text is the ORIGINAL text — segmentation followed by
+    in-order reassembly is the identity, including for docs whose tail
+    segment is shorter than BP_SEG_WORDS and for single-word docs."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        text_boilerplate_strip,
+    )
+
+    texts = [
+        "one",
+        "one two",
+        "one two three four",  # exactly one full segment
+        "one two three four five",  # full segment + 1-word tail
+        " ".join(f"u{i}" for i in range(23)),  # several segments + 3-word tail
+        " ".join(f"v{i}" for i in range(24)),  # exact multiple of segment size
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = {r.doc_id: r for r in text_boilerplate_strip(spark, sf).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        assert out[i].n_removed == 0, out[i]
+        assert out[i].cleaned_text == t, (out[i].cleaned_text, t)

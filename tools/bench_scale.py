@@ -307,6 +307,9 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # propagation) joins the curve — three points expose whether
         # propagation rounds x join cost curves up as clusters multiply
         "dedup_keep_best": None,
+        # round-6: inter-doc boilerplate removal — segment df-count +
+        # skinny-key join + reassembly, the curation hot path
+        "text_boilerplate_strip": None,
         # worst 10x ratio in round 3 — three points expose whether the
         # sqrt(N)-growing coarse-assignment stage curves up (auto_cells
         # sizing active via _knn_kwargs)
