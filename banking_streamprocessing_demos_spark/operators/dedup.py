@@ -524,9 +524,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
     """Connected components over an undirected pair graph via iterative
-    min-label propagation — the Spark pattern for fixpoint algorithms,
-    converging in O(component diameter) joins.  ``pairs`` has columns
-    (doc_a, doc_b); output is (id_col, cluster_id, cluster_size) with
+    min-label propagation — output is (id_col, cluster_id, cluster_size)
+    with cluster_id = component-min id.  Callers that don't need sizes
+    (dedup_keep_best recomputes the count in its own argmax window) use
+    ``min_label_labels`` directly and skip the sizes aggregate+join."""
+    labels = min_label_labels(pairs, id_col)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+
+
+def min_label_labels(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Connected-component labels over an undirected pair graph via
+    iterative min-label propagation — the Spark pattern for fixpoint
+    algorithms, converging in O(component diameter) joins.  ``pairs``
+    has columns (doc_a, doc_b); output is (id_col, cluster_id) with
     cluster_id = component-min id.  Shared by the Jaccard and semantic
     (embedding) dedup clusterings."""
     edges = pairs.unionByName(
@@ -568,11 +579,10 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
     edges.unpersist()
     if not converged:
         raise RuntimeError(
-            "min_label_components: propagation did not converge in 20 rounds "
+            "min_label_labels: propagation did not converge in 20 rounds "
             "(component diameter > 20) — raise the cap for chain-shaped corpora"
         )
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+    return labels
 
 
 @REG.add(
@@ -615,7 +625,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_raw") >= JACCARD_TAU)
         .select("doc_a", "doc_b")
     )
-    clusters = min_label_components(pairs, "doc_id").select("doc_id", "cluster_id")
+    clusters = min_label_labels(pairs, "doc_id")
     doc = load_table(spark, sf_dir, "documents")
     spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
     docs = doc.select("doc_id", (spaces + 1).cast("long").alias("word_count"))

@@ -467,7 +467,15 @@ def pipe_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan vs 8.7s for the full gate at a x10 corpus — and the prefix
     # sum below would re-execute that doubled plan in both of its
     # branches.  One checkpoint of the skinny verdict table makes the
-    # whole composition cost gate + epsilon.
+    # whole composition cost gate + epsilon.  This executes the gate at
+    # DataFrame-CONSTRUCTION time (plan dumps and .explain pay it too);
+    # eager=False does NOT avoid that under AQE — checkpointing needs the
+    # finalized RDD and AQE finalization executes the query stages, so
+    # the lazy form was measured running the same jobs at construction
+    # (14 jobs / 7.5 s at x10).  A .cache() would be lazy but persists by
+    # LOGICAL PLAN, silently warming repeated calls in one session (the
+    # round-5 bench-masking gotcha) — eager checkpoint of a fresh RDD per
+    # call keeps every invocation honestly cold.
     gate_full = (
         pipe_quality_gate(spark, sf_dir)
         .select("doc_id", "avg_logprob", "passed")

@@ -24,7 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "BENCH_stream_uncontended.json"
+    # default output anchored to the REPO ROOT, not the CWD: bench.py
+    # reads this file relative to its own directory, so a CWD-relative
+    # default from another directory would silently leave bench folding
+    # a stale committed figure into the round artifact
+    default_out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_stream_uncontended.json",
+    )
+    out = sys.argv[1] if len(sys.argv) > 1 else default_out
     from bench import _streaming_throughput
 
     res = _streaming_throughput(measure_s=40, variant="state", wall_cap_s=90)

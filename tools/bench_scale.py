@@ -125,8 +125,10 @@ def _ivf_pair_counts(
 def _knn_candidate_count(spark, sf_dir: str, n_cells: int) -> dict:
     """Scored (query, neighbor) pair volume behind a sim_knn_graph
     point: each vector is scored against every member of its probed
-    cells, so the count is sum over (vector, probed cell) of cell
-    size.  Cheap — no vector arrays, just the ranking skeleton."""
+    cells EXCEPT itself (the operator filters neighbor_id != query_id,
+    and every vector's own rn==1 cell is among its probes), so the
+    count is sum over (vector, probed cell) of cell size, minus N
+    self-pairs.  Cheap — no vector arrays, just the ranking skeleton."""
     from banking_streamprocessing_demos_spark.operators.similarity import (
         IVF_PROBES,
         _normed,
@@ -139,14 +141,16 @@ def _knn_candidate_count(spark, sf_dir: str, n_cells: int) -> dict:
         n, n_cells, keep=IVF_PROBES,
         jl_shortlist=auto_jl_shortlist(n_cells, IVF_PROBES),
     )
-    sizes = ranked.filter(F.col("rn") == 1).groupBy("cell_id").count()
+    assigned = ranked.filter(F.col("rn") == 1)
+    sizes = assigned.groupBy("cell_id").count()
     row = (
         ranked.select("vec_id", "cell_id")
         .join(sizes, "cell_id")
         .agg(F.sum("count").alias("c"))
         .first()
     )
-    return {"n_candidates": int(row["c"])}
+    n_self = assigned.count()
+    return {"n_candidates": int(row["c"]) - n_self}
 
 
 # family -> (spark, sf_dir, kwargs) -> output-volume diagnostics
@@ -435,8 +439,9 @@ def ivf_probe_sensitivity(
     point (round-5 VERDICT #7): IVF_DEDUP_PROBES is a constant 2 —
     measure what 1 / 2 / 3 probes buy.  Per probe count: wall time,
     candidate volume, and true-pair volume; recall proxy = true pairs
-    found relative to the widest (probes=3) setting (a superset by
-    construction: more probed cells can only add candidate pairs).
+    found relative to the widest (probes=3) setting — a superset
+    whenever all probe counts rescore the same JL shortlist (asserted
+    below; more probed cells of one ranking can only add pairs).
     Run: python tools/bench_scale.py --ivf-probes [sf_dir]"""
     import __spark_entry__ as entrymod
     from banking_streamprocessing_demos_spark.operators import merge_registries
@@ -449,6 +454,24 @@ def ivf_probe_sensitivity(
     spark.range(1000).selectExpr("sum(id)").collect()
 
     kwargs = _knn_kwargs(spark, sf_dir)
+    # The "probes=3 candidates are a superset" framing requires every
+    # probe count to rescore the SAME JL shortlist: when the 4*probes
+    # floor of auto_jl_shortlist binds (n_cells < 64*probes), different
+    # probe counts rescore different shortlist prefixes and a cell
+    # probed at probes=1 can be absent at probes=3 — recall_vs_p3 could
+    # exceed 1.0.  Fail loudly rather than record a silently-wrong note.
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        auto_jl_shortlist,
+    )
+
+    shortlists = {p: auto_jl_shortlist(kwargs["n_cells"], p) for p in (1, 2, 3)}
+    if len(set(shortlists.values())) != 1:
+        raise SystemExit(
+            f"probe sensitivity needs one shared JL shortlist across probe "
+            f"counts; got {shortlists} at n_cells={kwargs['n_cells']} — run at "
+            f"a larger scale point (n_cells >= 192 keeps the 1/16 fraction "
+            f"above every 4*probes floor)"
+        )
     results: dict[str, dict] = {}
     for probes in (1, 2, 3):
         sec, nrows = _time_query(
