@@ -68,6 +68,7 @@ _ROUND_NEW: list[str] = [
     "text_boilerplate_strip",
     "dedup_keep_best",
     "streaming_boilerplate_strip",
+    "pipe_bpe_merges",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -118,7 +119,6 @@ _FLAGSHIP_REFRESH = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_knn_graph",
-    "emb_label_centroids",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -131,6 +131,7 @@ _ROUND_OVERFLOW: list[str] = []
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
     # demoted after earning r5 driver rows
+    "emb_label_centroids",
     "text_tfidf_topk",
     "text_pii_scrub",
     "pack_sequences",

@@ -691,6 +691,130 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("doc_id").agg(*strip_agg_columns())
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer fitting (Sennrich-style merge learning on the weighted vocab)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_oracle(k: int = BPE_MERGES) -> str:
+    """K fixed merge stages as a generated CTE chain; each stage counts
+    weighted adjacent token pairs, picks the (count desc, pair asc)
+    argmax, and re-tokenizes the vocab with DuckDB's list_reduce — the
+    same greedy left-to-right fold the Spark side runs."""
+    stages = [
+        """
+    v AS (SELECT word, COUNT(*) AS freq
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+    t1 AS (SELECT word, freq,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS toks
+           FROM v)"""
+    ]
+    for i in range(1, k + 1):
+        stages.append(f"""
+    p{i} AS (
+        SELECT pr.pa AS a, pr.pb AS b, SUM(freq) AS c FROM (
+            SELECT freq,
+                   UNNEST(list_transform(range(1, len(string_split(toks, ' '))),
+                          j -> struct_pack(pa := string_split(toks, ' ')[j],
+                                           pb := string_split(toks, ' ')[j + 1]))) AS pr
+            FROM t{i}
+        ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT a, b, a || b AS m, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    t{i + 1} AS (
+        SELECT word, freq,
+               list_reduce(string_split(toks, ' '),
+                 (acc, x) -> CASE WHEN (acc = b{i}.a OR ends_with(acc, ' ' || b{i}.a))
+                                       AND x = b{i}.b
+                                  THEN substr(acc, 1, length(acc) - length(b{i}.a)) || b{i}.m
+                                  ELSE acc || ' ' || x END) AS toks
+        FROM t{i} CROSS JOIN b{i}
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS token_a, b AS token_b, m AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(stages) + " " + unions
+
+
+@REG.add(
+    "pipe_bpe_merges",
+    _bpe_oracle(),
+    doc=f"BPE tokenizer fitting (Sennrich merge learning), the step that "
+    f"turns text_vocab_topk's seed statistics into an actual subword "
+    f"tokenizer: {BPE_MERGES} merge rules learned by repeatedly counting "
+    "weighted adjacent token pairs over the vocabulary and merging the "
+    "argmax pair (count desc, lexicographic tiebreak) with a greedy "
+    "left-to-right fold.  Scale shape: the CORPUS-scale work is one "
+    "map-side-combined word-count shuffle, checkpointed once; every "
+    "iteration after that folds over the weighted VOCAB only (Zipf: "
+    "vocab << corpus at any scale) with a ONE-ROW driver collect per "
+    "merge (the bounded-argmax pattern) — corpus text is never "
+    "re-scanned.  Both engines run the identical fold, so the learned "
+    "rules hash-match bit-for-bit.",
+)
+def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.withColumn(
+        "toks", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    ).localCheckpoint(eager=True)  # corpus-scale count runs exactly once
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        arr = F.split("toks", " ")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("pa"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("pb"),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(F.col("pr.pa").alias("a"), F.col("pr.pb").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merged = a + b
+        merges.append((rank, a, b, merged, c))
+        suffix = " " + a
+        toks_arr = F.split("toks", " ")
+        fold = F.aggregate(
+            F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
+            F.element_at(toks_arr, 1),
+            lambda acc, x: F.when(
+                ((acc == F.lit(a)) | F.endswith(acc, F.lit(suffix)))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.substring(acc, F.lit(1), F.length(acc) - len(a)), F.lit(merged)
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        # checkpoint per merge: keeps the iterated lambda plan shallow and
+        # the vocab honestly materialized (same pattern as min-label
+        # propagation); the table is vocab-sized, never corpus-sized
+        vocab = vocab.withColumn("toks", fold).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, token_a string, token_b string, merged string, pair_count bigint",
+    )
+
+
 VOCAB_TOPK = 100
 
 

@@ -119,6 +119,7 @@ HEADLINE_V4 = [
 HEADLINE_V5 = [
     "text_boilerplate_strip",
     "dedup_keep_best",
+    "pipe_bpe_merges",
 ]
 
 

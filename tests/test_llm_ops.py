@@ -920,3 +920,30 @@ def test_keep_best_one_representative_per_cluster(spark, tmp_path):
     assert out[2].cluster_id == 0 and out[2].cluster_size == 3
     assert out[2].word_count == 42
     assert out[7].cluster_id == 7 and out[7].cluster_size == 1
+
+
+def test_bpe_merges_planted(spark, tmp_path):
+    """Hand-computable BPE fit: vocab {aaab x3, ab x2}.  Pair counts
+    round 1: (a,a)=6, (a,b)=5 -> merge 'aa'; the greedy left-to-right
+    fold must give aaab -> [aa, a, b] (no re-merge of the fresh 'aa'
+    with the following 'a').  Round 2: (a,b)=5 beats (aa,a)=3.  Round 3
+    merges the whole word; then no pairs remain, so the fit STOPS at 3
+    rules even though BPE_MERGES allows more."""
+    from banking_streamprocessing_demos_spark.operators.text import pipe_bpe_merges
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+
+    rows = [
+        (r.merge_rank, r.token_a, r.token_b, r.merged, r.pair_count)
+        for r in pipe_bpe_merges(spark, sf).orderBy("merge_rank").collect()
+    ]
+    assert rows == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
