@@ -69,6 +69,7 @@ _ROUND_NEW: list[str] = [
     "dedup_keep_best",
     "streaming_boilerplate_strip",
     "pipe_bpe_merges",
+    "pipe_bpe_encode",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -105,7 +106,6 @@ _FLAGSHIP_REFRESH = [
     "u6_merge_upsert",
     "smp3_stratified_split",
     "smp4_group_split",
-    "s8_set_operations",
     "f_expressions",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -131,6 +131,7 @@ _ROUND_OVERFLOW: list[str] = []
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
     # demoted after earning r5 driver rows
+    "s8_set_operations",
     "emb_label_centroids",
     "text_tfidf_topk",
     "text_pii_scrub",

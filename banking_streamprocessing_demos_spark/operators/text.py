@@ -741,6 +741,25 @@ def _bpe_oracle(k: int = BPE_MERGES) -> str:
     return "WITH " + ",".join(stages) + " " + unions
 
 
+def _bpe_encode_oracle(k: int = BPE_MERGES) -> str:
+    """Encode oracle = the SAME generated fit chain (its stage list is
+    sliced out of _bpe_oracle so the two cannot drift), finished by
+    joining the fitted vocab mapping t{k+1} back onto the corpus."""
+    fit = _bpe_oracle(k)
+    # slice the CTE chain off the fit oracle: the fit's final select list
+    # starts with its rank-1 union arm
+    ctes = fit[: fit.index("SELECT 1 AS merge_rank")].rstrip()
+    return f"""{ctes}
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(t.toks, ' '))) AS BIGINT) AS n_tokens_bpe_fit
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) d
+    JOIN t{k + 1} t USING (word)
+    WHERE length(d.word) > 0
+    GROUP BY d.doc_id
+    """
+
+
 @REG.add(
     "pipe_bpe_merges",
     _bpe_oracle(),
@@ -758,6 +777,18 @@ def _bpe_oracle(k: int = BPE_MERGES) -> str:
     "rules hash-match bit-for-bit.",
 )
 def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _vocab = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, token_a string, token_b string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
+    """The shared fitting loop: returns the learned merge rules AND the
+    fitted vocab mapping (word -> space-joined subword tokens after all
+    merges) — pipe_bpe_merges publishes the rules, pipe_bpe_encode joins
+    the mapping back onto the corpus."""
     words = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -809,9 +840,39 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the vocab honestly materialized (same pattern as min-label
         # propagation); the table is vocab-sized, never corpus-sized
         vocab = vocab.withColumn("toks", fold).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, token_a string, token_b string, merged string, pair_count bigint",
+    return merges, vocab
+
+
+@REG.add(
+    "pipe_bpe_encode",
+    _bpe_encode_oracle(),
+    doc=f"Apply the fitted BPE tokenizer back to the corpus: per-document "
+    f"subword token counts under the {BPE_MERGES} learned merge rules — "
+    "the number a training pipeline actually budgets by (sequence packing "
+    "and epoch planning consume token counts, not word counts).  The "
+    "corpus is re-scanned once; each word joins the fitted vocab mapping "
+    "(word -> subword tokens), which is broadcast-sized by Zipf, and one "
+    "doc_id groupBy sums the per-word token counts — no per-document "
+    "re-fitting, no iteration.  The oracle extends the fit's generated "
+    "CTE chain with the same join, so fit and encode can't drift.",
+)
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, vocab = _bpe_fit(spark, sf_dir)
+    mapping = vocab.select(
+        "word", F.size(F.split("toks", " ")).cast("long").alias("word_toks")
+    )
+    doc_words = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    return (
+        doc_words.join(F.broadcast(mapping), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_toks").cast("long").alias("n_tokens_bpe_fit"),
+        )
     )
 
 

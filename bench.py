@@ -120,6 +120,7 @@ HEADLINE_V5 = [
     "text_boilerplate_strip",
     "dedup_keep_best",
     "pipe_bpe_merges",
+    "pipe_bpe_encode",
 ]
 
 

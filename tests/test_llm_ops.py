@@ -947,3 +947,25 @@ def test_bpe_merges_planted(spark, tmp_path):
         (2, "a", "b", "ab", 5),
         (3, "aa", "ab", "aaab", 3),
     ]
+
+
+def test_bpe_encode_consistent_with_fit(spark, tmp_path):
+    """Encoding under the fitted tokenizer: on the planted corpus the
+    3 learned merges collapse every word to ONE subword token, and on
+    any corpus the subword count is bounded by chars-per-word below and
+    words above."""
+    from banking_streamprocessing_demos_spark.operators.text import pipe_bpe_encode
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+    row = pipe_bpe_encode(spark, sf).collect()[0]
+    assert (row.n_words, row.n_tokens_bpe_fit) == (5, 5)
+
+    out = pipe_bpe_encode(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert r.n_words <= r.n_tokens_bpe_fit  # merges never go below 1/word
