@@ -70,6 +70,7 @@ _ROUND_NEW: list[str] = [
     "streaming_boilerplate_strip",
     "pipe_bpe_merges",
     "pipe_bpe_encode",
+    "streaming_bpe_encode",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -101,7 +102,6 @@ _FLAGSHIP_REFRESH = [
     "w1_hourly_event_counts",
     "w4_sessionization",
     "w5_session_window",
-    "w9_scd2_intervals",
     "u3_snapshot_last_event_wins",
     "u6_merge_upsert",
     "smp3_stratified_split",
@@ -131,6 +131,7 @@ _ROUND_OVERFLOW: list[str] = []
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
     # demoted after earning r5 driver rows
+    "w9_scd2_intervals",
     "s8_set_operations",
     "emb_label_centroids",
     "text_tfidf_topk",

@@ -1463,3 +1463,83 @@ def streaming_boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _run_available_now(out_stream, "streaming_boilerplate_strip")
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
+# streaming BPE encode (round 6: pipe_bpe_encode's ingest twin)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_bpe_oracle() -> str:
+    from .text import _bpe_encode_oracle
+
+    enc = _bpe_encode_oracle()
+    # reuse the encode oracle's generated CTE chain; regroup with the
+    # closed-form ingest window
+    ctes = enc[: enc.index("SELECT d.doc_id")]
+    k_join = enc[enc.index("JOIN t") :].split()[1]  # e.g. "t9"
+    return f"""{ctes}
+    SELECT {INGEST_BASE_MS} + (d.doc_id // 60) * 60000 AS window_start_ms,
+           d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(t.toks, ' '))) AS BIGINT) AS n_tokens_bpe_fit
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) d
+    JOIN {k_join} t USING (word)
+    WHERE length(d.word) > 0
+    GROUP BY 1, 2
+    """
+
+
+@REG.add(
+    "streaming_bpe_encode",
+    _streaming_bpe_oracle(),
+    doc="Ingest-time token accounting under the FROZEN fitted tokenizer "
+    "run FOR REAL: documents stream in, each word joins the fitted vocab "
+    "mapping (the offline fit product — a broadcast stream-static side "
+    "table, exactly how a production ingest meters token budgets), and a "
+    "windowed aggregation emits per-document subword counts.  State = "
+    "in-flight ingest windows only; the corpus never re-fits at ingest.  "
+    "Shares the fit loop (_bpe_fit) with the batch ops and the oracle "
+    "reuses pipe_bpe_encode's generated CTE chain, so fit, batch encode, "
+    "and ingest encode cannot drift.",
+)
+def streaming_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _bpe_fit
+
+    _merges, vocab = _bpe_fit(spark, sf_dir)
+    mapping = vocab.select(
+        "word", F.size(F.split("toks", " ")).cast("long").alias("word_toks")
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    )
+    replay = docs.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "sbe-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    words = stream.select(
+        "doc_id", "ingest_ts", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    # inner join drops the sentinel's unknown words, so its row never
+    # reaches the agg — but its WATERMARK still advances (watermarks are
+    # computed on the input, before the join), closing every real window
+    joined = words.join(F.broadcast(mapping), "word")
+    agg = joined.groupBy(F.window("ingest_ts", "1 minute"), "doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("word_toks").cast("long").alias("n_tokens_bpe_fit"),
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        "n_words",
+        "n_tokens_bpe_fit",
+    )
+    out = _run_available_now(out_stream, "streaming_bpe_encode")
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)

@@ -796,3 +796,24 @@ def test_streaming_boilerplate_strip_matches_batch(spark):
         for r in text_boilerplate_strip(spark, SF_SMALL).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_bpe_encode_matches_batch(spark):
+    """Ingest-time token accounting must agree per document with the
+    batch pipe_bpe_encode under the same fitted tokenizer — the stream
+    only adds the ingest window column."""
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_bpe_encode_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_bpe_encode
+    from tests.conftest import SF_SMALL
+
+    streamed = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe_fit)
+        for r in streaming_bpe_encode_q(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe_fit)
+        for r in pipe_bpe_encode(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
