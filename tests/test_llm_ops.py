@@ -969,3 +969,53 @@ def test_bpe_encode_consistent_with_fit(spark, tmp_path):
     assert out
     for r in out:
         assert r.n_words <= r.n_tokens_bpe_fit  # merges never go below 1/word
+
+
+def test_bpe_fit_matches_textbook_reference(spark):
+    """Independent check of the merge-learning algorithm: the DuckDB
+    oracle replays the SAME greedy fold as the Spark side, so a
+    systematic fold bug would pass both.  This reference is the
+    textbook Sennrich algorithm (index-scan merge application, not a
+    fold) implemented in plain Python over the corpus word frequencies
+    — rules and counts must agree exactly."""
+    import duckdb
+
+    from banking_streamprocessing_demos_spark.operators.text import (
+        BPE_MERGES,
+        pipe_bpe_merges,
+    )
+
+    con = duckdb.connect()
+    freqs = dict(
+        con.execute(
+            f"SELECT word, COUNT(*) FROM (SELECT UNNEST(string_split(text, ' ')) AS word "
+            f"FROM '{SF_SMALL}/documents.parquet') WHERE length(word) > 0 GROUP BY word"
+        ).fetchall()
+    )
+    toks = {w: list(w) for w in freqs}
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts: dict = {}
+        for w, f in freqs.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, a, b, a + b, c))
+        for w, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    got = [
+        (r.merge_rank, r.token_a, r.token_b, r.merged, r.pair_count)
+        for r in pipe_bpe_merges(spark, SF_SMALL).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
