@@ -215,6 +215,11 @@ FAMILIES: dict[str, dict] = {
     # selection (pair join + label propagation + keyed argmax window)
     "text_boilerplate_strip": {},
     "dedup_keep_best": {},
+    # round-6 BPE family: the fit's corpus-scale work is one word-count
+    # shuffle; the per-replica word suffixing makes the x10 vocab ~10x,
+    # so the iterated vocab folds are genuinely exercised too
+    "pipe_bpe_merges": {},
+    "pipe_bpe_encode": {},
     # ANN family
     "sim_ann_ivf": {},
     "sim_ann_lsh": {},
