@@ -382,6 +382,11 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
         "dedup_substring_spans": None,
         "pack_sequences": None,
         "doc_chunk_overlap": None,
+        # round-6 curation/tokenizer operators complete the curve
+        "text_boilerplate_strip": None,
+        "dedup_keep_best": None,
+        "pipe_bpe_merges": None,
+        "pipe_bpe_encode": None,
     }
     points = [
         ("x1", "/root/testdata/sf0.1", 1),
