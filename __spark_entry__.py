@@ -21,6 +21,7 @@ from banking_streamprocessing_demos_spark.operators.dedup import REG as DEDUP_RE
 from banking_streamprocessing_demos_spark.operators.message_domain import REG as MESSAGE_REG
 from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_REG
 from banking_streamprocessing_demos_spark.operators.packing import REG as PACKING_REG
+from banking_streamprocessing_demos_spark.operators.pq import REG as PQ_REG
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
 from banking_streamprocessing_demos_spark.operators.similarity import REG as SIM_REG
 from banking_streamprocessing_demos_spark.operators.sketches import REG as SKETCH_REG
@@ -38,6 +39,7 @@ _REGISTRIES = [
     MM_REG,
     PACKING_REG,
     SKETCH_REG,
+    PQ_REG,
     STREAMING_Q_REG,
 ]
 
@@ -124,7 +126,13 @@ _FLAGSHIP_REFRESH = [
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
-_ROUND_OVERFLOW: list[str] = []
+_ROUND_OVERFLOW: list[str] = [
+    # round-6 late additions (window already full): product-quantization
+    # codebook training + ADC search with exact rerank
+    "emb_pq_codebook",
+    "sim_ann_pq",
+    "streaming_pq_assign",
+]
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every

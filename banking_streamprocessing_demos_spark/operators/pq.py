@@ -1,0 +1,455 @@
+"""Product quantization (PQ) — the compressed-vector representation
+behind every billion-scale ANN deployment (Jégou, Douze, Schmid 2011,
+"Product Quantization for Nearest Neighbor Search"), built Spark-first.
+
+Why PQ is the 100 TB vector answer: a 64-dim float vector is 256 bytes;
+its PQ code is PQ_M small integers (here 8 codes of 4 bits = 4 bytes) —
+a 64x memory compression that lets a 1000-executor cluster hold a
+trillion-vector index in RAM.  Queries score candidates ASYMMETRICALLY
+(query stays full-precision, corpus stays compressed) through a per-
+query lookup table (LUT) of PQ_M x PQ_K centroid dot products: scoring
+a candidate is PQ_M table lookups + adds instead of DIMS multiplies.
+
+Everything is deterministic and DuckDB-oracle-checkable, the repo's
+standing differential strategy for "learned" components (same treatment
+as the BPE tokenizer fit in packing.py):
+
+- codebook training is Lloyd's k-means per subspace with a fixed seed
+  (centroid k of subspace m initializes to the sub-vector of vec_id k)
+  and a fixed iteration count, so both engines walk the identical
+  trajectory;
+- every centroid component is ROUND(x, 6) at every stage boundary and
+  every mean rides DECIMAL(20,9) sums (the emb_label_centroids
+  exact-summation pattern), so float summation order can never drift
+  the codebook between engines;
+- assignment distances are rounded to 6dp before the argmin with a
+  lowest-code tiebreak (the repo's libm-parity treatment), and ADC
+  scores sum their PQ_M LUT terms in explicit fixed left-associative
+  order in BOTH engines, so ranking is bit-stable.
+
+Scale shape (SCALE.md ground rules):
+
+- training touches the corpus ``PQ_ITERS`` times: assignment is a pure
+  in-row fold against the PLAN-LITERAL codebook (PQ_M*PQ_K*PQ_SUBDIM =
+  1024 doubles — far below any broadcast threshold, and a literal
+  needs no broadcast exchange at all), the mean update is one
+  map-side-combined groupBy whose width is the CODEBOOK (M*K*SUBDIM
+  rows), not the corpus.  The per-iteration driver collect is the
+  bounded codebook, the same pattern as the IVF probe-cell list
+  (similarity.py:237) and the BPE merge fold (packing.py);
+- encoding is zero-shuffle: each vector computes its own codes in-row;
+- ADC search broadcasts the (bounded) query side carrying per-query
+  LUTs; the corpus is scanned once, compressed codes only.
+
+Reference parity: the reference engine has no vector search at all
+(SURVEY §2 north-star extension, same as similarity.py); capabilities
+mirror its query surface philosophy (deterministic, oracle-checked)
+rather than any reference file.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Registry
+from .similarity import DIMS, N_QUERIES, TOPK, _dot
+
+REG = Registry()
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIMS // PQ_M  # dims per subspace
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+PQ_ITERS = 2  # fixed Lloyd iterations after seeded init
+PQ_RERANK = 64  # ADC shortlist depth rescored exactly before the top-k cut
+
+
+def _unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalized embedding vectors (vec_id, u).  Same local-only
+    repartition rationale as similarity._normed."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    nrm = F.sqrt(F.aggregate(F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    return e.select("vec_id", F.transform("v", lambda x: x / nrm).alias("u"))
+
+
+def _sub(col: str, m: int):
+    """Sub-vector of subspace m (1-based slice, PQ_SUBDIM dims)."""
+    return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _lit_vec(vals: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _self_dot(c: list[float]) -> float:
+    """|c|^2 as the engine would fold it: left-associative from 0.0.
+    Python floats ARE IEEE doubles, so this is bit-identical to
+    DuckDB's list_dot_product(c, c) on the same literals — safe to
+    precompute driver-side and embed as a plan literal."""
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return acc
+
+
+def _cb_struct_lit(cb_m: list[list[float]]):
+    """Literal array<struct<c: array<double>, cc: double, k: int>> for
+    one subspace's centroids — ONE plan node instead of PQ_K separate
+    candidate expressions (the argmin folds over it), which keeps the
+    Catalyst tree (and codegen compile time) small."""
+    return F.array(
+        *[
+            F.struct(
+                _lit_vec(c).alias("c"), F.lit(_self_dot(c)).alias("cc"), F.lit(k).alias("k")
+            )
+            for k, c in enumerate(cb_m)
+        ]
+    )
+
+
+def _argmin_code(s, cb_m: list[list[float]]):
+    """In-row argmin code for a sub-vector column expression ``s``
+    against the literal centroid structs of ``cb_m``.
+
+    d(k) = round6(|c_k|^2 - 2 s.c_k) — |s|^2 is constant per row, so
+    it drops out of the argmin (the oracle uses the identical
+    formula, so rounding-boundary behavior matches exactly); argmin
+    with lowest-k tiebreak via array_min over (dist, k) structs — the
+    same struct-ordering trick as streaming_ivf_assign's argmax.
+    """
+
+    def cand(e):
+        sc = F.aggregate(F.zip_with(s, e["c"], lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        return F.struct(F.round(e["cc"] - 2 * sc, 6).alias("d"), e["k"].alias("k"))
+
+    return F.array_min(F.transform(_cb_struct_lit(cb_m), cand))["k"]
+
+
+def _subs_df(unit: DataFrame) -> DataFrame:
+    """Explode to (vec_id, m, sub) — one row per subspace.  Used by the
+    TRAINING mean update only; encode/search stay un-exploded."""
+    pairs = F.array(
+        *[F.struct(F.lit(m).alias("m"), _sub("u", m).alias("sub")) for m in range(PQ_M)]
+    )
+    ex = unit.select("vec_id", F.explode(pairs).alias("p"))
+    return ex.select("vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
+
+
+def _mean_update(assigned: DataFrame) -> DataFrame:
+    """(m, code, dim, comp) means over assigned sub-vectors — DECIMAL
+    exact sums, 6dp-rounded, map-side-combined; output width is the
+    codebook, not the corpus."""
+    ex = assigned.select("m", "code", F.posexplode("sub").alias("d0", "comp"))
+    return (
+        ex.select("m", "code", (F.col("d0") + 1).alias("dim"), "comp")
+        .groupBy("m", "code", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("comp").cast("decimal(20,9)")).cast("double") / F.count("*"), 6
+            ).alias("comp")
+        )
+    )
+
+
+def _init_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Seeded init: centroid k of subspace m = round6 sub-vector of
+    vec_id k.  Rounding happens IN SPARK (engine round semantics);
+    the driver only ferries the bounded PQ_M x PQ_K x PQ_SUBDIM values."""
+    unit = _unit(spark, sf_dir)
+    rows = (
+        unit.filter(F.col("vec_id") < PQ_K)
+        .select(
+            "vec_id",
+            *[F.transform(_sub("u", m), lambda x: F.round(x, 6)).alias(f"s{m}") for m in range(PQ_M)],
+        )
+        .collect()
+    )
+    by_id = {r["vec_id"]: r for r in rows}
+    return [[list(by_id[k][f"s{m}"]) for k in range(PQ_K)] for m in range(PQ_M)]
+
+
+def _lloyd_step(subs: DataFrame, cb: list[list[list[float]]]) -> list[list[list[float]]]:
+    """One Lloyd iteration: in-row assignment under the literal ``cb``,
+    exact-decimal mean update, driver merge (empty cells keep their
+    previous centroid — mirrored by the oracle's LEFT JOIN COALESCE)."""
+    assigned = subs.withColumn(
+        "code",
+        _case_over_m([_argmin_code(F.col("sub"), cb[m]) for m in range(PQ_M)]),
+    )
+    means = _mean_update(assigned).collect()
+    new_cb = [[list(c) for c in cb_m] for cb_m in cb]
+    for r in means:
+        new_cb[r["m"]][r["code"]][r["dim"] - 1] = r["comp"]
+    return new_cb
+
+
+def _case_over_m(branches):
+    """CASE WHEN m = i THEN branch_i — lets exploded (vec_id, m, sub)
+    rows evaluate only their own subspace's argmin."""
+    expr = None
+    for m, b in enumerate(branches):
+        expr = F.when(F.col("m") == m, b) if expr is None else expr.when(F.col("m") == m, b)
+    return expr
+
+
+def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS) -> list[list[list[float]]]:
+    """Train the full codebook: seeded init + ``iters`` Lloyd steps.
+    Returns cb[m][k] = PQ_SUBDIM rounded doubles."""
+    cb = _init_codebook(spark, sf_dir)
+    subs = _subs_df(_unit(spark, sf_dir)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        cb = _lloyd_step(subs, cb)
+    return cb
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generation — the identical trajectory in DuckDB CTE stages
+# (same generated-stage strategy as the BPE fit oracle in packing.py).
+# ---------------------------------------------------------------------------
+
+
+def _pq_prefix_sql(iters: int = PQ_ITERS) -> str:
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM e),
+    subs AS (
+        SELECT vec_id, m, u[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
+        FROM n CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
+    ),
+    c0 AS (
+        SELECT m, CAST(vec_id AS INT) AS k,
+               list_transform(sub, x -> ROUND(x, 6)) AS c
+        FROM subs WHERE vec_id < {PQ_K}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    a{i} AS (
+        SELECT vec_id, m, sub, k AS code FROM (
+            SELECT s.vec_id, s.m, s.sub, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                       ROUND(list_dot_product(c.c, c.c)
+                             - 2 * list_dot_product(s.sub, c.c), 6), c.k) AS rn
+            FROM subs s JOIN c{p} c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT m, code, dim,
+               CAST(ROUND(CAST(SUM(CAST(comp AS DECIMAL(20,9))) AS DOUBLE)
+                          / COUNT(*), 6) AS DOUBLE) AS comp
+        FROM (SELECT m, code, UNNEST(sub) AS comp,
+                     UNNEST(range(1, {PQ_SUBDIM + 1})) AS dim FROM a{i})
+        GROUP BY m, code, dim
+    ),
+    c{p}d_{i} AS (
+        SELECT m, k, UNNEST(c) AS comp,
+               UNNEST(range(1, {PQ_SUBDIM + 1})) AS dim FROM c{p}
+    ),
+    c{i}d AS (
+        SELECT g.m, g.k, g.dim, COALESCE(u.comp, g.comp) AS comp
+        FROM c{p}d_{i} g LEFT JOIN m{i} u
+          ON g.m = u.m AND g.k = u.code AND g.dim = u.dim
+    ),
+    c{i} AS (SELECT m, k, list(comp ORDER BY dim) AS c FROM c{i}d GROUP BY m, k)"""
+        )
+    return "".join(parts)
+
+
+def _codebook_oracle_sql() -> str:
+    return (
+        _pq_prefix_sql()
+        + f"""
+    SELECT CAST(m AS INT) AS subspace, CAST(k AS INT) AS code,
+           CAST(dim AS BIGINT) AS dim, comp
+    FROM c{PQ_ITERS}d
+    """
+    )
+
+
+@REG.add(
+    "emb_pq_codebook",
+    _codebook_oracle_sql(),
+    doc=f"Product-quantization codebook training (Jégou et al. 2011): "
+    f"{PQ_M} subspaces x {PQ_K} centroids x {PQ_SUBDIM} dims via seeded "
+    f"Lloyd k-means, {PQ_ITERS} fixed iterations.  Assignment is an in-row "
+    "fold against the plan-literal codebook (zero exchanges); each mean "
+    "update is ONE map-side-combined groupBy whose width is the codebook, "
+    "not the corpus; the per-iteration driver collect is the bounded "
+    "codebook itself (the IVF probe-list pattern).  DECIMAL-exact sums + "
+    "6dp rounding at every stage boundary keep both engines on the "
+    "identical k-means trajectory — the oracle replays it in generated "
+    "CTE stages, the BPE-fit differential strategy.",
+)
+def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns the trained codebook as (subspace, code, dim, comp) rows.
+
+    The final Lloyd update is returned as a DISTRIBUTED plan (grid of
+    previous centroids LEFT JOIN the new means, COALESCE) so the
+    driver-checked query exercises the real aggregation, not a
+    collected literal.
+    """
+    cb_prev = pq_train(spark, sf_dir, iters=PQ_ITERS - 1)
+    subs = _subs_df(_unit(spark, sf_dir))
+    assigned = subs.withColumn(
+        "code", _case_over_m([_argmin_code(F.col("sub"), cb_prev[m]) for m in range(PQ_M)])
+    )
+    means = _mean_update(assigned)
+    grid = spark.createDataFrame(
+        [
+            (m, k, d + 1, cb_prev[m][k][d])
+            for m in range(PQ_M)
+            for k in range(PQ_K)
+            for d in range(PQ_SUBDIM)
+        ],
+        schema="subspace int, code int, dim int, comp_prev double",
+    )
+    out = grid.join(
+        means.withColumnRenamed("m", "subspace"),
+        ["subspace", "code", "dim"],
+        "left",
+    )
+    return out.select(
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        F.col("dim").cast("long").alias("dim"),
+        F.coalesce(F.col("comp"), F.col("comp_prev")).alias("comp"),
+    )
+
+
+def _adc_oracle_sql() -> str:
+    terms = " + ".join(
+        f"q.lut[{m * PQ_K} + x.codes[{m + 1}] + 1]" for m in range(PQ_M)
+    )
+    return (
+        _pq_prefix_sql()
+        + f""",
+    acode AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                       ROUND(list_dot_product(c.c, c.c)
+                             - 2 * list_dot_product(s.sub, c.c), 6), c.k) AS rn
+            FROM subs s JOIN c{PQ_ITERS} c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    ncodes AS (
+        SELECT vec_id AS neighbor_id, list(code ORDER BY m) AS codes
+        FROM acode GROUP BY vec_id
+    ),
+    qlut AS (
+        SELECT s.vec_id AS query_id, s.m, c.k,
+               list_dot_product(s.sub, c.c) AS contrib
+        FROM subs s JOIN c{PQ_ITERS} c ON s.m = c.m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    lut AS (
+        SELECT query_id, list(contrib ORDER BY m, k) AS lut
+        FROM qlut GROUP BY query_id
+    ),
+    scored AS (
+        SELECT q.query_id, x.neighbor_id,
+               ROUND({terms}, 6) AS adc_score
+        FROM ncodes x CROSS JOIN lut q
+        WHERE x.neighbor_id <> q.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_score DESC, neighbor_id) AS arank
+            FROM scored
+        ) WHERE arank <= {PQ_RERANK}
+    ),
+    reranked AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_dot_product(qn.u, nn.u), 6) AS cosine
+        FROM shortlist s
+        JOIN n qn ON qn.vec_id = s.query_id
+        JOIN n nn ON nn.vec_id = s.neighbor_id
+    ),
+    final AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM reranked
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM final WHERE rank <= {TOPK}
+    """
+    )
+
+
+@REG.add(
+    "sim_ann_pq",
+    _adc_oracle_sql(),
+    doc=f"PQ asymmetric-distance (ADC) search with exact rerank, top-{TOPK}: "
+    f"the corpus is scanned as {PQ_M}x4-bit codes (64x smaller than the "
+    "float vectors — the property that fits a trillion-vector index in "
+    f"cluster RAM), each query carries a {PQ_M}x{PQ_K}-entry LUT of "
+    f"centroid dot products computed once, scoring a candidate is {PQ_M} "
+    "array lookups + adds in FIXED left-associative order (bit-identical "
+    f"in both engines), and the ADC top-{PQ_RERANK} shortlist is rescored "
+    "at full precision before the final cut — the standard two-stage "
+    "compressed-search shape (same rescore pattern as sim_knn_graph's JL "
+    "path).  Encode is zero-shuffle in-row argmin against the plan-literal "
+    "codebook; the query side (LUTs included) is broadcast; the rerank "
+    "joins only Q x R shortlist rows back to the vector store.  Recall vs "
+    "the exact brute-force baseline is pinned in tests/test_pq.py.",
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = pq_train(spark, sf_dir)
+    unit = _unit(spark, sf_dir)
+    corpus = unit.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)]).alias("codes"),
+    )
+    def lut_for(m: int):
+        sub_m = _sub("u", m)
+        return F.transform(
+            F.array(*[_lit_vec(c) for c in cb[m]]),
+            lambda c: F.aggregate(
+                F.zip_with(sub_m, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            ),
+        )
+
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.flatten(F.array(*[lut_for(m) for m in range(PQ_M)])).alias("lut"),
+    )
+    terms = [
+        F.element_at("lut", (F.lit(m * PQ_K + 1) + F.element_at("codes", m + 1)).cast("int"))
+        for m in range(PQ_M)
+    ]
+    score = F.round(reduce(lambda a, b: a + b, terms), 6)
+    scored = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "adc_score", score
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qv = unit.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
+    nv = unit.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    reranked = (
+        F.broadcast(shortlist)
+        .join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", F.round(_dot("qu", "nu"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

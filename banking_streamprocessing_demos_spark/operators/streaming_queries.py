@@ -435,6 +435,89 @@ def streaming_ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("vec_id") < SENTINEL_ORD)
 
 
+def _streaming_pq_oracle() -> str:
+    from .pq import PQ_ITERS, _pq_prefix_sql
+
+    return (
+        _pq_prefix_sql()
+        + f""",
+    acode AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                       ROUND(list_dot_product(c.c, c.c)
+                             - 2 * list_dot_product(s.sub, c.c), 6), c.k) AS rn
+            FROM subs s JOIN c{PQ_ITERS} c ON s.m = c.m
+        ) WHERE rn = 1
+    )
+    SELECT {INGEST_BASE_MS} + (vec_id // 60) * 60000 AS window_start_ms,
+           CAST(m AS INT) AS subspace, CAST(code AS INT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM acode GROUP BY 1, 2, 3
+    """
+    )
+
+
+@REG.add(
+    "streaming_pq_assign",
+    _streaming_pq_oracle(),
+    doc="INCREMENTAL PQ encoding run FOR REAL: new vectors arrive as a "
+    "stream and are encoded in-row against the FROZEN codebook (a plan "
+    "literal — the quantizer is retrained offline, the production vector-"
+    "ingest shape), then a windowed count over (subspace, code) maintains "
+    "the code-usage histogram — the drift monitor that tells an index "
+    "operator when the codebook needs retraining.  State per window is at "
+    "most PQ_M x PQ_K integer cells NO MATTER how many vectors arrive "
+    "(the sketch-grid bounded-state property); a far-future sentinel "
+    "vector closes every real window.  Codes match the batch encoder "
+    "bit-for-bit (same literal codebook, same rounded-distance argmin), "
+    "so the streaming histogram hash-matches the SQL oracle.",
+)
+def streaming_pq_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pq import PQ_M, _argmin_code, _sub, pq_train
+    from .similarity import DIMS, _dot
+
+    cb = pq_train(spark, sf_dir)
+
+    replay = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sentinel = spark.createDataFrame(
+        [Row(vec_id=SENTINEL_ORD, v=[1.0] * DIMS)], schema="vec_id long, v array<double>"
+    )
+    replay = replay.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("vec_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "spq-vecs-", ["ingest_ts", "vec_id"])
+    nrm = F.sqrt(_dot("v", "v"))
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+        .withColumn("u", F.transform("v", lambda x: x / nrm))
+    )
+    codes = stream.select(
+        "ingest_ts",
+        "vec_id",
+        F.posexplode(
+            F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)])
+        ).alias("subspace", "code"),
+    )
+    agg = codes.groupBy(F.window("ingest_ts", "1 minute"), "subspace", "code").agg(
+        F.count("*").alias("n")
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        "n",
+    )
+    out = _run_available_now(out_stream, "streaming_pq_assign")
+    # the sentinel's own window never closes (watermark semantics), but
+    # pin the bound so a flush-semantics change fails loudly in the gate
+    return out.filter(F.col("window_start_ms") < F.lit(INGEST_BASE_MS + SENTINEL_ORD * 1000))
+
+
 def _streaming_contamination_oracle() -> str:
     from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU, NGRAM_N as _N
 

@@ -121,6 +121,9 @@ HEADLINE_V5 = [
     "dedup_keep_best",
     "pipe_bpe_merges",
     "pipe_bpe_encode",
+    # PQ search times its own codebook training (emb_pq_codebook is its
+    # prefix stage), so one entry covers the whole family
+    "sim_ann_pq",
 ]
 
 

@@ -223,6 +223,10 @@ FAMILIES: dict[str, dict] = {
     # ANN family
     "sim_ann_ivf": {},
     "sim_ann_lsh": {},
+    # round-6: PQ/ADC compressed-code search (times its own codebook
+    # training; the constant-size codebook is the design point — no
+    # corpus-proportional sizing rule exists for this family)
+    "sim_ann_pq": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
     # semantic near-dup clustering (round-4 plan: cosine scored inside
     # the bucket join) — bits sized by the production auto_lsh_bits rule
@@ -316,6 +320,9 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # propagation) joins the curve — three points expose whether
         # propagation rounds x join cost curves up as clusters multiply
         "dedup_keep_best": None,
+        # round-6: PQ/ADC compressed-code search joins the curve (fixed
+        # codebook size; training scans + encode + ADC scan all linear)
+        "sim_ann_pq": None,
         # round-6: inter-doc boilerplate removal — segment df-count +
         # skinny-key join + reassembly, the curation hot path
         "text_boilerplate_strip": None,
