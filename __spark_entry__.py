@@ -132,6 +132,7 @@ _ROUND_OVERFLOW: list[str] = [
     "emb_pq_codebook",
     "sim_ann_pq",
     "streaming_pq_assign",
+    "sim_ann_ivfpq",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -132,11 +132,11 @@ def _argmin_code(s, cb_m: list[list[float]]):
     return F.array_min(F.transform(_cb_struct_lit(cb_m), cand))["k"]
 
 
-def _subs_df(unit: DataFrame) -> DataFrame:
+def _subs_df(unit: DataFrame, col: str = "u") -> DataFrame:
     """Explode to (vec_id, m, sub) — one row per subspace.  Used by the
     TRAINING mean update only; encode/search stay un-exploded."""
     pairs = F.array(
-        *[F.struct(F.lit(m).alias("m"), _sub("u", m).alias("sub")) for m in range(PQ_M)]
+        *[F.struct(F.lit(m).alias("m"), _sub(col, m).alias("sub")) for m in range(PQ_M)]
     )
     ex = unit.select("vec_id", F.explode(pairs).alias("p"))
     return ex.select("vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
@@ -158,21 +158,21 @@ def _mean_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _init_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+def _init_from_subs(subs: DataFrame, offset: int = 0) -> list[list[list[float]]]:
     """Seeded init: centroid k of subspace m = round6 sub-vector of
-    vec_id k.  Rounding happens IN SPARK (engine round semantics);
-    the driver only ferries the bounded PQ_M x PQ_K x PQ_SUBDIM values."""
-    unit = _unit(spark, sf_dir)
+    vec_id offset+k.  Rounding happens IN SPARK (engine round
+    semantics); the driver only ferries the bounded PQ_M x PQ_K x
+    PQ_SUBDIM values.  ``offset`` lets residual training skip the
+    vectors that seed the coarse quantizer (their residuals are ~0)."""
     rows = (
-        unit.filter(F.col("vec_id") < PQ_K)
+        subs.filter((F.col("vec_id") >= offset) & (F.col("vec_id") < offset + PQ_K))
         .select(
-            "vec_id",
-            *[F.transform(_sub("u", m), lambda x: F.round(x, 6)).alias(f"s{m}") for m in range(PQ_M)],
+            "vec_id", "m", F.transform("sub", lambda x: F.round(x, 6)).alias("rsub")
         )
         .collect()
     )
-    by_id = {r["vec_id"]: r for r in rows}
-    return [[list(by_id[k][f"s{m}"]) for k in range(PQ_K)] for m in range(PQ_M)]
+    by_key = {(r["vec_id"], r["m"]): list(r["rsub"]) for r in rows}
+    return [[by_key[(offset + k, m)] for k in range(PQ_K)] for m in range(PQ_M)]
 
 
 def _lloyd_step(subs: DataFrame, cb: list[list[list[float]]]) -> list[list[list[float]]]:
@@ -199,14 +199,20 @@ def _case_over_m(branches):
     return expr
 
 
-def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS) -> list[list[list[float]]]:
-    """Train the full codebook: seeded init + ``iters`` Lloyd steps.
-    Returns cb[m][k] = PQ_SUBDIM rounded doubles."""
-    cb = _init_codebook(spark, sf_dir)
-    subs = _subs_df(_unit(spark, sf_dir)).localCheckpoint(eager=True)
+def _train_on(subs: DataFrame, iters: int, offset: int = 0) -> list[list[list[float]]]:
+    """Seeded init + ``iters`` Lloyd steps over an already-materialized
+    (vec_id, m, sub) table.  Returns cb[m][k] = PQ_SUBDIM rounded
+    doubles."""
+    cb = _init_from_subs(subs, offset)
     for _ in range(iters):
         cb = _lloyd_step(subs, cb)
     return cb
+
+
+def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS) -> list[list[list[float]]]:
+    """Train the full codebook on the raw unit vectors."""
+    subs = _subs_df(_unit(spark, sf_dir)).localCheckpoint(eager=True)
+    return _train_on(subs, iters)
 
 
 # ---------------------------------------------------------------------------
@@ -215,9 +221,9 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS) -> list[li
 # ---------------------------------------------------------------------------
 
 
-def _pq_prefix_sql(iters: int = PQ_ITERS) -> str:
-    parts = [
-        f"""
+def _pq_vector_prelude_sql() -> str:
+    """Unit vectors + (vec_id, m, sub) sub-vector CTEs."""
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
@@ -225,11 +231,20 @@ def _pq_prefix_sql(iters: int = PQ_ITERS) -> str:
     subs AS (
         SELECT vec_id, m, u[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
         FROM n CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
-    ),
+    )"""
+
+
+def _pq_kmeans_sql(iters: int, subs_cte: str = "subs", offset: int = 0) -> str:
+    """The seeded-init + Lloyd-iteration CTE chain (c0 .. c{iters}) over
+    any (vec_id, m, sub) CTE — shared by the raw-vector codebook oracle
+    and the IVF-PQ residual-codebook oracle (which seeds from vec_ids
+    offset..offset+K-1 because the coarse seeds' own residuals are ~0)."""
+    parts = [
+        f""",
     c0 AS (
-        SELECT m, CAST(vec_id AS INT) AS k,
+        SELECT m, CAST(vec_id - {offset} AS INT) AS k,
                list_transform(sub, x -> ROUND(x, 6)) AS c
-        FROM subs WHERE vec_id < {PQ_K}
+        FROM {subs_cte} WHERE vec_id >= {offset} AND vec_id < {offset + PQ_K}
     )"""
     ]
     for i in range(1, iters + 1):
@@ -242,7 +257,7 @@ def _pq_prefix_sql(iters: int = PQ_ITERS) -> str:
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                        ROUND(list_dot_product(c.c, c.c)
                              - 2 * list_dot_product(s.sub, c.c), 6), c.k) AS rn
-            FROM subs s JOIN c{p} c ON s.m = c.m
+            FROM {subs_cte} s JOIN c{p} c ON s.m = c.m
         ) WHERE rn = 1
     ),
     m{i} AS (
@@ -265,6 +280,10 @@ def _pq_prefix_sql(iters: int = PQ_ITERS) -> str:
     c{i} AS (SELECT m, k, list(comp ORDER BY dim) AS c FROM c{i}d GROUP BY m, k)"""
         )
     return "".join(parts)
+
+
+def _pq_prefix_sql(iters: int = PQ_ITERS) -> str:
+    return _pq_vector_prelude_sql() + _pq_kmeans_sql(iters)
 
 
 def _codebook_oracle_sql() -> str:
@@ -433,6 +452,258 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
         "adc_score", score
     )
+    aw = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qv = unit.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
+    nv = unit.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+    reranked = (
+        F.broadcast(shortlist)
+        .join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", F.round(_dot("qu", "nu"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the full production composition — coarse cell pruning + PQ
+# codes on the RESIDUALS + per-query ADC + exact rerank (the FAISS
+# IndexIVFPQ shape).  The coarse quantizer prunes which code partitions
+# a query reads; residual encoding quantizes the (much smaller) vector
+# remainder after subtracting the cell centroid, which is what makes a
+# 32-bit code usable at billion scale.
+# ---------------------------------------------------------------------------
+
+IVFPQ_PROBES = 4  # coarse cells probed per query (of IVF_CELLS)
+
+
+def _cells_data(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Coarse quantizer: cell k = round6 unit vector of vec_id k (the
+    similarity.py seeded-quantizer convention, rounded so the literal
+    matches the oracle's CTE bit-for-bit)."""
+    from .similarity import IVF_CELLS
+
+    rows = (
+        _unit(spark, sf_dir)
+        .filter(F.col("vec_id") < IVF_CELLS)
+        .select("vec_id", F.transform("u", lambda x: F.round(x, 6)).alias("c"))
+        .collect()
+    )
+    by = {r["vec_id"]: list(r["c"]) for r in rows}
+    return [by[k] for k in range(IVF_CELLS)]
+
+
+def _cell_struct_lit(cells: list[list[float]]):
+    return F.array(
+        *[F.struct(_lit_vec(c).alias("c"), F.lit(k).alias("k")) for k, c in enumerate(cells)]
+    )
+
+
+def _dot_lit(u, cl):
+    return F.aggregate(F.zip_with(u, cl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _argmax_cell(u, cells: list[list[float]]):
+    """Nearest coarse cell by round6 cosine (unit vectors), lowest cell
+    on ties — array_max over (score, -cell) structs."""
+
+    def cand(e):
+        return F.struct(F.round(_dot_lit(u, e["c"]), 6).alias("s"), (-e["k"]).alias("nk"))
+
+    return -F.array_max(F.transform(_cell_struct_lit(cells), cand))["nk"]
+
+
+def _ivfpq_oracle_sql() -> str:
+    from .similarity import IVF_CELLS
+
+    terms = " + ".join(f"q.lut[{m * PQ_K} + x.codes[{m + 1}] + 1]" for m in range(PQ_M))
+    return (
+        _pq_vector_prelude_sql()
+        + f""",
+    cells AS (
+        SELECT CAST(vec_id AS INT) AS cell, list_transform(u, x -> ROUND(x, 6)) AS c
+        FROM n WHERE vec_id < {IVF_CELLS}
+    ),
+    cassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.u, c.c), 6) DESC, c.cell) AS rn
+            FROM n CROSS JOIN cells c
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT n.vec_id, a.cell,
+               list_transform(range(1, {DIMS + 1}), i -> n.u[i] - c.c[i]) AS r
+        FROM n JOIN cassign a ON n.vec_id = a.vec_id JOIN cells c ON c.cell = a.cell
+    ),
+    rsubs AS (
+        SELECT vec_id, m, r[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
+        FROM resid CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
+    )"""
+        + _pq_kmeans_sql(PQ_ITERS, "rsubs", IVF_CELLS)
+        + f""",
+    acode AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                       ROUND(list_dot_product(c.c, c.c)
+                             - 2 * list_dot_product(s.sub, c.c), 6), c.k) AS rn
+            FROM rsubs s JOIN c{PQ_ITERS} c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    ncodes AS (
+        SELECT a.vec_id AS neighbor_id, ca.cell, list(a.code ORDER BY a.m) AS codes
+        FROM acode a JOIN cassign ca ON ca.vec_id = a.vec_id
+        GROUP BY a.vec_id, ca.cell
+    ),
+    qprobes AS (
+        SELECT query_id, cell FROM (
+            SELECT n.vec_id AS query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.u, c.c), 6) DESC, c.cell) AS rnk
+            FROM n CROSS JOIN cells c WHERE n.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {IVFPQ_PROBES}
+    ),
+    qlut AS (
+        SELECT s.vec_id AS query_id, s.m, c.k,
+               list_dot_product(s.sub, c.c) AS contrib
+        FROM subs s JOIN c{PQ_ITERS} c ON s.m = c.m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    lut AS (
+        SELECT query_id, list(contrib ORDER BY m, k) AS lut
+        FROM qlut GROUP BY query_id
+    ),
+    qcell AS (
+        SELECT n.vec_id AS query_id, c.cell, list_dot_product(n.u, c.c) AS cs
+        FROM n CROSS JOIN cells c WHERE n.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT p.query_id, x.neighbor_id,
+               ROUND(qc.cs + {terms}, 6) AS adc_score
+        FROM ncodes x
+        JOIN qprobes p ON x.cell = p.cell
+        JOIN lut q ON q.query_id = p.query_id
+        JOIN qcell qc ON qc.query_id = p.query_id AND qc.cell = x.cell
+        WHERE x.neighbor_id <> p.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_score DESC, neighbor_id) AS arank
+            FROM scored
+        ) WHERE arank <= {PQ_RERANK}
+    ),
+    reranked AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_dot_product(qn.u, nn.u), 6) AS cosine
+        FROM shortlist s
+        JOIN n qn ON qn.vec_id = s.query_id
+        JOIN n nn ON nn.vec_id = s.neighbor_id
+    ),
+    final AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM reranked
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM final WHERE rank <= {TOPK}
+    """
+    )
+
+
+@REG.add(
+    "sim_ann_ivfpq",
+    _ivfpq_oracle_sql(),
+    doc=f"IVF-PQ: the full production ANN composition (the FAISS IndexIVFPQ "
+    f"shape) — seeded coarse quantizer prunes the scan to the query's top-"
+    f"{IVFPQ_PROBES} of {16} cells, PQ codes quantize the RESIDUAL after "
+    "subtracting the cell centroid (what keeps a 32-bit code accurate at "
+    "scale), scoring is dot(q, cell) + the residual LUT lookups in fixed "
+    f"left-associative order, and the ADC top-{PQ_RERANK} shortlist is "
+    "rescored exactly.  At cluster scale the codes live partitioned BY "
+    "CELL, so probing = partition pruning (the sim_ann_ivf layout) over "
+    "64x-compressed data.  Residual k-means seeds from vectors "
+    "16..31 (the cell seeds' own residuals are ~0); the oracle replays "
+    "coarse assignment, residual training, encode, probe, and rerank in "
+    "one generated CTE chain.",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import IVF_CELLS
+
+    cells = _cells_data(spark, sf_dir)
+    cells_arr = F.array(*[_lit_vec(c) for c in cells])
+    unit = _unit(spark, sf_dir)
+    # MATERIALIZE (vec_id, cell, r): Catalyst's projection collapse
+    # would otherwise inline the residual construction — including the
+    # 16-cell argmax inside it — into EVERY downstream reference (each
+    # of the 8 sub-slices x 16 candidate folds of the encode), a ~100x
+    # per-row blowup.  Same family as the explode-of-projected-array
+    # trap (SCALE.md round-5 find); found here by the scale protocol
+    # when the x10 point hung.
+    resid = (
+        unit.withColumn("cell", _argmax_cell(F.col("u"), cells))
+        .withColumn(
+            "r", F.zip_with("u", F.element_at(cells_arr, F.col("cell") + 1), lambda x, y: x - y)
+        )
+        .localCheckpoint(eager=True)
+    )
+    rsubs = _subs_df(resid, col="r")
+    cbr = _train_on(rsubs, PQ_ITERS, offset=IVF_CELLS)
+
+    corpus = resid.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.array(*[_argmin_code(_sub("r", m), cbr[m]) for m in range(PQ_M)]).alias("codes"),
+    )
+
+    def lut_for(m: int):
+        sub_m = _sub("u", m)
+        return F.transform(
+            F.array(*[_lit_vec(c) for c in cbr[m]]),
+            lambda c: F.aggregate(
+                F.zip_with(sub_m, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            ),
+        )
+
+    probe_structs = F.array_sort(
+        F.transform(
+            _cell_struct_lit(cells),
+            lambda e: F.struct(
+                (-F.round(_dot_lit(F.col("u"), e["c"]), 6)).alias("ns"), e["k"].alias("k")
+            ),
+        )
+    )
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.slice(probe_structs, 1, IVFPQ_PROBES), lambda e: e["k"]).alias("probes"),
+        F.transform(_cell_struct_lit(cells), lambda e: _dot_lit(F.col("u"), e["c"])).alias(
+            "cellscores"
+        ),
+        F.flatten(F.array(*[lut_for(m) for m in range(PQ_M)])).alias("lut"),
+    )
+
+    terms = [
+        F.element_at("lut", (F.lit(m * PQ_K + 1) + F.element_at("codes", m + 1)).cast("int"))
+        for m in range(PQ_M)
+    ]
+    cs = F.element_at("cellscores", (F.col("cell") + 1).cast("int"))
+    score = F.round(reduce(lambda a, b: a + b, terms, cs), 6)
+    scored = corpus.join(
+        F.broadcast(q),
+        F.array_contains(F.col("probes"), F.col("cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("adc_score", score)
+
     aw = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("neighbor_id"))
     shortlist = (
         scored.withColumn("arank", F.row_number().over(aw))

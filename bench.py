@@ -124,6 +124,8 @@ HEADLINE_V5 = [
     # PQ search times its own codebook training (emb_pq_codebook is its
     # prefix stage), so one entry covers the whole family
     "sim_ann_pq",
+    # the composed residual IVF-PQ index (coarse probe + residual codes)
+    "sim_ann_ivfpq",
 ]
 
 

@@ -144,3 +144,73 @@ def test_pq_codebook_plan_shape(spark):
     plan = formatted_plan(df)
     assert "HashAggregate" in plan, plan[:2000]
     assert count_shuffles(df) <= 3, plan[:2000]
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """Residual IVF-PQ must BEAT flat PQ's recall (residuals are small,
+    so the same 32-bit budget quantizes them far more finely): measured
+    0.92 at authoring time vs flat PQ's 0.84; floor leaves regeneration
+    margin."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivfpq
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in sim_ann_ivfpq(spark, SF_SMALL).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f}"
+
+
+def test_ivfpq_neighbors_come_from_probed_cells(spark):
+    """Pruning contract: every returned neighbor's coarse cell must be
+    one of the query's IVFPQ_PROBES probed cells — the property that
+    makes probing = partition pruning at cluster scale."""
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        IVFPQ_PROBES,
+        _argmax_cell,
+        _cells_data,
+        sim_ann_ivfpq,
+    )
+
+    cells = _cells_data(spark, SF_SMALL)
+    unit = _unit(spark, SF_SMALL)
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in unit.select("vec_id", _argmax_cell(F.col("u"), cells).alias("cell")).collect()
+    }
+    # probed cells per query = top-IVFPQ_PROBES by rounded cosine
+    qs = unit.filter(F.col("vec_id") < 5).select("vec_id", "u").collect()
+    cb = np.array(cells)
+    for r in sim_ann_ivfpq(spark, SF_SMALL).collect():
+        qu = np.array([q["u"] for q in qs if q["vec_id"] == r["query_id"]][0])
+        scores = np.round(cb @ qu, 6)
+        order = sorted(range(len(cells)), key=lambda k: (-scores[k], k))
+        probed = set(order[:IVFPQ_PROBES])
+        assert assign[r["neighbor_id"]] in probed, (r, probed)
+
+
+def test_ivfpq_rerank_scores_are_exact_cosines(spark):
+    """Same rerank-identity contract as flat PQ: reported cosines are
+    exact for any pair the exact top-5 also contains."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivfpq
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    for r in sim_ann_ivfpq(spark, SF_SMALL).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-9, (key, r["cosine"], exact[key])
+
+
+def test_ivfpq_plan_shape(spark):
+    """No cartesian product (query side with probes/LUTs broadcast);
+    bounded shuffle budget."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivfpq
+
+    df = sim_ann_ivfpq(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffles(df) <= 6, plan[:2000]

@@ -227,6 +227,7 @@ FAMILIES: dict[str, dict] = {
     # training; the constant-size codebook is the design point — no
     # corpus-proportional sizing rule exists for this family)
     "sim_ann_pq": {},
+    "sim_ann_ivfpq": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
     # semantic near-dup clustering (round-4 plan: cosine scored inside
     # the bucket join) — bits sized by the production auto_lsh_bits rule
@@ -323,6 +324,7 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # round-6: PQ/ADC compressed-code search joins the curve (fixed
         # codebook size; training scans + encode + ADC scan all linear)
         "sim_ann_pq": None,
+        "sim_ann_ivfpq": None,
         # round-6: inter-doc boilerplate removal — segment df-count +
         # skinny-key join + reassembly, the curation hot path
         "text_boilerplate_strip": None,
