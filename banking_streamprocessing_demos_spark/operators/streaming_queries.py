@@ -436,20 +436,12 @@ def streaming_ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_pq_oracle() -> str:
-    from .pq import PQ_ITERS, _pq_prefix_sql
+    from .pq import PQ_ITERS, _assign_sql, _pq_prefix_sql
 
     return (
         _pq_prefix_sql()
         + f""",
-    acode AS (
-        SELECT vec_id, m, k AS code FROM (
-            SELECT s.vec_id, s.m, c.k,
-                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                       ROUND(list_dot_product(c.c, c.c)
-                             - 2 * list_dot_product(s.sub, c.c), 6), c.k) AS rn
-            FROM subs s JOIN c{PQ_ITERS} c ON s.m = c.m
-        ) WHERE rn = 1
-    )
+    acode AS {_assign_sql("subs", f"c{PQ_ITERS}")}
     SELECT {INGEST_BASE_MS} + (vec_id // 60) * 60000 AS window_start_ms,
            CAST(m AS INT) AS subspace, CAST(code AS INT) AS code,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -1554,20 +1546,18 @@ def streaming_boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _streaming_bpe_oracle() -> str:
-    from .text import _bpe_encode_oracle
+    from .text import _bpe_cte_chain
 
-    enc = _bpe_encode_oracle()
-    # reuse the encode oracle's generated CTE chain; regroup with the
-    # closed-form ingest window
-    ctes = enc[: enc.index("SELECT d.doc_id")]
-    k_join = enc[enc.index("JOIN t") :].split()[1]  # e.g. "t9"
+    # reuse the fit's generated CTE chain (shared helper — no SQL-text
+    # parsing); regroup with the closed-form ingest window
+    ctes, fitted = _bpe_cte_chain()
     return f"""{ctes}
     SELECT {INGEST_BASE_MS} + (d.doc_id // 60) * 60000 AS window_start_ms,
            d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(string_split(t.toks, ' '))) AS BIGINT) AS n_tokens_bpe_fit
     FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) d
-    JOIN {k_join} t USING (word)
+    JOIN {fitted} t USING (word)
     WHERE length(d.word) > 0
     GROUP BY 1, 2
     """

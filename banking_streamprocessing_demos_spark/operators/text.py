@@ -698,18 +698,21 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_oracle(k: int = BPE_MERGES) -> str:
-    """K fixed merge stages as a generated CTE chain; each stage counts
-    weighted adjacent token pairs, picks the (count desc, pair asc)
-    argmax, and re-tokenizes the vocab with DuckDB's list_reduce — the
-    same greedy left-to-right fold the Spark side runs."""
+def _bpe_cte_chain(k: int = BPE_MERGES) -> tuple[str, str]:
+    """The generated fit CTE chain shared by ALL BPE oracles (fit, batch
+    encode, streaming encode) — returns the WITH clause and the name of
+    the fitted-vocab table (t{k+1}), so no caller has to slice or parse
+    a sibling's SQL text.  Each stage counts weighted adjacent token
+    pairs, picks the (count desc, pair asc) argmax, and re-tokenizes the
+    vocab with DuckDB's list_reduce — the same greedy left-to-right fold
+    the Spark side runs."""
     stages = [
         """
     v AS (SELECT word, COUNT(*) AS freq
           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
           WHERE length(word) > 0 GROUP BY word),
     t1 AS (SELECT word, freq,
-                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS toks
+                  trim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS toks
            FROM v)"""
     ]
     for i in range(1, k + 1):
@@ -725,36 +728,45 @@ def _bpe_oracle(k: int = BPE_MERGES) -> str:
     ),
     b{i} AS (SELECT a, b, a || b AS m, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
     t{i + 1} AS (
+        -- LEFT JOIN ON TRUE + CASE: when no pair remains (b{i} empty), keep
+        -- the previous stage's vocab unchanged — mirrors the Spark fit's
+        -- break-and-keep-vocab semantics (a CROSS JOIN would empty every
+        -- later stage and zero out the encode oracle)
         SELECT word, freq,
+               CASE WHEN b{i}.m IS NULL THEN toks ELSE
                list_reduce(string_split(toks, ' '),
                  (acc, x) -> CASE WHEN (acc = b{i}.a OR ends_with(acc, ' ' || b{i}.a))
                                        AND x = b{i}.b
                                   THEN substr(acc, 1, length(acc) - length(b{i}.a)) || b{i}.m
-                                  ELSE acc || ' ' || x END) AS toks
-        FROM t{i} CROSS JOIN b{i}
+                                  ELSE acc || ' ' || x END) END AS toks
+        FROM t{i} LEFT JOIN b{i} ON TRUE
     )""")
+    return "WITH " + ",".join(stages), f"t{k + 1}"
+
+
+def _bpe_oracle(k: int = BPE_MERGES) -> str:
+    """Fit oracle: the shared chain finished by unioning the K learned
+    merge rules."""
+    ctes, _fitted = _bpe_cte_chain(k)
     unions = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS token_a, b AS token_b, m AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",".join(stages) + " " + unions
+    return ctes + " " + unions
 
 
 def _bpe_encode_oracle(k: int = BPE_MERGES) -> str:
-    """Encode oracle = the SAME generated fit chain (its stage list is
-    sliced out of _bpe_oracle so the two cannot drift), finished by
-    joining the fitted vocab mapping t{k+1} back onto the corpus."""
-    fit = _bpe_oracle(k)
-    # slice the CTE chain off the fit oracle: the fit's final select list
-    # starts with its rank-1 union arm
-    ctes = fit[: fit.index("SELECT 1 AS merge_rank")].rstrip()
+    """Encode oracle = the SAME generated fit chain (shared via
+    _bpe_cte_chain so the two cannot drift), finished by joining the
+    fitted vocab mapping back onto the corpus."""
+    ctes, fitted = _bpe_cte_chain(k)
     return f"""{ctes}
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(string_split(t.toks, ' '))) AS BIGINT) AS n_tokens_bpe_fit
     FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) d
-    JOIN t{k + 1} t USING (word)
+    JOIN {fitted} t USING (word)
     WHERE length(d.word) > 0
     GROUP BY d.doc_id
     """
@@ -796,8 +808,11 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    # (?s) in BOTH engines: Java '.' excludes \r and U+0085/U+2028/U+2029 while
+    # RE2 excludes only \n — dotall makes the char split byte-identical to
+    # Python's list(w) regardless of which terminators appear in a word
     vocab = words.withColumn(
-        "toks", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+        "toks", F.trim(F.regexp_replace("word", "(?s)(.)", "$1 "))
     ).localCheckpoint(eager=True)  # corpus-scale count runs exactly once
     merges: list[tuple] = []
     for rank in range(1, BPE_MERGES + 1):

@@ -1019,3 +1019,45 @@ def test_bpe_fit_matches_textbook_reference(spark):
         for r in pipe_bpe_merges(spark, SF_SMALL).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_oracle_parity_when_merges_exhaust(spark, tmp_path):
+    """Cross-engine parity on the DEGENERATE corpus where the fit stops
+    after 3 merges (< BPE_MERGES): the oracle's later stages must carry
+    the fitted vocab forward unchanged (LEFT JOIN ON TRUE + CASE), not
+    empty out — a CROSS JOIN against an empty b{i} once zeroed the
+    encode oracle while the Spark side kept its break-and-keep vocab."""
+    import duckdb
+
+    from banking_streamprocessing_demos_spark.operators.text import (
+        _bpe_encode_oracle,
+        _bpe_oracle,
+        pipe_bpe_encode,
+        pipe_bpe_merges,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes the table as a parquet DIRECTORY; glob its part files
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle_merges = con.execute(
+        f"SELECT * FROM ({_bpe_oracle()}) ORDER BY merge_rank"
+    ).fetchall()
+    spark_merges = [
+        tuple(r)
+        for r in pipe_bpe_merges(spark, sf).orderBy("merge_rank").collect()
+    ]
+    assert [tuple(r) for r in oracle_merges] == spark_merges
+    assert len(spark_merges) == 3  # genuinely exhausted early
+
+    oracle_enc = con.execute(_bpe_encode_oracle()).fetchall()
+    spark_enc = [tuple(r) for r in pipe_bpe_encode(spark, sf).collect()]
+    assert [tuple(r) for r in oracle_enc] == spark_enc == [(0, 5, 5)]
