@@ -133,6 +133,9 @@ _ROUND_OVERFLOW: list[str] = [
     "sim_ann_pq",
     "streaming_pq_assign",
     "sim_ann_ivfpq",
+    # round-6: the third compression axis (dimension truncation) —
+    # Matryoshka prefix prescreen + exact rerank
+    "sim_ann_matryoshka",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

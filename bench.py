@@ -126,6 +126,8 @@ HEADLINE_V5 = [
     "sim_ann_pq",
     # the composed residual IVF-PQ index (coarse probe + residual codes)
     "sim_ann_ivfpq",
+    # the third compression axis: Matryoshka prefix prescreen + rerank
+    "sim_ann_matryoshka",
 ]
 
 

@@ -214,3 +214,55 @@ def test_ivfpq_plan_shape(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     assert count_shuffles(df) <= 6, plan[:2000]
+
+
+def test_mrl_recall_vs_bruteforce(spark):
+    """Matryoshka prefix-32 prescreen + exact rerank: measured 0.96 at
+    sf0.01 / 0.76 at sf0.1 at authoring time — this corpus's isotropic
+    embeddings are MRL's worst case (no trained nesting), which the
+    module comment documents; floor leaves regeneration margin."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_matryoshka
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_matryoshka(spark, SF_SMALL).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f}"
+
+
+def test_mrl_widened_funnel_improves_recall(spark):
+    """The dims/shortlist kwargs are the scale-tuning surface: widening
+    either can only add candidates under the same ranking, so recall is
+    monotone — full-dims prefix with a corpus-sized shortlist must
+    recover the exact top-5 outright (the funnel degenerates to
+    brute force)."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_matryoshka
+    from banking_streamprocessing_demos_spark.operators.similarity import DIMS
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_matryoshka(
+            spark, SF_SMALL, dims=DIMS, shortlist=10**6
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_mrl_plan_shape(spark):
+    """Same scale contract as flat PQ: broadcast query side (no
+    cartesian), bounded shuffle budget — the coarse pass is one corpus
+    scan of the prefix slice."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_matryoshka
+
+    df = sim_ann_matryoshka(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffles(df) <= 6, plan[:2000]

@@ -396,6 +396,11 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
         "dedup_keep_best": None,
         "pipe_bpe_merges": None,
         "pipe_bpe_encode": None,
+        # round-6 PQ family: fixed codebook, so train/encode/ADC are all
+        # linear scans — the x100 point checks the flat x1..x30 curve
+        # (BENCH_scale3) holds for a second decade
+        "sim_ann_pq": None,
+        "sim_ann_ivfpq": None,
     }
     points = [
         ("x1", "/root/testdata/sf0.1", 1),
