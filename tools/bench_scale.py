@@ -325,6 +325,9 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # codebook size; training scans + encode + ADC scan all linear)
         "sim_ann_pq": None,
         "sim_ann_ivfpq": None,
+        # round-6: Matryoshka prefix search — zero build cost, so the
+        # curve is the prefix scan + fixed rerank
+        "sim_ann_matryoshka": None,
         # round-6: inter-doc boilerplate removal — segment df-count +
         # skinny-key join + reassembly, the curation hot path
         "text_boilerplate_strip": None,
@@ -401,6 +404,9 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
         # (BENCH_scale3) holds for a second decade
         "sim_ann_pq": None,
         "sim_ann_ivfpq": None,
+        # round-6: the truncation axis — one prefix-width corpus scan per
+        # query batch + the fixed-width rerank, should track PQ's slope
+        "sim_ann_matryoshka": None,
     }
     points = [
         ("x1", "/root/testdata/sf0.1", 1),
