@@ -715,13 +715,19 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MRL-trained embeddings the same plan gets the advertised 4x+.
 # ---------------------------------------------------------------------------
 
-MRL_DIMS = 32  # coarse-pass prefix (DIMS // 2 — see isotropy caveat above)
+MRL_DIMS = DIMS // 2  # coarse-pass prefix (see isotropy caveat above)
 MRL_SHORTLIST = 128  # funnel width (2x the PQ family's, same reason)
 
 
 def _mrl_oracle_sql() -> str:
+    # lean prelude (unit vectors only — no PQ sub-vector CTE): the MRL
+    # oracle has no reason to be textually coupled to PQ_M/PQ_SUBDIM
     return (
-        _pq_vector_prelude_sql()
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM e)"""
         + f""",
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -808,9 +808,10 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    # (?s) in BOTH engines: Java '.' excludes \r and U+0085/U+2028/U+2029 while
-    # RE2 excludes only \n — dotall makes the char split byte-identical to
-    # Python's list(w) regardless of which terminators appear in a word
+    # (?s) in BOTH engines: without it their '.' exclusion sets differ
+    # (Java: \n \r U+0085 U+2028 U+2029; RE2: \n only), so a word holding
+    # \r split differently per engine — dotall makes the char split
+    # byte-identical to Python's list(w) for every terminator
     vocab = words.withColumn(
         "toks", F.trim(F.regexp_replace("word", "(?s)(.)", "$1 "))
     ).localCheckpoint(eager=True)  # corpus-scale count runs exactly once
