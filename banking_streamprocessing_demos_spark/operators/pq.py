@@ -640,7 +640,16 @@ def _ivfpq_oracle_sql() -> str:
     "coarse assignment, residual training, encode, probe, and rerank in "
     "one generated CTE chain.",
 )
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: int = IVFPQ_PROBES,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """``probes``/``rerank`` widen the coarse probe / ADC shortlist for
+    scale and sensitivity runs (the matryoshka-kwargs pattern); the
+    registered driver query uses the module defaults, which the oracle
+    mirrors as literals."""
     from .similarity import IVF_CELLS
 
     cells = _cells_data(spark, sf_dir)
@@ -679,7 +688,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.transform(F.slice(probe_structs, 1, IVFPQ_PROBES), lambda e: e["k"]).alias("probes"),
+        F.transform(F.slice(probe_structs, 1, probes), lambda e: e["k"]).alias("probes"),
         F.transform(_cell_struct_lit(cells), lambda e: _dot_lit(F.col("u"), e["c"])).alias(
             "cellscores"
         ),
@@ -694,7 +703,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("neighbor_id") != F.col("query_id")),
     ).withColumn("adc_score", score)
 
-    return _shortlist_rerank(scored, unit)
+    return _shortlist_rerank(scored, unit, shortlist_depth=rerank)
 
 
 # ---------------------------------------------------------------------------

@@ -266,3 +266,26 @@ def test_mrl_plan_shape(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     assert count_shuffles(df) <= 6, plan[:2000]
+
+
+def test_ivfpq_widened_funnel_degenerates_to_bruteforce(spark):
+    """probes/rerank are the scale-tuning surface: probing EVERY coarse
+    cell with an unbounded rerank makes the shortlist the whole corpus
+    and the exact rerank decides everything — must equal brute force.
+    (BENCH_ivfpq_probes.json records the practical knee: probes 2->8 is
+    recall-flat, rerank 64->128 closes the gap — residual-quantization
+    error at the shortlist boundary, not coarse pruning, owns the
+    missing recall.)"""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivfpq
+    from banking_streamprocessing_demos_spark.operators.similarity import IVF_CELLS
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivfpq(
+            spark, SF_SMALL, probes=IVF_CELLS, rerank=10**6
+        ).collect()
+    }
+    assert got == exact

@@ -534,8 +534,80 @@ def ivf_probe_sensitivity(
     print(f"wrote {out}")
 
 
+def ivfpq_probe_sensitivity(
+    sf_dir: str = "scale_corpus/x30", out: str = "BENCH_ivfpq_probes.json"
+) -> None:
+    """Probe-count sensitivity for the IVF-PQ search path: with the
+    16-cell coarse quantizer fixed, probes = 2/4/8 scan 12.5%/25%/50%
+    of the code partitions — measure what each doubling buys in
+    recall@5 against the exact brute-force baseline computed once on
+    the same corpus.  IVFPQ_PROBES is a constant 4 (the driver-checked
+    config); this records where it sits on the knee, the same evidence
+    shape as BENCH_ivf_probes.json for the dedup path.
+    Run: python tools/bench_scale.py --ivfpq-probes [sf_dir]"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    fn = merged["sim_ann_ivfpq"].fn
+    exact_fn = merged["sim_topk_bruteforce"].fn
+    spark = get_spark("bench-ivfpq-probes")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    t0 = time.time()
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in exact_fn(spark, sf_dir).collect()
+    }
+    exact_sec = round(time.time() - t0, 3)
+    print(f"# exact baseline: {exact_sec}s ({len(exact)} pairs)", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for probes in (2, 4, 8):
+        t0 = time.time()
+        rows = fn(spark, sf_dir, probes=probes).collect()
+        sec = round(time.time() - t0, 3)
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = round(len(exact & got) / len(exact), 4) if exact else None
+        results[f"probes_{probes}"] = {
+            "sec": sec,
+            "scan_fraction": round(probes / 16, 4),
+            "recall_at_5": recall,
+        }
+        print(f"# probes={probes}: {sec}s recall@5={recall}", file=sys.stderr)
+    # second knob at fixed probes=4: the ADC shortlist depth — when the
+    # probes sweep is flat, THIS is where the missing recall lives
+    # (residual-quantization error reorders the shortlist boundary)
+    for rerank in (64, 128, 256):
+        t0 = time.time()
+        rows = fn(spark, sf_dir, rerank=rerank).collect()
+        sec = round(time.time() - t0, 3)
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = round(len(exact & got) / len(exact), 4) if exact else None
+        results[f"rerank_{rerank}"] = {"sec": sec, "recall_at_5": recall}
+        print(f"# rerank={rerank}: {sec}s recall@5={recall}", file=sys.stderr)
+    payload = {
+        "metric": "ivfpq_probe_sensitivity",
+        "sf_dir": sf_dir,
+        "exact_baseline_sec": exact_sec,
+        "results": results,
+        "note": "recall@5 vs the exact brute-force top-5 on the same corpus; "
+        "scan_fraction = probes/IVF_CELLS, the share of code partitions a "
+        "query reads at cluster scale (probe = partition pruning); the "
+        "rerank_* rows vary the ADC shortlist depth at probes=4",
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: (v["sec"], v["recall_at_5"]) for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    if "--ivf-probes" in sys.argv:
+    if "--ivfpq-probes" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        ivfpq_probe_sensitivity(*args)
+    elif "--ivf-probes" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         ivf_probe_sensitivity(*args)
     elif "--four-point" in sys.argv:
