@@ -524,6 +524,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 IVFPQ_PROBES = 4  # coarse cells probed per query (of IVF_CELLS)
+# ADC shortlist depth: 2x the flat-PQ funnel — the measured knee
+# (BENCH_ivfpq_probes.json: probes 2->8 is recall-flat at 0.80 while
+# rerank 64->128 closes recall to 1.00 at ~4% wall; true neighbors sat
+# just below the 64 boundary in residual-ADC order)
+IVFPQ_RERANK = 128
 
 
 def _cells_data(spark: SparkSession, sf_dir: str) -> list[list[float]]:
@@ -620,7 +625,7 @@ def _ivfpq_oracle_sql() -> str:
         JOIN qcell qc ON qc.query_id = p.query_id AND qc.cell = x.cell
         WHERE x.neighbor_id <> p.query_id
     )"""
-        + _rerank_tail_sql()
+        + _rerank_tail_sql(IVFPQ_RERANK)
     )
 
 
@@ -632,7 +637,7 @@ def _ivfpq_oracle_sql() -> str:
     f"{IVFPQ_PROBES} of {16} cells, PQ codes quantize the RESIDUAL after "
     "subtracting the cell centroid (what keeps a 32-bit code accurate at "
     "scale), scoring is dot(q, cell) + the residual LUT lookups in fixed "
-    f"left-associative order, and the ADC top-{PQ_RERANK} shortlist is "
+    f"left-associative order, and the ADC top-{IVFPQ_RERANK} shortlist is "
     "rescored exactly.  At cluster scale the codes live partitioned BY "
     "CELL, so probing = partition pruning (the sim_ann_ivf layout) over "
     "64x-compressed data.  Residual k-means seeds from vectors "
@@ -644,7 +649,7 @@ def sim_ann_ivfpq(
     spark: SparkSession,
     sf_dir: str,
     probes: int = IVFPQ_PROBES,
-    rerank: int = PQ_RERANK,
+    rerank: int = IVFPQ_RERANK,
 ) -> DataFrame:
     """``probes``/``rerank`` widen the coarse probe / ADC shortlist for
     scale and sensitivity runs (the matryoshka-kwargs pattern); the
