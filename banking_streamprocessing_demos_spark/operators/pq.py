@@ -497,8 +497,16 @@ def _shortlist_rerank(
     "the exact brute-force baseline is pinned in tests/test_pq.py.",
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cb = pq_train(spark, sf_dir)
     unit = _unit(spark, sf_dir)
+    return _shortlist_rerank(_adc_pq_scored(spark, sf_dir, unit), unit)
+
+
+def _adc_pq_scored(spark: SparkSession, sf_dir: str, unit: DataFrame) -> DataFrame:
+    """Train + encode + ADC-score the flat-PQ candidates: returns the
+    (query_id, neighbor_id, adc_score) frame ahead of the funnel —
+    split out so the sensitivity harness can sweep shortlist depth
+    without retraining per setting."""
+    cb = pq_train(spark, sf_dir)
     corpus = unit.select(
         F.col("vec_id").alias("neighbor_id"),
         F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)]).alias("codes"),
@@ -508,10 +516,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lut_expr(cb).alias("lut"),
     )
     score = F.round(reduce(lambda a, b: a + b, _adc_terms()), 6)
-    scored = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+    return corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
         "adc_score", score
     )
-    return _shortlist_rerank(scored, unit)
 
 
 # ---------------------------------------------------------------------------

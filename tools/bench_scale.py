@@ -587,6 +587,25 @@ def ivfpq_probe_sensitivity(
         recall = round(len(exact & got) / len(exact), 4) if exact else None
         results[f"rerank_{rerank}"] = {"sec": sec, "recall_at_5": recall}
         print(f"# rerank={rerank}: {sec}s recall@5={recall}", file=sys.stderr)
+    # the same depth sweep on FLAT PQ for contrast: raw-vector
+    # quantization noise saturates it low — the quantitative case for
+    # residual encoding
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        _adc_pq_scored,
+        _shortlist_rerank,
+        _unit,
+    )
+
+    unit = _unit(spark, sf_dir)
+    scored = _adc_pq_scored(spark, sf_dir, unit)
+    for rerank in (64, 128, 256):
+        t0 = time.time()
+        rows = _shortlist_rerank(scored, unit, shortlist_depth=rerank).collect()
+        sec = round(time.time() - t0, 3)
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = round(len(exact & got) / len(exact), 4) if exact else None
+        results[f"flatpq_rerank_{rerank}"] = {"sec": sec, "recall_at_5": recall}
+        print(f"# flatpq rerank={rerank}: {sec}s recall@5={recall}", file=sys.stderr)
     payload = {
         "metric": "ivfpq_probe_sensitivity",
         "sf_dir": sf_dir,
@@ -594,8 +613,11 @@ def ivfpq_probe_sensitivity(
         "results": results,
         "note": "recall@5 vs the exact brute-force top-5 on the same corpus; "
         "scan_fraction = probes/IVF_CELLS, the share of code partitions a "
-        "query reads at cluster scale (probe = partition pruning); the "
-        "rerank_* rows vary the ADC shortlist depth at probes=4",
+        "query reads at cluster scale (probe = partition pruning); probes_* "
+        "rows run at the shipped rerank default, rerank_* rows vary the ADC "
+        "shortlist depth at probes=4, flatpq_rerank_* rows sweep the same "
+        "depths on flat PQ (saturates low: the case for residual encoding); "
+        "wall times are training-dominated — read the recall column",
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
