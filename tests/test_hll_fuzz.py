@@ -1,0 +1,87 @@
+"""Property-based test: the HyperLogLog oracle (md5 hex decode ->
+bucket/remainder split -> integer-CASE rank -> register max ->
+exact power-of-two harmonic sum -> bias-corrected / linear-counting
+estimate) must agree with an independent plain-Python implementation.
+
+Small random corpora always land in the linear-counting branch
+(n_filled << m); a deterministic 5000-key case pins the raw
+bias-corrected branch.  The reference derives rank from bit_length
+rather than the oracle's CASE ladder — independent arithmetic for
+the same published definition."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from banking_streamprocessing_demos_spark.operators.sketches import (
+    HLL_ALPHA_M2,
+    HLL_LINEAR_THRESHOLD,
+    HLL_M,
+    HLL_REM_BITS,
+    HLL_REM_MOD,
+    REG,
+)
+
+rows = st.lists(
+    st.tuples(st.sampled_from(["1-URGENT", "2-HIGH"]), st.integers(0, 50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def _reference(pairs: list[tuple[str, int]]) -> dict[str, tuple[int, float]]:
+    regs: dict[tuple[str, int], int] = {}
+    for grp, key in pairs:
+        h = int(hashlib.md5(f"hll-{key}".encode()).hexdigest()[:8], 16)
+        bucket, w = h // HLL_REM_MOD, h % HLL_REM_MOD
+        rank = (HLL_REM_BITS + 1 - w.bit_length()) if w > 0 else HLL_REM_BITS + 1
+        k = (grp, bucket)
+        regs[k] = max(regs.get(k, 0), rank)
+    out: dict[str, tuple[int, float]] = {}
+    for grp in {g for g, _ in pairs}:
+        mrs = [mr for (g, _), mr in regs.items() if g == grp]
+        n_filled = len(mrs)
+        sum_inv = sum(2.0 ** -mr for mr in mrs)
+        raw = HLL_ALPHA_M2 / (sum_inv + (HLL_M - n_filled))
+        if raw <= HLL_LINEAR_THRESHOLD and n_filled < HLL_M:
+            est = HLL_M * math.log(HLL_M / (HLL_M - n_filled))
+        else:
+            est = raw
+        out[grp] = (n_filled, _round6(est))
+    return out
+
+
+def _run_oracle(pairs: list[tuple[str, int]]) -> dict[str, tuple[int, float]]:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_orderpriority VARCHAR, o_custkey BIGINT)")
+    con.executemany("INSERT INTO orders VALUES (?, ?)", pairs)
+    sql = REG.queries["sketch_hll_distinct"].oracle
+    return {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows)
+def test_hll_oracle_matches_reference(pairs: list[tuple[str, int]]) -> None:
+    assert _run_oracle(pairs) == _reference(pairs)
+
+
+def test_hll_raw_branch_matches_reference() -> None:
+    """5000 distinct keys fill enough registers to leave linear
+    counting — pins the bias-corrected raw estimate path."""
+    pairs = [("1-URGENT", k) for k in range(5000)]
+    got = _run_oracle(pairs)
+    expected = _reference(pairs)
+    assert got == expected
+    # sanity: this really is the raw branch and a sane estimate
+    n_filled, est = got["1-URGENT"]
+    assert n_filled > 490 and 4000 < est < 6500
