@@ -30,6 +30,10 @@ from banking_streamprocessing_demos_spark.operators.text import (
     pipe_bpe_encode,
     pipe_bpe_merges,
     text_boilerplate_strip,
+    text_fingerprint,
+    text_langid,
+    text_stats,
+    text_tokens,
 )
 
 # tokens an ingest pipeline actually sees: case variance, digits,
@@ -47,6 +51,12 @@ _OPS = [
     (pipe_bpe_encode, TEXT_REG, "pipe_bpe_encode"),
     (text_boilerplate_strip, TEXT_REG, "text_boilerplate_strip"),
     (dedup_exact_normalized, DEDUP_REG, "dedup_exact_normalized"),
+    # per-row expression ops: replace-count arithmetic, the BPE-ish
+    # class regex (regexp_count under Java vs RE2), md5 fingerprints
+    (text_stats, TEXT_REG, "text_stats_quality"),
+    (text_langid, TEXT_REG, "text_langid"),
+    (text_tokens, TEXT_REG, "text_token_counts"),
+    (text_fingerprint, TEXT_REG, "text_fingerprint"),
 ]
 
 
