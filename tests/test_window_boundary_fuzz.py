@@ -1,0 +1,88 @@
+"""Cross-engine property test for WINDOW BOUNDARY semantics: the
+repo's standing note is that random testdata essentially never lands
+an event exactly on a window or session-gap boundary, so those
+semantics are pinned only by hand-built cases.  This fuzz draws
+timestamps DELIBERATELY from boundary lattices — exact multiples of
+the hour (w1 tumbling) and exact 2h-gap spacings plus/minus 1 ms (w5
+session merge-on-touch) — and compares Spark against the DuckDB
+oracle side by side on every example."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from banking_streamprocessing_demos_spark.operators.relational import (
+    REG,
+    w1,
+    w4,
+    w5_session,
+)
+
+HOUR = 3_600_000
+GAP = 7_200_000  # w5 session gap
+GAP30 = 1_800_000  # w4 session gap
+BASE = 1_700_000_000_000  # a fixed epoch anchor (ms)
+
+# per event: (user_id, offset) where offset sits on or ±1ms around the
+# boundary lattices — k*HOUR, k*GAP, k*GAP30 exercise exact-boundary
+# landings; repeated offsets for one user produce timestamp TIES, which
+# exercise the (ts, event_id) deterministic-ordering rule
+offsets = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 6).flatmap(
+            lambda k: st.sampled_from(
+                [
+                    k * HOUR - 1,
+                    k * HOUR,
+                    k * HOUR + 1,
+                    k * GAP,
+                    k * GAP + 1,
+                    k * GAP30,
+                    k * GAP30 + 1,
+                ]
+            )
+        ),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _write_events(spark, rows: list[tuple[int, int]]) -> str:
+    sf = tempfile.mkdtemp(prefix="wbf-")
+    spark.createDataFrame(
+        [
+            (i, u, "click", BASE + off)
+            for i, (u, off) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts_ms long",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "timestamp_millis(ts_ms) AS ts"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+@settings(max_examples=8, deadline=None)
+@given(offsets)
+def test_window_ops_match_oracle_on_boundary_lattice(spark, rows) -> None:
+    sf = _write_events(spark, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    for fn, name in [
+        (w1, "w1_hourly_event_counts"),
+        (w4, "w4_sessionization"),
+        (w5_session, "w5_session_window"),
+    ]:
+        spark_rows = sorted(tuple(r) for r in fn(spark, sf).collect())
+        oracle_rows = sorted(
+            tuple(r) for r in con.execute(REG.queries[name].oracle).fetchall()
+        )
+        assert spark_rows == oracle_rows, name
