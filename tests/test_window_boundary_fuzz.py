@@ -18,7 +18,9 @@ from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.relational import (
     REG,
+    j7_range,
     w1,
+    w3,
     w4,
     w5_session,
 )
@@ -45,6 +47,9 @@ offsets = st.lists(
                     k * GAP + 1,
                     k * GAP30,
                     k * GAP30 + 1,
+                    # j7's half-open [start, start+90s) window edges
+                    k * 60_000 + 89_999,
+                    k * 60_000 + 90_000,
                 ]
             )
         ),
@@ -56,14 +61,17 @@ offsets = st.lists(
 
 def _write_events(spark, rows: list[tuple[int, int]]) -> str:
     sf = tempfile.mkdtemp(prefix="wbf-")
+    # alternate event types so j7 has error bursts; value = i%7 + 0.5 is
+    # exactly representable, so DECIMAL sums match to the bit
     spark.createDataFrame(
         [
-            (i, u, "click", BASE + off)
+            (i, u, "error" if i % 2 == 0 else "click", BASE + off, i % 7 + 0.5)
             for i, (u, off) in enumerate(rows)
         ],
-        "event_id long, user_id long, event_type string, ts_ms long",
+        "event_id long, user_id long, event_type string, ts_ms long, value double",
     ).selectExpr(
-        "event_id", "user_id", "event_type", "timestamp_millis(ts_ms) AS ts"
+        "event_id", "user_id", "event_type",
+        "timestamp_millis(ts_ms) AS ts", "value",
     ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
     return sf
 
@@ -78,8 +86,10 @@ def test_window_ops_match_oracle_on_boundary_lattice(spark, rows) -> None:
     )
     for fn, name in [
         (w1, "w1_hourly_event_counts"),
+        (w3, "w3_event_gaps"),
         (w4, "w4_sessionization"),
         (w5_session, "w5_session_window"),
+        (j7_range, "j7_range_join"),
     ]:
         spark_rows = sorted(tuple(r) for r in fn(spark, sf).collect())
         oracle_rows = sorted(
