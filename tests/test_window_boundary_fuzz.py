@@ -96,3 +96,46 @@ def test_window_ops_match_oracle_on_boundary_lattice(spark, rows) -> None:
             tuple(r) for r in con.execute(REG.queries[name].oracle).fetchall()
         )
         assert spark_rows == oracle_rows, name
+
+
+funnel_offsets = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.sampled_from(["view", "click", "purchase"]),
+        st.sampled_from(
+            # tie-heavy and deadline-edge-heavy: w7 requires STRICTLY
+            # increasing stage times (a click AT first_view_ms must not
+            # count), w8's deadline is INCLUSIVE (<= first + 1h)
+            [0, 1, HOUR - 1, HOUR, HOUR + 1, 2 * HOUR, 2 * HOUR + 1]
+        ),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(funnel_offsets)
+def test_funnels_match_oracle_on_tie_heavy_lattice(spark, rows) -> None:
+    from banking_streamprocessing_demos_spark.operators.relational import (
+        w7_funnel,
+        w8_funnel_windowed,
+    )
+
+    sf = tempfile.mkdtemp(prefix="wbf-fn-")
+    spark.createDataFrame(
+        [(i, u, et, BASE + off) for i, (u, et, off) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_ms long",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "timestamp_millis(ts_ms) AS ts"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    for fn, name in [(w7_funnel, "w7_funnel"), (w8_funnel_windowed, "w8_funnel_windowed")]:
+        spark_rows = sorted(tuple(r) for r in fn(spark, sf).collect())
+        oracle_rows = sorted(
+            tuple(r) for r in con.execute(REG.queries[name].oracle).fetchall()
+        )
+        assert spark_rows == oracle_rows, name
