@@ -139,3 +139,47 @@ def test_funnels_match_oracle_on_tie_heavy_lattice(spark, rows) -> None:
             tuple(r) for r in con.execute(REG.queries[name].oracle).fetchall()
         )
         assert spark_rows == oracle_rows, name
+
+
+TIMEOUT = 2 * 86_400_000  # j5's alert deadline
+
+pairing_offsets = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.sampled_from(["signup", "purchase"]),
+        st.sampled_from(
+            # j5's two edges: delivery AT the first-sent timestamp counts
+            # (>= inclusive); latency EXACTLY at the timeout does not
+            # alert (> strict)
+            [0, 1, TIMEOUT - 1, TIMEOUT, TIMEOUT + 1]
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairing_offsets)
+def test_timeout_pairing_matches_oracle_on_deadline_edges(spark, rows) -> None:
+    from banking_streamprocessing_demos_spark.operators.relational import j5
+
+    sf = tempfile.mkdtemp(prefix="wbf-j5-")
+    spark.createDataFrame(
+        [(i, u, et, BASE + off) for i, (u, et, off) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_ms long",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "timestamp_millis(ts_ms) AS ts"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    spark_rows = sorted(
+        tuple(r) for r in j5(spark, sf).collect()
+    )
+    oracle_rows = sorted(
+        tuple(r)
+        for r in con.execute(REG.queries["j5_timeout_pairing"].oracle).fetchall()
+    )
+    assert spark_rows == oracle_rows
