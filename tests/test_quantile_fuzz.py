@@ -66,3 +66,56 @@ def test_quantile_and_median_match_oracle(spark, rows) -> None:
             tuple(r) for r in con.execute(REG.queries[name].oracle).fetchall()
         )
         assert spark_rows == oracle_rows, name
+
+
+# --------------------------------------------------------------------------
+# tie-heavy snapshot + day-boundary cohort fuzz (same events fixture shape)
+# --------------------------------------------------------------------------
+
+DAY = 86_400_000
+
+snapshot_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),
+        st.sampled_from(["signup", "purchase", "click"]),
+        # offsets on and around day boundaries, with frequent exact ties
+        st.integers(0, 3).flatmap(
+            lambda k: st.sampled_from([k * DAY - 1, k * DAY, k * DAY + 1])
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(snapshot_events)
+def test_snapshot_and_cohorts_match_oracle(spark, rows) -> None:
+    """u3's last-event-wins must break timestamp TIES by event_id in
+    both engines; w6's cohort/day-offset floor-division must land
+    events exactly at day boundaries in the same cell."""
+    from banking_streamprocessing_demos_spark.operators.relational import (
+        u3,
+        w6_retention,
+    )
+
+    sf = tempfile.mkdtemp(prefix="qf-snap-")
+    spark.createDataFrame(
+        [(i, u, et, BASE + off) for i, (u, et, off) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_ms long",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "timestamp_millis(ts_ms) AS ts"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    for fn, name in [
+        (u3, "u3_snapshot_last_event_wins"),
+        (w6_retention, "w6_retention_cohorts"),
+    ]:
+        spark_rows = sorted(tuple(r) for r in fn(spark, sf).collect())
+        oracle_rows = sorted(
+            tuple(r) for r in con.execute(REG.queries[name].oracle).fetchall()
+        )
+        assert spark_rows == oracle_rows, name
