@@ -1,0 +1,76 @@
+"""Batch==stream property on RANDOM adversarial corpora: the
+streaming ingest twins are pinned equal to their batch ops on the
+fixed testdata; this fuzz re-proves the equality on hypothesis
+corpora built from the adversarial token pool (embedded \\r/\\t,
+mixed case, punctuation), running REAL streaming jobs per example —
+frozen-inventory broadcast for boilerplate strip, frozen fitted
+vocab for the BPE encode."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TOKENS = ["ab", "Ab", "a.b", "x7", "c\rd", "e\tf", "g"]
+
+docs = st.lists(
+    st.lists(st.sampled_from(TOKENS), min_size=1, max_size=10),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _write_docs(spark, corpus) -> str:
+    sf = tempfile.mkdtemp(prefix="stwin-")
+    spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+@settings(max_examples=4, deadline=None)
+@given(docs)
+def test_streaming_boilerplate_matches_batch_on_random_corpora(spark, corpus) -> None:
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_boilerplate_strip_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import (
+        text_boilerplate_strip,
+    )
+
+    sf = _write_docs(spark, corpus)
+    streamed = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in streaming_boilerplate_strip_q(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in text_boilerplate_strip(spark, sf).collect()
+    }
+    assert streamed == batch
+
+
+@settings(max_examples=4, deadline=None)
+@given(docs)
+def test_streaming_bpe_encode_matches_batch_on_random_corpora(spark, corpus) -> None:
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_bpe_encode_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_bpe_encode
+
+    sf = _write_docs(spark, corpus)
+    streamed = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe_fit)
+        for r in streaming_bpe_encode_q(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe_fit)
+        for r in pipe_bpe_encode(spark, sf).collect()
+    }
+    assert streamed == batch
