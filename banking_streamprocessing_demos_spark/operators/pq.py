@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import Registry
-from .similarity import DIMS, N_QUERIES, TOPK, _dot, _normed
+from .similarity import DIMS, IVF_CELLS, N_QUERIES, TOPK, _dot, _normed
 
 REG = Registry()
 
@@ -542,8 +542,6 @@ def _cells_data(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Coarse quantizer: cell k = round6 unit vector of vec_id k (the
     similarity.py seeded-quantizer convention, rounded so the literal
     matches the oracle's CTE bit-for-bit)."""
-    from .similarity import IVF_CELLS
-
     rows = (
         _unit(spark, sf_dir)
         .filter(F.col("vec_id") < IVF_CELLS)
@@ -575,8 +573,6 @@ def _argmax_cell(u, cells: list[list[float]]):
 
 
 def _ivfpq_oracle_sql() -> str:
-    from .similarity import IVF_CELLS
-
     return (
         _pq_vector_prelude_sql()
         + f""",
@@ -641,14 +637,14 @@ def _ivfpq_oracle_sql() -> str:
     _ivfpq_oracle_sql(),
     doc=f"IVF-PQ: the full production ANN composition (the FAISS IndexIVFPQ "
     f"shape) — seeded coarse quantizer prunes the scan to the query's top-"
-    f"{IVFPQ_PROBES} of {16} cells, PQ codes quantize the RESIDUAL after "
+    f"{IVFPQ_PROBES} of {IVF_CELLS} cells, PQ codes quantize the RESIDUAL after "
     "subtracting the cell centroid (what keeps a 32-bit code accurate at "
     "scale), scoring is dot(q, cell) + the residual LUT lookups in fixed "
     f"left-associative order, and the ADC top-{IVFPQ_RERANK} shortlist is "
     "rescored exactly.  At cluster scale the codes live partitioned BY "
     "CELL, so probing = partition pruning (the sim_ann_ivf layout) over "
     "64x-compressed data.  Residual k-means seeds from vectors "
-    "16..31 (the cell seeds' own residuals are ~0); the oracle replays "
+    f"{IVF_CELLS}..{IVF_CELLS + PQ_K - 1} (the cell seeds' own residuals are ~0); the oracle replays "
     "coarse assignment, residual training, encode, probe, and rerank in "
     "one generated CTE chain.",
 )
@@ -662,8 +658,6 @@ def sim_ann_ivfpq(
     scale and sensitivity runs (the matryoshka-kwargs pattern); the
     registered driver query uses the module defaults, which the oracle
     mirrors as literals."""
-    from .similarity import IVF_CELLS
-
     cells = _cells_data(spark, sf_dir)
     cells_arr = F.array(*[_lit_vec(c) for c in cells])
     unit = _unit(spark, sf_dir)

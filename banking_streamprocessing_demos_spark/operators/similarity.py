@@ -234,7 +234,11 @@ def rank_cells(
                 .select(
                     "cell_id",
                     "group_id",
-                    (_dot("jcv", "gv") / F.col("gn")).alias("gcos"),
+                    # eps guard: zero JL-norm seed would make gcos NaN,
+                    # which sorts above real scores under desc order
+                    (_dot("jcv", "gv") / F.greatest(F.col("gn"), F.lit(1e-12))).alias(
+                        "gcos"
+                    ),
                 )
                 .withColumn("grn", F.row_number().over(wg))
                 .filter(F.col("grn") == 1)
@@ -248,7 +252,9 @@ def rank_cells(
                 .select(
                     "vec_id",
                     "group_id",
-                    (_dot("jv", "gv") / F.col("gn")).alias("gcos"),
+                    (_dot("jv", "gv") / F.greatest(F.col("gn"), F.lit(1e-12))).alias(
+                        "gcos"
+                    ),
                 )
                 .withColumn("vgrn", F.row_number().over(wv))
                 .filter(F.col("vgrn") <= g_keep)
@@ -823,7 +829,15 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
         jl_scored = cand.select(
             "query_id",
             "neighbor_id",
-            (_dot("qjv", "cjv") / (F.col("qjn") * F.col("cjn"))).alias("jl_cos"),
+            # greatest(…, eps): a vector whose 16-dim sign projection
+            # cancels to zero has jn == 0 — the raw division would yield
+            # NaN, which sorts ABOVE every real value under desc order
+            # and fills the shortlist with arbitrary candidates; with
+            # the guard the (zero) dot gives jl_cos = 0 instead
+            (
+                _dot("qjv", "cjv")
+                / F.greatest(F.col("qjn") * F.col("cjn"), F.lit(1e-12))
+            ).alias("jl_cos"),
         )
         wj = Window.partitionBy("query_id").orderBy(
             F.col("jl_cos").desc(), F.col("neighbor_id")

@@ -504,10 +504,12 @@ def streaming_pq_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").cast("int").alias("code"),
         "n",
     )
-    out = _run_available_now(out_stream, "streaming_pq_assign")
-    # the sentinel's own window never closes (watermark semantics), but
-    # pin the bound so a flush-semantics change fails loudly in the gate
-    return out.filter(F.col("window_start_ms") < F.lit(INGEST_BASE_MS + SENTINEL_ORD * 1000))
+    # the sentinel's own window never closes (watermark semantics); if a
+    # flush-semantics change ever emitted it, the oracle hash mismatch
+    # fails the gate loudly — no output filter needed (a bound of
+    # SENTINEL_ORD*1000 was a no-op: the sentinel's tumbling window
+    # starts below it)
+    return _run_available_now(out_stream, "streaming_pq_assign")
 
 
 def _streaming_contamination_oracle() -> str:
@@ -941,11 +943,9 @@ def streaming_token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("n_docs").cast("long").alias("n_docs"),
     )
-    out = _run_available_now(out_stream, "streaming_token_histogram")
-    # the sentinel's own never-closed window is absent; bound anyway
-    return out.filter(
-        F.col("window_start_ms") < F.lit(INGEST_BASE_MS + SENTINEL_ORD * 1000)
-    )
+    # the sentinel's never-closed window is absent by watermark semantics;
+    # a flush-semantics change would fail the oracle hash gate loudly
+    return _run_available_now(out_stream, "streaming_token_histogram")
 
 
 # ---------------------------------------------------------------------------
@@ -1377,10 +1377,9 @@ def streaming_curriculum_histogram_q(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_docs").cast("long").alias("n_docs"),
         "total_tokens",
     )
-    out = _run_available_now(out_stream, "streaming_curriculum_histogram")
-    return out.filter(
-        F.col("window_start_ms") < F.lit(INGEST_BASE_MS + SENTINEL_ORD * 1000)
-    )
+    # sentinel window absent by watermark semantics; oracle hash gate
+    # catches any flush-semantics change
+    return _run_available_now(out_stream, "streaming_curriculum_histogram")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Docs-vs-artifact number pinning.
+
+Rounds 5 and 6 both shipped the same defect class: a scale-sweep
+refresh re-synced some docs to the new `BENCH_scale4.json` but missed
+one file, leaving a stale headline number contradicting the committed
+artifact (r5: SCALE/COVERAGE 10.4x claim; r6: README 117.6/239.0/59.6/
+0.43).  This test makes that impossible to repeat silently: the
+headline numbers cited in README.md / SCALE.md / COVERAGE.md are
+recomputed from the committed artifact and asserted as substrings, and
+every `ratio_100_1=<n>` citation anywhere in the three docs must match
+a per-family artifact value.
+
+When a sweep refresh changes the artifact, this test enumerates every
+doc site that must be updated with it.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+DOCS = ["README.md", "SCALE.md", "COVERAGE.md"]
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    with open(ROOT / "BENCH_scale4.json") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def doc_text():
+    return {name: (ROOT / name).read_text() for name in DOCS}
+
+
+def test_semantic_dedup_headline_numbers(artifact, doc_text):
+    """The IVF-vs-banding comparison (the round-5/6 drift site): x100
+    absolute walls, the 100/1 ratio, and the per-output ratios cited in
+    all three docs must match the committed artifact."""
+    ivf = artifact["families"]["dedup_semantic_ivf"]
+    cl = artifact["families"]["dedup_semantic_clusters"]
+    ivf_wall = f"{ivf['x100']:.1f}"  # "117.1"
+    cl_wall = f"{cl['x100']:.1f}"  # "228.7"
+    ivf_r1 = f"{ivf['ratio_100_1']:.1f}"  # "47.5"
+    ivf_po = f"{ivf['ratio_100_30_per_output']:.2f}"  # "0.36"
+    cl_po = f"{cl['ratio_100_30_per_output']:.2f}"  # "0.38"
+    lo = min(ivf["ratio_100_30"], cl["ratio_100_30"])
+    hi = max(ivf["ratio_100_30"], cl["ratio_100_30"])
+    step_range = f"{lo:.1f}-{hi:.1f}x"  # "4.2-4.3x"
+
+    expectations = {
+        "README.md": [
+            f"{ivf_wall} s",
+            f"({cl_wall} s",
+            f"ratio_100_1={ivf_r1}",
+            f"per-output ratio {ivf_po}",
+            f"{cl_po}/{ivf_po} for the semantic dedup families",
+            f"wall grows {step_range}",
+        ],
+        "SCALE.md": [
+            f"{ivf_wall}s",
+            f"{cl_wall}s",
+            ivf_r1 + " (IVF)",
+            f"ratio {cl_po}/{ivf_po}",
+            f"~{step_range}",
+        ],
+        "COVERAGE.md": [
+            f"{ivf_wall} s",
+            f"({cl_wall} s)",
+            f"ratio_100_1={ivf_r1}",
+            f"per-output ratio {ivf_po}",
+            f"{ivf_po}-{cl_po} for the semantic dedup families",
+            f"~{step_range}",
+        ],
+    }
+    missing = {
+        doc: [s for s in subs if s not in doc_text[doc]]
+        for doc, subs in expectations.items()
+    }
+    missing = {d: m for d, m in missing.items() if m}
+    assert not missing, (
+        f"doc headline numbers drifted from BENCH_scale4.json: {missing} "
+        f"(artifact: ivf x100={ivf['x100']}, banding x100={cl['x100']}, "
+        f"ratio_100_1={ivf['ratio_100_1']}, per-output {ivf_po}/{cl_po})"
+    )
+
+
+def test_every_ratio_100_1_citation_matches_artifact(artifact, doc_text):
+    """Any `ratio_100_1=<n>` (or `ratio_100_1 = <n>`) written in the
+    three docs must equal some family's artifact value at 1dp — a
+    stale citation from a superseded sweep fails here by construction."""
+    valid = {
+        f"{fam['ratio_100_1']:.1f}"
+        for fam in artifact["families"].values()
+        if "ratio_100_1" in fam
+    }
+    pat = re.compile(r"ratio_100_1\s*=\s*([0-9]+(?:\.[0-9]+)?)")
+    stale = {}
+    for doc, text in doc_text.items():
+        bad = [
+            m.group(1)
+            for m in pat.finditer(text)
+            if f"{float(m.group(1)):.1f}" not in valid
+        ]
+        if bad:
+            stale[doc] = bad
+    assert not stale, (
+        f"stale ratio_100_1 citations (artifact values at 1dp: {sorted(valid)}): {stale}"
+    )
+
+
+def test_x100_wall_citations_match_artifact(artifact, doc_text):
+    """The two x100 absolute walls the docs lean on (IVF vs banding)
+    may appear only at their committed values: any 3-digit 'NNN.N s'
+    within the semantic-dedup comparison sentences must be one of the
+    artifact's x100 walls."""
+    walls = {
+        f"{fam[pt]:.1f}"
+        for fam in artifact["families"].values()
+        for pt in ("x1", "x10", "x30", "x100")
+        if pt in fam
+    }
+    # sentences that compare IVF to banding cite both x100 walls; scan
+    # for any >=100 s 'NNN.Ns' / 'NNN.N s' token in lines mentioning
+    # either family (the 117.6/239.0 drift class — smaller numbers are
+    # historical micro-bench notes, not artifact walls)
+    pat = re.compile(r"([0-9]{3}\.[0-9])\s?s\b")
+    stale = {}
+    for doc, text in doc_text.items():
+        bad = []
+        for line in text.splitlines():
+            if "dedup_semantic_ivf" in line or "banding" in line.lower():
+                bad += [v for v in pat.findall(line) if v not in walls]
+        if bad:
+            stale[doc] = bad
+    assert not stale, f"x100 wall citations not in BENCH_scale4.json {sorted(walls)}: {stale}"
