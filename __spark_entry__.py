@@ -44,7 +44,7 @@ _REGISTRIES = [
 ]
 
 # The round driver checks the FIRST 50 queries() entries in insertion
-# order.  Round-6 rotation (standing policy from round-2 VERDICT #1,
+# order.  Round-7 rotation (standing policy from round-2 VERDICT #1,
 # re-ordered per round-3 VERDICT #3): slots go to (a) every query with
 # NO green driver row from any prior round; (b) every query new this
 # round; (c) flagship refreshes — the highest-value driver-green
@@ -54,42 +54,47 @@ _REGISTRIES = [
 # tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
 # artifact records the whole registry, not just the driver's window.
 _PROMOTED_NEVER_CHECKED = [
-    # round-5 overflow (window was full; carried CORRECTNESS_FULL_r05
-    # evidence + the round-5 judge's independent rerun).  With these
+    # round-6 overflow (window was full; carried CORRECTNESS_FULL_r06
+    # evidence + the round-6 judge's independent rerun).  With these
     # promoted, every registered query has driver-green evidence from
     # some round.
-    "dedup_semantic_ivf",
-    "streaming_token_histogram",
-    "streaming_quality_gate",
-    "streaming_pack_sequences",
+    "emb_pq_codebook",
+    "sim_ann_pq",
+    "streaming_pq_assign",
+    "sim_ann_ivfpq",
+    "sim_ann_matryoshka",
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND_NEW: list[str] = [
-    "streaming_curriculum_histogram",
-    "text_boilerplate_strip",
-    "dedup_keep_best",
-    "streaming_boilerplate_strip",
-    "pipe_bpe_merges",
-    "pipe_bpe_encode",
-    "streaming_bpe_encode",
-]
+_ROUND_NEW: list[str] = []
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # round-5 window members re-earning rows (keeps each streaming-ingest
+    # round-6 window members re-earning rows (keeps each streaming-ingest
     # family, the curation gate, and curriculum packing represented on
-    # fresh testdata)
+    # fresh testdata), plus a recall rotation of long-demoted families
+    # (quantiles, tfidf, packing, sketches, epoch planning, exact
+    # median) so driver evidence doesn't go stale on any family
+    "dedup_semantic_ivf",
+    "streaming_token_histogram",
+    "streaming_quality_gate",
+    "streaming_pack_sequences",
+    "streaming_curriculum_histogram",
+    "text_boilerplate_strip",
+    "dedup_keep_best",
+    "w2_latency_quantiles",
+    "text_tfidf_topk",
+    "pack_sequences",
+    "sketch_hll_distinct",
+    "pipe_epoch_plan",
+    "a12_exact_group_median",
     "pipe_curriculum_pack",
     "streaming_sessionization",
-    "streaming_epoch_plan",
     "streaming_doc_dedup",
     "streaming_minhash_dedup",
-    "streaming_hll_distinct",
     "pipe_quality_gate",
-    "emb_random_project",
     "st1_streaming_detector",
     "st1_join_variant",
     "gen_messages_snapshot",
@@ -102,16 +107,13 @@ _FLAGSHIP_REFRESH = [
     "a7_pricing_summary",
     "a11_grouping_sets",
     "w1_hourly_event_counts",
-    "w4_sessionization",
     "w5_session_window",
     "u3_snapshot_last_event_wins",
     "u6_merge_upsert",
     "smp3_stratified_split",
-    "smp4_group_split",
     "f_expressions",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_semantic_clusters",
     "dedup_substring_spans",
@@ -119,43 +121,40 @@ _FLAGSHIP_REFRESH = [
     "contamination_check",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
-    "sim_ann_ivf",
     "sim_knn_graph",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
-_ROUND_OVERFLOW: list[str] = [
-    # round-6 late additions (window already full): product-quantization
-    # codebook training + ADC search with exact rerank
-    "emb_pq_codebook",
-    "sim_ann_pq",
-    "streaming_pq_assign",
-    "sim_ann_ivfpq",
-    # round-6: the third compression axis (dimension truncation) —
-    # Matryoshka prefix prescreen + exact rerank
-    "sim_ann_matryoshka",
-]
+_ROUND_OVERFLOW: list[str] = []
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # demoted after earning r6 driver rows
+    "streaming_boilerplate_strip",
+    "pipe_bpe_merges",
+    "pipe_bpe_encode",
+    "streaming_bpe_encode",
+    "streaming_epoch_plan",
+    "streaming_hll_distinct",
+    "w4_sessionization",
+    "dedup_ngram_jaccard",
+    "smp4_group_split",
+    "sim_ann_ivf",
+    "emb_random_project",
     # demoted after earning r5 driver rows
     "w9_scd2_intervals",
     "s8_set_operations",
     "emb_label_centroids",
-    "text_tfidf_topk",
     "text_pii_scrub",
-    "pack_sequences",
     "text_bigram_lm_score",
     "smp5_weighted_sample",
-    "pipe_epoch_plan",
     "streaming_reservoir_sample",
     "streaming_heavy_hitters",
     # demoted after earning r4 driver rows
-    "a12_exact_group_median",
     "f13_morton_code",
     "f12_json_props",
     "w6_retention_cohorts",
@@ -186,7 +185,6 @@ _DEMOTED_TAIL = [
     "a8_rollup_counts",
     "a9_distinct_aggs",
     "a10_pivot_counts",
-    "w2_latency_quantiles",
     "w7_funnel",
     "w8_funnel_windowed",
     "w10_anomaly_zscore",
@@ -215,7 +213,6 @@ _DEMOTED_TAIL = [
     "pipe_domain_mix",
     "pipe_quality_prune",
     "pipe_shard_assign",
-    "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_bloom_prefilter",
     "emb_quantize_int8",

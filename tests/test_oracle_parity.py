@@ -67,7 +67,7 @@ DRIVER_WINDOW = 50  # the round driver checks only the first 50 queries()
 
 
 def test_driver_window_rotation_invariants():
-    """Round-6 rotation policy (standing, from round-2 VERDICT #1 /
+    """Round-7 rotation policy (standing, from round-2 VERDICT #1 /
     round-3 VERDICT #3): the driver verifies only the first 50 entries
     of queries(); those slots belong to (a) every query with NO green
     driver row from any prior round, (b) every query new this round,
@@ -98,7 +98,7 @@ def test_driver_window_rotation_invariants():
     import json
 
     green = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json", "CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json", "CORRECTNESS_r04.json", "CORRECTNESS_r05.json", "CORRECTNESS_r06.json"):
         try:
             with open(art) as f:
                 rows = json.load(f)
@@ -111,7 +111,7 @@ def test_driver_window_rotation_invariants():
     # full-registry evidence instead (the end-of-round artifact: overflow
     # can land after the round-entry _pre gate was recorded)
     if entrymod._ROUND_OVERFLOW:
-        with open("CORRECTNESS_FULL_r06.json") as f:
+        with open("CORRECTNESS_FULL_r07.json") as f:
             full = json.load(f)
         for name in entrymod._ROUND_OVERFLOW:
             assert name in ORACLES, name
