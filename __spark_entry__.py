@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from banking_streamprocessing_demos_spark.operators import merge_registries
+from banking_streamprocessing_demos_spark.operators.curate import REG as CURATE_REG
 from banking_streamprocessing_demos_spark.operators.dedup import REG as DEDUP_REG
 from banking_streamprocessing_demos_spark.operators.message_domain import REG as MESSAGE_REG
 from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_REG
@@ -40,6 +41,7 @@ _REGISTRIES = [
     PACKING_REG,
     SKETCH_REG,
     PQ_REG,
+    CURATE_REG,
     STREAMING_Q_REG,
 ]
 
@@ -66,7 +68,9 @@ _PROMOTED_NEVER_CHECKED = [
 ]
 
 # New this round — zero prior driver evidence by construction.
-_ROUND_NEW: list[str] = []
+_ROUND_NEW: list[str] = [
+    "pipe_curate_end_to_end",
+]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
@@ -89,7 +93,6 @@ _FLAGSHIP_REFRESH = [
     "pack_sequences",
     "sketch_hll_distinct",
     "pipe_epoch_plan",
-    "a12_exact_group_median",
     "pipe_curriculum_pack",
     "streaming_sessionization",
     "streaming_doc_dedup",
@@ -155,6 +158,7 @@ _DEMOTED_TAIL = [
     "streaming_reservoir_sample",
     "streaming_heavy_hitters",
     # demoted after earning r4 driver rows
+    "a12_exact_group_median",
     "f13_morton_code",
     "f12_json_props",
     "w6_retention_cohorts",

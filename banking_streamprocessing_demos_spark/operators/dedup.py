@@ -69,16 +69,18 @@ _HEX_DECODE = " + ".join(
 # shared shingle SQL / DataFrame builders
 # ---------------------------------------------------------------------------
 
-def _shingles_sql(df_cap: int = SHINGLE_DF_CAP) -> str:
+def _shingles_sql(df_cap: int = SHINGLE_DF_CAP, docs_rel: str = "documents") -> str:
     """CTE chain: raw distinct shingles, hot (df > cap) stop-shingles,
     df-capped ``shingles``, and per-doc ``sizes`` over the capped set.
     MinHash signatures read ``shingles_raw`` (the sketch is in-row and
-    never joins); every exact pair join reads the capped ``shingles``."""
+    never joins); every exact pair join reads the capped ``shingles``.
+    ``docs_rel`` scopes the corpus (pipe_curate_end_to_end shingles the
+    GATED survivor set, not the raw table)."""
     return f"""
     shingles_raw AS (
         SELECT DISTINCT doc_id, s FROM (
             SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {docs_rel}),
                  UNNEST(range(1, len(words) - 1)) AS t(i)
         )
     ),

@@ -320,8 +320,8 @@ EPOCH_BUDGET_FACTOR = 2.0  # token budget = factor x corpus tokens
 MAX_EPOCHS = 4.0  # repeat ceiling per source (data-constrained scaling)
 
 
-def _epoch_u16() -> str:
-    return _hex4_sql("md5('epoch-' || CAST(doc_id AS VARCHAR))")
+def _epoch_u16(col: str = "doc_id") -> str:
+    return _hex4_sql(f"md5('epoch-' || CAST({col} AS VARCHAR))")
 
 
 @REG.add(

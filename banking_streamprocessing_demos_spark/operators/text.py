@@ -698,18 +698,20 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_cte_chain(k: int = BPE_MERGES) -> tuple[str, str]:
-    """The generated fit CTE chain shared by ALL BPE oracles (fit, batch
-    encode, streaming encode) — returns the WITH clause and the name of
-    the fitted-vocab table (t{k+1}), so no caller has to slice or parse
-    a sibling's SQL text.  Each stage counts weighted adjacent token
-    pairs, picks the (count desc, pair asc) argmax, and re-tokenizes the
-    vocab with DuckDB's list_reduce — the same greedy left-to-right fold
-    the Spark side runs."""
+def _bpe_cte_stages(k: int = BPE_MERGES, docs_rel: str = "documents") -> tuple[str, str]:
+    """The generated fit CTE stages shared by ALL BPE oracles (fit, batch
+    encode, streaming encode, curate composition) — returns the stage
+    list WITHOUT a leading WITH (so a composed oracle can embed it in
+    its own chain) and the name of the fitted-vocab table (t{k+1}).
+    ``docs_rel`` scopes the training corpus (pipe_curate_end_to_end fits
+    the tokenizer on the curated survivor set).  Each stage counts
+    weighted adjacent token pairs, picks the (count desc, pair asc)
+    argmax, and re-tokenizes the vocab with DuckDB's list_reduce — the
+    same greedy left-to-right fold the Spark side runs."""
     stages = [
-        """
+        f"""
     v AS (SELECT word, COUNT(*) AS freq
-          FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM {docs_rel})
           WHERE length(word) > 0 GROUP BY word),
     t1 AS (SELECT word, freq,
                   trim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS toks
@@ -741,7 +743,14 @@ def _bpe_cte_chain(k: int = BPE_MERGES) -> tuple[str, str]:
                                   ELSE acc || ' ' || x END) END AS toks
         FROM t{i} LEFT JOIN b{i} ON TRUE
     )""")
-    return "WITH " + ",".join(stages), f"t{k + 1}"
+    return ",".join(stages), f"t{k + 1}"
+
+
+def _bpe_cte_chain(k: int = BPE_MERGES) -> tuple[str, str]:
+    """Standalone WITH clause over the full corpus — the form the fit /
+    encode / streaming oracles consume directly."""
+    stages, fitted = _bpe_cte_stages(k)
+    return "WITH " + stages, fitted
 
 
 def _bpe_oracle(k: int = BPE_MERGES) -> str:
@@ -797,13 +806,20 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
-    """The shared fitting loop: returns the learned merge rules AND the
-    fitted vocab mapping (word -> space-joined subword tokens after all
-    merges) — pipe_bpe_merges publishes the rules, pipe_bpe_encode joins
-    the mapping back onto the corpus."""
+    """Fit on the full corpus — pipe_bpe_merges publishes the rules,
+    pipe_bpe_encode joins the mapping back onto the corpus."""
+    return _bpe_fit_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_fit_docs(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
+    """The shared fitting loop over any corpus with a ``text`` column:
+    returns the learned merge rules AND the fitted vocab mapping
+    (word -> space-joined subword tokens after all merges).
+    pipe_curate_end_to_end passes the curated survivor set — the
+    tokenizer a training pipeline actually ships is fit on curated
+    data, not the raw crawl."""
     words = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("word"))
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))

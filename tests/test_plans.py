@@ -393,3 +393,26 @@ def test_keep_best_window_exchange_skinny(spark):
     assert exchanges, plan
     for cols in exchanges:
         assert "text#" not in cols, cols
+
+
+def test_curate_end_to_end_no_stage_reexecution(spark):
+    """pipe_curate_end_to_end (the composed curation DAG): every
+    expensive stage must be sealed behind its skinny checkpoint — the
+    FINAL plan may contain NO parquet scan (gate/dedup/BPE/source-map
+    all read materialized stage boundaries) and NO Generate (no shingle
+    or word explode survives past its stage), so no upstream stage can
+    re-execute inside the downstream fan-out (the re-execution trap the
+    curriculum sweep caught live).  Exactly two SinglePartition
+    exchanges are budgeted, both over bounded tables: the prefix sum's
+    doubly-reduced super-bucket table and the epoch plan's grand total
+    over the per-SOURCE aggregate (rows = n_sources)."""
+    from banking_streamprocessing_demos_spark.operators.curate import (
+        pipe_curate_end_to_end,
+    )
+
+    df = pipe_curate_end_to_end(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("SinglePartition") == 2, plan
+    assert_no_cartesian(df)
