@@ -70,6 +70,7 @@ _PROMOTED_NEVER_CHECKED = [
 # New this round — zero prior driver evidence by construction.
 _ROUND_NEW: list[str] = [
     "pipe_curate_end_to_end",
+    "streaming_keep_best",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -88,7 +89,6 @@ _FLAGSHIP_REFRESH = [
     "streaming_curriculum_histogram",
     "text_boilerplate_strip",
     "dedup_keep_best",
-    "w2_latency_quantiles",
     "text_tfidf_topk",
     "pack_sequences",
     "sketch_hll_distinct",
@@ -158,6 +158,7 @@ _DEMOTED_TAIL = [
     "streaming_reservoir_sample",
     "streaming_heavy_hitters",
     # demoted after earning r4 driver rows
+    "w2_latency_quantiles",
     "a12_exact_group_median",
     "f13_morton_code",
     "f12_json_props",

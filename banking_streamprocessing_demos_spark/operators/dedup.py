@@ -265,6 +265,12 @@ def _band_sql(b: int) -> str:
     return f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
 
 
+def _sig_key_sql() -> str:
+    """DuckDB twin of ``minhash_sig_key``: md5 over all K slots."""
+    cols = " || '-' || ".join(f"h{i}" for i in range(MINHASH_K))
+    return f"md5({cols})"
+
+
 def minhash_lsh_oracle(df_cap: int = SHINGLE_DF_CAP) -> str:
     return f"""
     WITH {_shingles_sql(df_cap)},
@@ -290,16 +296,14 @@ def minhash_lsh_oracle(df_cap: int = SHINGLE_DF_CAP) -> str:
     """
 
 
-def minhash_bands(grams_df: DataFrame, *id_cols: str) -> DataFrame:
-    """In-row MinHash banding over a DataFrame carrying a ``grams`` array
-    column: one md5 per distinct shingle packed to a 32-bit int (staged
-    projection — hashed ONCE, not once per permutation), K affine
-    permutations + array_min per signature slot, rows concatenated per
-    band and re-hashed to the bucket key, then a single explode.  Shared
-    by the batch LSH op below and the streaming ingest dedup
-    (streaming/jobs.py:streaming_minhash_dedup) so the two can never
-    drift: a (band, bucket) collision means the same thing in both.
-    Returns (*id_cols, band, bucket) — MINHASH_BANDS rows per input row."""
+def minhash_sigs(grams_df: DataFrame, *id_cols: str) -> DataFrame:
+    """In-row MinHash signatures over a DataFrame carrying a ``grams``
+    array column: one md5 per distinct shingle packed to a 32-bit int
+    (staged projection — hashed ONCE, not once per permutation), K
+    affine permutations + array_min per signature slot.  Returns
+    (*id_cols, h0..h{K-1}).  Shared by the banding below and the
+    full-signature key (streaming_keep_best's near-identical content
+    key) so every MinHash consumer folds the identical sketch."""
     shingle_hash32 = F.transform(
         F.col("grams"),
         lambda s: F.conv(F.substring(F.md5(F.concat(F.lit("mh-"), s)), 1, 8), 16, 10).cast(
@@ -315,9 +319,28 @@ def minhash_bands(grams_df: DataFrame, *id_cols: str) -> DataFrame:
             )
         ).alias(f"h{i}")
 
-    sigs = grams_df.select(*id_cols, shingle_hash32.alias("vs")).select(
+    return grams_df.select(*id_cols, shingle_hash32.alias("vs")).select(
         *id_cols, *[sig(i) for i in range(MINHASH_K)]
     )
+
+
+def minhash_sig_key() -> F.Column:
+    """Full-signature content key: md5 over ALL K signature slots —
+    collision requires every slot equal (near-identical documents), the
+    strictest rung of the banding ladder.  DuckDB twin:
+    md5(h0 || '-' || h1 || ... ) in _sig_key_sql."""
+    return F.md5(F.concat_ws("-", *[F.col(f"h{i}") for i in range(MINHASH_K)]))
+
+
+def minhash_bands(grams_df: DataFrame, *id_cols: str) -> DataFrame:
+    """In-row MinHash banding: signatures via ``minhash_sigs``, rows
+    concatenated per band and re-hashed to the bucket key, then a single
+    explode.  Shared by the batch LSH op below and the streaming ingest
+    dedup (streaming/jobs.py:streaming_minhash_dedup) so the two can
+    never drift: a (band, bucket) collision means the same thing in
+    both.  Returns (*id_cols, band, bucket) — MINHASH_BANDS rows per
+    input row."""
+    sigs = minhash_sigs(grams_df, *id_cols)
     band_structs = F.array(
         *[
             F.struct(

@@ -227,6 +227,80 @@ def streaming_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
 
 
+def _streaming_keep_best_oracle() -> str:
+    from .dedup import _sig_key_sql
+
+    return f"""
+    WITH {_REPLAY_DOCS_SQL},
+    shingles_raw AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, {" || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))} AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM replay),
+                 UNNEST(range(1, len(words) - {NGRAM_N} + 2)) AS t(i)
+        )
+    ),
+    {_minhash_sig_sql()},
+    keys AS (SELECT doc_id, {_sig_key_sql()} AS sig_key FROM sigs),
+    wc AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS word_count
+        FROM replay
+    ),
+    j AS (
+        SELECT k.doc_id, k.sig_key, w.word_count,
+               {INGEST_BASE_MS} + (k.doc_id // 60) * 60000 AS window_start_ms
+        FROM keys k JOIN wc w ON k.doc_id = w.doc_id
+    ),
+    ranked AS (
+        SELECT window_start_ms, sig_key, doc_id, word_count,
+               ROW_NUMBER() OVER (PARTITION BY window_start_ms, sig_key
+                                  ORDER BY word_count DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY window_start_ms, sig_key) AS n_members
+        FROM j
+    )
+    SELECT window_start_ms, sig_key, doc_id, word_count,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
+@REG.add(
+    "streaming_keep_best",
+    _streaming_keep_best_oracle(),
+    doc="Ingest-time cluster-representative maintenance run FOR REAL — the "
+    "streaming twin of the dedup_keep_best curation step: ordered replay "
+    "(corpus + planted late duplicates) keyed by the FULL MinHash "
+    "signature (md5 over all K slots — a collision means near-identical "
+    "content, the strictest rung of the banding ladder, since streaming "
+    "ingest cannot run global connected components), one running "
+    "struct-MAX argmax per (window, signature) key: best = highest word "
+    "count, lowest doc_id tiebreak, the batch op's quality order.  State "
+    "is ONE row per in-flight (window, signature) key regardless of "
+    "cluster size, watermark-evicted; a far-future sentinel flushes every "
+    "real window (its own window never closes and is absent by "
+    "construction — a flush-semantics change fails the hash gate).",
+)
+def streaming_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_keep_best
+
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    ).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000)
+    )
+    replay = _replay_corpus(spark, sf_dir).unionByName(sentinel)
+    path = _write_sorted_replay(replay, "skb-docs-", ["ingest_ts", "doc_id"])
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(path)
+    out = _run_available_now(
+        streaming_keep_best(stream, window="1 minute", delay="2 minutes"),
+        "streaming_keep_best",
+    )
+    return out.select("window_start_ms", "sig_key", "doc_id", "word_count", "n_members")
+
+
 def _streaming_hll_oracle() -> str:
     return (
         _PRELUDE

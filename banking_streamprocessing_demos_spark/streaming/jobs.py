@@ -344,6 +344,77 @@ def streaming_minhash_dedup(
     )
 
 
+def streaming_keep_best(
+    docs: DataFrame,
+    window: str = "1 minute",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Ingest-time cluster-representative maintenance — the streaming
+    twin of the batch ``dedup_keep_best`` curation step.  Input schema:
+    (doc_id, text, ingest_ts).
+
+    At ingest there is no global pair graph to run connected components
+    over, so the streaming representative key is the FULL MinHash
+    signature (md5 over all K slots, ``minhash_sig_key``): a collision
+    requires every signature slot to agree — the strictest rung of the
+    banding ladder, i.e. near-identical documents.  Per tumbling ingest
+    window and signature key the state keeps ONE running argmax
+    (best = highest word_count, lowest doc_id tiebreak — the same
+    quality order as the batch op) plus a member count; the window's
+    representative is emitted when the watermark closes it.
+
+    Plan: the signature is the identical in-row fold the batch LSH op
+    uses (shared ``minhash_sigs``), so the only shuffle is the windowed
+    (window, sig_key) aggregation, map-side combined; the argmax rides
+    a single struct MAX, so state per key is one row regardless of
+    cluster size.  Bounded state: in-flight windows x distinct
+    signature keys per window, watermark-evicted.
+
+    Docs shorter than NGRAM_N words have no shingles, hence no
+    signature: they bypass the aggregation and are NOT in the output
+    (trivially their own representatives) — same contract as
+    streaming_minhash_dedup.
+    """
+    from ..operators.dedup import NGRAM_N, minhash_sig_key, minhash_sigs
+
+    grams_df = (
+        docs.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= NGRAM_N)
+        .withColumn("word_count", F.size("words").cast("long"))
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - NGRAM_N),
+                    lambda i: F.concat_ws(
+                        " ", *[F.get("words", i + k) for k in range(NGRAM_N)]
+                    ),
+                )
+            ),
+        )
+    )
+    keyed = minhash_sigs(grams_df, "doc_id", "ingest_ts", "word_count").select(
+        "doc_id", "ingest_ts", "word_count", minhash_sig_key().alias("sig_key")
+    )
+    if docs.isStreaming:
+        keyed = keyed.withWatermark("ingest_ts", delay)
+    # argmax as ONE struct MAX (word_count asc, -doc_id asc maximized =
+    # best quality, lowest id tiebreak) — a single state row per key
+    best = F.max(
+        F.struct(F.col("word_count").alias("wc"), (-F.col("doc_id")).alias("nid"))
+    ).alias("best")
+    agg = keyed.groupBy(F.window("ingest_ts", window), "sig_key").agg(
+        best, F.count("*").alias("n_members")
+    )
+    return agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "sig_key",
+        (-F.col("best.nid")).cast("long").alias("doc_id"),
+        F.col("best.wc").cast("long").alias("word_count"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 def streaming_cms_cells(
     events: DataFrame,
     key: str = "phone_number",

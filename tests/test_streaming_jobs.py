@@ -817,3 +817,32 @@ def test_streaming_bpe_encode_matches_batch(spark):
         for r in pipe_bpe_encode(spark, SF_SMALL).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_keep_best_batch_equals_stream(spark, tmp_path):
+    """Ingest-time representative maintenance: per (window, full-MinHash-
+    signature) key the stream must emit exactly the batch argmax (best
+    word count, lowest doc_id).  Exact dups share a signature (one rep,
+    n_members=2); a one-word near-dup does NOT (full-signature collision
+    needs all K slots equal) and represents itself — the documented
+    strictness contrast with the banding dedup."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_keep_best
+
+    docs = _minhash_corpus(spark)
+    batch = {r.doc_id: r for r in streaming_keep_best(docs).collect()}
+    assert set(batch) == {0, 1, 3, 4, 5, 99}
+    assert batch[0].n_members == 2          # exact-dup pair (0,2) -> rep 0
+    assert batch[3].n_members == 1          # near dup: own signature key
+    sig_of = {r.doc_id: r.sig_key for r in batch.values()}
+    assert sig_of[0] != sig_of[3]
+
+    stream = _replay_one_doc_per_batch(spark, docs.toPandas(), str(tmp_path / "kb"))
+    run_to_memory(streaming_keep_best(stream), "kb_out")
+    stream_rows = {r.doc_id: r for r in spark.table("kb_out").collect()}
+    # doc 99's own window never closes; every closed window matches
+    assert set(stream_rows) == set(batch) - {99}
+    for d, r in stream_rows.items():
+        b = batch[d]
+        assert (r.window_start_ms, r.sig_key, r.word_count, r.n_members) == (
+            b.window_start_ms, b.sig_key, b.word_count, b.n_members
+        )
