@@ -496,17 +496,29 @@ def _shortlist_rerank(
     "joins only Q x R shortlist rows back to the vector store.  Recall vs "
     "the exact brute-force baseline is pinned in tests/test_pq.py.",
 )
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_pq(
+    spark: SparkSession, sf_dir: str, cb: list[list[list[float]]] | None = None
+) -> DataFrame:
+    """``cb`` injects a pre-trained codebook so the bench can time the
+    fixed training cost and the encode+search scan separately (the
+    registered driver query trains its own — the oracle replays the
+    full trajectory either way)."""
     unit = _unit(spark, sf_dir)
-    return _shortlist_rerank(_adc_pq_scored(spark, sf_dir, unit), unit)
+    return _shortlist_rerank(_adc_pq_scored(spark, sf_dir, unit, cb=cb), unit)
 
 
-def _adc_pq_scored(spark: SparkSession, sf_dir: str, unit: DataFrame) -> DataFrame:
+def _adc_pq_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    unit: DataFrame,
+    cb: list[list[list[float]]] | None = None,
+) -> DataFrame:
     """Train + encode + ADC-score the flat-PQ candidates: returns the
     (query_id, neighbor_id, adc_score) frame ahead of the funnel —
     split out so the sensitivity harness can sweep shortlist depth
     without retraining per setting."""
-    cb = pq_train(spark, sf_dir)
+    if cb is None:
+        cb = pq_train(spark, sf_dir)
     corpus = unit.select(
         F.col("vec_id").alias("neighbor_id"),
         F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)]).alias("codes"),
@@ -632,6 +644,35 @@ def _ivfpq_oracle_sql() -> str:
     )
 
 
+def ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], DataFrame, list[list[list[float]]]]:
+    """The IVF-PQ BUILD stage — coarse cells, materialized residuals,
+    residual codebook — split out so the bench can time index build vs
+    probe+search separately (round-6 VERDICT #4)."""
+    cells = _cells_data(spark, sf_dir)
+    cells_arr = F.array(*[_lit_vec(c) for c in cells])
+    unit = _unit(spark, sf_dir)
+    # MATERIALIZE (vec_id, cell, r): Catalyst's projection collapse
+    # would otherwise inline the residual construction — including the
+    # 16-cell argmax inside it — into EVERY downstream reference (each
+    # of the 8 sub-slices x 16 candidate folds of the encode), a ~100x
+    # per-row blowup.  Same family as the explode-of-projected-array
+    # trap (SCALE.md round-5 find); found here by the scale protocol
+    # when the x10 point hung.
+    resid = (
+        unit.withColumn("cell", _argmax_cell(F.col("u"), cells))
+        .withColumn(
+            "r", F.zip_with("u", F.element_at(cells_arr, F.col("cell") + 1), lambda x, y: x - y)
+        )
+        .localCheckpoint(eager=True)
+    )
+    rsubs = _subs_df(resid, col="r")
+    cbr = _train_on(rsubs, PQ_ITERS, offset=IVF_CELLS)
+    return cells, resid, cbr
+
+
+
 @REG.add(
     "sim_ann_ivfpq",
     _ivfpq_oracle_sql(),
@@ -653,30 +694,15 @@ def sim_ann_ivfpq(
     sf_dir: str,
     probes: int = IVFPQ_PROBES,
     rerank: int = IVFPQ_RERANK,
+    index: tuple[list[list[float]], DataFrame, list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """``probes``/``rerank`` widen the coarse probe / ADC shortlist for
-    scale and sensitivity runs (the matryoshka-kwargs pattern); the
-    registered driver query uses the module defaults, which the oracle
-    mirrors as literals."""
-    cells = _cells_data(spark, sf_dir)
-    cells_arr = F.array(*[_lit_vec(c) for c in cells])
+    scale and sensitivity runs (the matryoshka-kwargs pattern);
+    ``index`` injects a pre-built ivfpq_index for the bench's stage
+    split.  The registered driver query uses the module defaults and
+    builds its own index, which the oracle mirrors as literals."""
+    cells, resid, cbr = index if index is not None else ivfpq_index(spark, sf_dir)
     unit = _unit(spark, sf_dir)
-    # MATERIALIZE (vec_id, cell, r): Catalyst's projection collapse
-    # would otherwise inline the residual construction — including the
-    # 16-cell argmax inside it — into EVERY downstream reference (each
-    # of the 8 sub-slices x 16 candidate folds of the encode), a ~100x
-    # per-row blowup.  Same family as the explode-of-projected-array
-    # trap (SCALE.md round-5 find); found here by the scale protocol
-    # when the x10 point hung.
-    resid = (
-        unit.withColumn("cell", _argmax_cell(F.col("u"), cells))
-        .withColumn(
-            "r", F.zip_with("u", F.element_at(cells_arr, F.col("cell") + 1), lambda x, y: x - y)
-        )
-        .localCheckpoint(eager=True)
-    )
-    rsubs = _subs_df(resid, col="r")
-    cbr = _train_on(rsubs, PQ_ITERS, offset=IVF_CELLS)
 
     corpus = resid.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -186,6 +186,7 @@ def main() -> None:
             "headline_v3_total": payload.get("headline_v3_total"),
             "headline_v4_total": payload.get("headline_v4_total"),
             "headline_v5_total": payload.get("headline_v5_total"),
+            "pq_stage_split": payload.get("pq_stage_split"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
             "streaming_uncontended": payload.get("streaming_uncontended"),
@@ -236,6 +237,39 @@ def main() -> None:
     timings_v5 = run_series(names_v5, passes=1)
     result["headline_v5_total"] = round(sum(timings_v5.values()), 3)
     result["queries_v5"] = timings_v5
+    emit(result)
+
+    # PQ-family stage split (round-6 VERDICT #4): the v5 walls above are
+    # ~90% FIXED codebook training; emit train/build vs encode+search
+    # separately so a reader can't attribute the training wall to the
+    # search path (search-time claims in README/SCALE cite these rows).
+    try:
+        from banking_streamprocessing_demos_spark.operators import pq as pqmod
+
+        split: dict[str, dict[str, float]] = {}
+        t0 = time.perf_counter()
+        cb = pqmod.pq_train(spark, sf_dir)
+        tr = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = len(pqmod.sim_ann_pq(spark, sf_dir, cb=cb).collect())
+        split["sim_ann_pq"] = {
+            "train_s": tr,
+            "encode_search_s": round(time.perf_counter() - t0, 3),
+        }
+        print(f"# pq split sim_ann_pq: train {tr}s, search ({n} rows)", file=sys.stderr)
+        t0 = time.perf_counter()
+        idx = pqmod.ivfpq_index(spark, sf_dir)
+        tb = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = len(pqmod.sim_ann_ivfpq(spark, sf_dir, index=idx).collect())
+        split["sim_ann_ivfpq"] = {
+            "train_s": tb,
+            "encode_search_s": round(time.perf_counter() - t0, 3),
+        }
+        print(f"# pq split sim_ann_ivfpq: build {tb}s, search ({n} rows)", file=sys.stderr)
+        result["pq_stage_split"] = split
+    except Exception as exc:  # never lose earlier numbers to the split probe
+        result["pq_stage_split"] = {"error": str(exc)[:200]}
     emit(result)
 
     for key, kwargs in (
