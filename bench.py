@@ -130,6 +130,16 @@ HEADLINE_V5 = [
     "sim_ann_matryoshka",
 ]
 
+# Sixth series (round 7+): round-7 batch additions — own
+# round-over-round track.  (streaming_keep_best is exercised by the
+# driver correctness run; streaming ops are not re-timed here.)
+HEADLINE_V6 = [
+    # the composed curation DAG: gate + keep-best dedup + BPE fit/meter
+    # + curriculum pack + epoch plan as ONE job with checkpointed stage
+    # boundaries — its wall should track ~the sum of its stages
+    "pipe_curate_end_to_end",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,6 +154,7 @@ def main() -> None:
     names_v3 = [n for n in HEADLINE_V3 if n in qs]
     names_v4 = [n for n in HEADLINE_V4 if n in qs]
     names_v5 = [n for n in HEADLINE_V5 if n in qs]
+    names_v6 = [n for n in HEADLINE_V6 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -186,6 +197,7 @@ def main() -> None:
             "headline_v3_total": payload.get("headline_v3_total"),
             "headline_v4_total": payload.get("headline_v4_total"),
             "headline_v5_total": payload.get("headline_v5_total"),
+            "headline_v6_total": payload.get("headline_v6_total"),
             "pq_stage_split": payload.get("pq_stage_split"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
@@ -237,6 +249,11 @@ def main() -> None:
     timings_v5 = run_series(names_v5, passes=1)
     result["headline_v5_total"] = round(sum(timings_v5.values()), 3)
     result["queries_v5"] = timings_v5
+    emit(result)
+
+    timings_v6 = run_series(names_v6, passes=1)
+    result["headline_v6_total"] = round(sum(timings_v6.values()), 3)
+    result["queries_v6"] = timings_v6
     emit(result)
 
     # PQ-family stage split (round-6 VERDICT #4): the v5 walls above are

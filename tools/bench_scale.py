@@ -220,6 +220,12 @@ FAMILIES: dict[str, dict] = {
     # so the iterated vocab folds are genuinely exercised too
     "pipe_bpe_merges": {},
     "pipe_bpe_encode": {},
+    # round-7: the composed end-to-end curation DAG (gate -> keep-best
+    # dedup -> BPE fit/meter -> curriculum pack -> epoch plan) — the
+    # sweep answers whether the COMPOSITION stays <= the sum of its
+    # measured stages (re-execution would show up as superlinearity
+    # the components don't have)
+    "pipe_curate_end_to_end": {},
     # ANN family
     "sim_ann_ivf": {},
     "sim_ann_lsh": {},
