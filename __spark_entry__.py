@@ -71,6 +71,7 @@ _PROMOTED_NEVER_CHECKED = [
 _ROUND_NEW: list[str] = [
     "pipe_curate_end_to_end",
     "streaming_keep_best",
+    "sim_ann_opq",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -89,7 +90,6 @@ _FLAGSHIP_REFRESH = [
     "streaming_curriculum_histogram",
     "text_boilerplate_strip",
     "dedup_keep_best",
-    "text_tfidf_topk",
     "pack_sequences",
     "sketch_hll_distinct",
     "pipe_epoch_plan",
@@ -158,6 +158,7 @@ _DEMOTED_TAIL = [
     "streaming_reservoir_sample",
     "streaming_heavy_hitters",
     # demoted after earning r4 driver rows
+    "text_tfidf_topk",
     "w2_latency_quantiles",
     "a12_exact_group_median",
     "f13_morton_code",

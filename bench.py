@@ -138,6 +138,9 @@ HEADLINE_V6 = [
     # + curriculum pack + epoch plan as ONE job with checkpointed stage
     # boundaries — its wall should track ~the sum of its stages
     "pipe_curate_end_to_end",
+    # OPQ-style rotated PQ (random-rotation baseline, recall-neutral on
+    # this isotropic corpus by construction — pinned in test_pq.py)
+    "sim_ann_opq",
 ]
 
 

@@ -289,3 +289,50 @@ def test_ivfpq_widened_funnel_degenerates_to_bruteforce(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_opq_rotation_is_orthonormal_and_preserves_dots(spark):
+    """The seeded rotation must be orthonormal to ~literal-rounding
+    precision (rows unit-norm, pairwise orthogonal), so rotated ADC
+    scores estimate the SAME dot products flat PQ estimates and the
+    exact rerank needs no inverse transform."""
+    from banking_streamprocessing_demos_spark.operators.pq import _OPQ_R, DIMS
+
+    assert len(_OPQ_R) == DIMS and all(len(r) == DIMS for r in _OPQ_R)
+    for i in range(0, DIMS, 13):
+        for j in range(i, DIMS, 17):
+            d = sum(a * b for a, b in zip(_OPQ_R[i], _OPQ_R[j]))
+            want = 1.0 if i == j else 0.0
+            assert abs(d - want) < 1e-6, (i, j, d)
+
+
+def test_opq_recall_matches_flat_pq(spark):
+    """On this corpus's ISOTROPIC embeddings rotation has nothing to
+    balance, so OPQ's recall must sit at flat PQ's level (the honest
+    no-gain caveat, pinned like Matryoshka's floor): same floor, and
+    within 0.15 of flat PQ either way."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_opq
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    flat = {(r["query_id"], r["neighbor_id"]) for r in sim_ann_pq(spark, SF_SMALL).collect()}
+    opq = {(r["query_id"], r["neighbor_id"]) for r in sim_ann_opq(spark, SF_SMALL).collect()}
+    r_flat = len(exact & flat) / len(exact)
+    r_opq = len(exact & opq) / len(exact)
+    assert r_opq >= 0.6, f"opq recall {r_opq:.2f}"
+    assert abs(r_opq - r_flat) <= 0.15, f"flat {r_flat:.2f} vs opq {r_opq:.2f}"
+
+
+def test_opq_plan_shape(spark):
+    """Same scale contract as flat PQ: broadcast query side, no
+    cartesian, bounded shuffle budget; the rotated table reads from its
+    checkpoint (no parquet re-scan of embeddings in the search plan
+    beyond the rerank's vector store)."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_opq
+
+    df = sim_ann_opq(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffles(df) <= 6, plan[:2000]
