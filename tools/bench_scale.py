@@ -234,6 +234,9 @@ FAMILIES: dict[str, dict] = {
     # corpus-proportional sizing rule exists for this family)
     "sim_ann_pq": {},
     "sim_ann_ivfpq": {},
+    # round-7: OPQ random-rotation baseline — one extra in-row 64x64
+    # fold at encode; wall should track flat PQ + a constant
+    "sim_ann_opq": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
     # semantic near-dup clustering (round-4 plan: cosine scored inside
     # the bucket join) — bits sized by the production auto_lsh_bits rule
