@@ -85,9 +85,17 @@ def _lit_vec(vals: list[float]):
 
 def _self_dot(c: list[float]) -> float:
     """|c|^2 as the engine would fold it: left-associative from 0.0.
-    Python floats ARE IEEE doubles, so this is bit-identical to
-    DuckDB's list_dot_product(c, c) on the same literals — safe to
-    precompute driver-side and embed as a plan literal."""
+    Python floats ARE IEEE doubles.  CAVEAT (round-7 rotation fuzz
+    finding): DuckDB's list_dot_product is NOT guaranteed bit-identical
+    to this sequential fold on arbitrary doubles — it can differ by
+    1 ULP (FMA/pairwise internally).  The PQ codebook values this
+    feeds are 6dp-rounded at every stage boundary, so a ULP flips the
+    compared ROUND(d, 6) only on a measure-zero boundary (~1e-11 per
+    value); the trajectory has hash-matched across every round and the
+    kmeans fuzz grid (dyadic components, exact arithmetic) pins the
+    fold logic itself.  NEW oracles that dot literal rows against raw
+    doubles must use the explicit a+b+c term-chain form instead (see
+    _opq_oracle_sql)."""
     acc = 0.0
     for x in c:
         acc = acc + x * x
@@ -906,6 +914,20 @@ def _opq_oracle_sql() -> str:
     rows = ", ".join(
         "[" + ", ".join(repr(x) for x in row) + "]" for row in _OPQ_R
     )
+    # EXPLICIT left-associative term sum, NOT list_dot_product: the
+    # rotation fuzz (tests/test_pq_fuzz.py) proved list_dot_product can
+    # differ from the sequential fold by 1 ULP (FMA/pairwise summation
+    # internally), and a ULP at a 6dp rounding boundary would desync
+    # the trained codebooks between engines.  A parsed a+b+c chain is
+    # left-associative and sequentially evaluated in both engines, so
+    # this form is bit-identical to Spark's F.aggregate fold.  The
+    # literal matrix is CAST to DOUBLE[][] explicitly: bare numeric
+    # literals parse as DECIMAL when they fit 18 digits, and a chain
+    # evaluated in exact DECIMAL then ROUNDed can disagree with the
+    # double fold at a 6dp boundary — the cast pins the whole
+    # computation to IEEE double arithmetic (fuzz-pinned in
+    # tests/test_pq_fuzz.py).
+    terms = " + ".join(f"row[{i + 1}] * u[{i + 1}]" for i in range(DIMS))
     return (
         f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -914,8 +936,8 @@ def _opq_oracle_sql() -> str:
           FROM e),
     r AS (
         SELECT vec_id,
-               list_transform([{rows}],
-                              row -> ROUND(list_dot_product(row, u), 6)) AS ru
+               list_transform(CAST([{rows}] AS DOUBLE[][]),
+                              row -> ROUND({terms}, 6)) AS ru
         FROM n
     ),
     subs AS (

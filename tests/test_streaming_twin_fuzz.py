@@ -74,3 +74,34 @@ def test_streaming_bpe_encode_matches_batch_on_random_corpora(spark, corpus) -> 
         for r in pipe_bpe_encode(spark, sf).collect()
     }
     assert streamed == batch
+
+
+@settings(max_examples=4, deadline=None)
+@given(docs)
+def test_streaming_keep_best_matches_batch_on_random_corpora(spark, corpus) -> None:
+    """Representative maintenance is a pure windowed argmax (no
+    arrival-order state), so every CLOSED window must match the batch
+    run of the same job bit-for-bit — including on adversarial tokens
+    (embedded \\r/\\t is exactly where the signature md5s would diverge
+    if the gram expressions drifted between the paths)."""
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        SENTINEL_ORD,
+        streaming_keep_best_q,
+        _replay_corpus,
+    )
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_keep_best
+
+    sf = _write_docs(spark, corpus)
+    streamed = {
+        (r.window_start_ms, r.sig_key): (r.doc_id, r.word_count, r.n_members)
+        for r in streaming_keep_best_q(spark, sf).collect()
+    }
+    # batch run of the SAME job over the same replay (sentinel's
+    # never-closed window excluded — the stream cannot emit it)
+    batch_rows = streaming_keep_best(_replay_corpus(spark, sf)).collect()
+    batch = {
+        (r.window_start_ms, r.sig_key): (r.doc_id, r.word_count, r.n_members)
+        for r in batch_rows
+        if r.doc_id < SENTINEL_ORD
+    }
+    assert streamed == batch
