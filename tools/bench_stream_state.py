@@ -114,6 +114,36 @@ def dedup_state_curve(spark, n_keys: int) -> dict:
     return r
 
 
+def keep_best_state_curve(spark, n_keys: int) -> dict:
+    """Round-7 twin: streaming_keep_best (windowed struct-MAX argmax per
+    (window, signature) key).  State = in-flight windows x distinct
+    signature keys — ONE row per key regardless of how many cluster
+    members arrive, and eviction follows the watermark.  A rate source
+    cycles n_keys distinct >=NGRAM_N-word documents under 10 s windows
+    / 5 s delay, so the bound is ~2 windows x min(n_keys, window
+    arrivals)."""
+    from banking_streamprocessing_demos_spark.streaming.jobs import streaming_keep_best
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", DEDUP_RATE)
+        .load()
+    )
+    docs = rate.select(
+        F.col("value").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma "), (F.col("value") % n_keys).cast("string")
+        ).alias("text"),
+        F.col("timestamp").alias("ingest_ts"),
+    )
+    out = streaming_keep_best(docs, window="10 seconds", delay="5 seconds")
+    r = _run_and_sample(out, f"keepbest-{n_keys}")
+    r["n_keys"] = n_keys
+    # ~(open + not-yet-evicted) windows x keys-per-window
+    r["horizon_bound"] = 2 * min(n_keys, DEDUP_RATE * 10)
+    return r
+
+
 def detector_state_curve(spark, timeout_s: int) -> dict:
     from banking_streamprocessing_demos_spark.config import GeneratorConfig
     from banking_streamprocessing_demos_spark.sources.rate_stream import (
@@ -145,9 +175,27 @@ def detector_state_curve(spark, timeout_s: int) -> dict:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "BENCH_stream_state.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "BENCH_stream_state.json"
     spark = get_spark("bench-stream-state")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--keep-best" in sys.argv:
+        # run ONLY the round-7 keep_best family and merge it into the
+        # existing artifact (the dedup/detector curves are
+        # corpus-independent and stay valid across rounds)
+        kb = {}
+        for n_keys in (1_000, 10_000, 100_000):
+            kb[str(n_keys)] = r = keep_best_state_curve(spark, n_keys)
+            print(f"# keep_best n_keys={n_keys}: {r}", file=sys.stderr)
+        with open(out) as f:
+            payload = json.load(f)
+        payload["keep_best"] = kb
+        payload["keep_best_rate_eps"] = DEDUP_RATE
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(json.dumps({"metric": payload["metric"], "out": out, "added": "keep_best"}))
+        return
 
     dedup = {}
     for n_keys in (1_000, 10_000, 100_000):
