@@ -69,6 +69,22 @@ _HEX_DECODE = " + ".join(
 # shared shingle SQL / DataFrame builders
 # ---------------------------------------------------------------------------
 
+def _shingles_raw_sql(docs_rel: str = "documents") -> str:
+    """The ``shingles_raw`` CTE alone — per-doc DISTINCT word-NGRAM_N-gram
+    shingles.  SINGLE textual source for every oracle that shingles a
+    corpus (the batch chain below, the streaming minhash/keep-best
+    replays): the gram expression is byte-sensitive (it feeds md5), so
+    hand-synced copies are exactly how engines drift apart."""
+    gram = " || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))
+    return f"""shingles_raw AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, {gram} AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {docs_rel}),
+                 UNNEST(range(1, len(words) - {NGRAM_N} + 2)) AS t(i)
+        )
+    )"""
+
+
 def _shingles_sql(df_cap: int = SHINGLE_DF_CAP, docs_rel: str = "documents") -> str:
     """CTE chain: raw distinct shingles, hot (df > cap) stop-shingles,
     df-capped ``shingles``, and per-doc ``sizes`` over the capped set.
@@ -77,13 +93,7 @@ def _shingles_sql(df_cap: int = SHINGLE_DF_CAP, docs_rel: str = "documents") -> 
     ``docs_rel`` scopes the corpus (pipe_curate_end_to_end shingles the
     GATED survivor set, not the raw table)."""
     return f"""
-    shingles_raw AS (
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {docs_rel}),
-                 UNNEST(range(1, len(words) - 1)) AS t(i)
-        )
-    ),
+    {_shingles_raw_sql(docs_rel)},
     hot AS (SELECT s FROM shingles_raw GROUP BY s HAVING COUNT(*) > {df_cap}),
     shingles AS (SELECT * FROM shingles_raw ANTI JOIN hot USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)

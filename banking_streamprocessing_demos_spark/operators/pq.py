@@ -522,20 +522,25 @@ def _adc_pq_scored(
     sf_dir: str,
     unit: DataFrame,
     cb: list[list[list[float]]] | None = None,
+    frame: DataFrame | None = None,
+    col: str = "u",
 ) -> DataFrame:
-    """Train + encode + ADC-score the flat-PQ candidates: returns the
+    """Train + encode + ADC-score the PQ candidates: returns the
     (query_id, neighbor_id, adc_score) frame ahead of the funnel —
     split out so the sensitivity harness can sweep shortlist depth
-    without retraining per setting."""
+    without retraining per setting, and so sim_ann_opq runs the
+    IDENTICAL encode/LUT/score/join block over its rotated table
+    (``frame``/``col``) instead of a hand-synced copy."""
     if cb is None:
         cb = pq_train(spark, sf_dir)
-    corpus = unit.select(
+    src_frame = frame if frame is not None else unit
+    corpus = src_frame.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)]).alias("codes"),
+        F.array(*[_argmin_code(_sub(col, m), cb[m]) for m in range(PQ_M)]).alias("codes"),
     )
-    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+    q = src_frame.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        _lut_expr(cb).alias("lut"),
+        _lut_expr(cb, col=col).alias("lut"),
     )
     score = F.round(reduce(lambda a, b: a + b, _adc_terms()), 6)
     return corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
@@ -991,18 +996,6 @@ def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = unit.select("vec_id", _opq_rotate_expr("u").alias("ru")).localCheckpoint(
         eager=True
     )
-    subs = _subs_df(rot, col="ru")
-    cb = _train_on(subs, PQ_ITERS)
-    corpus = rot.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.array(*[_argmin_code(_sub("ru", m), cb[m]) for m in range(PQ_M)]).alias("codes"),
-    )
-    q = rot.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        _lut_expr(cb, col="ru").alias("lut"),
-    )
-    score = F.round(reduce(lambda a, b: a + b, _adc_terms()), 6)
-    scored = corpus.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("adc_score", score)
+    cb = _train_on(_subs_df(rot, col="ru"), PQ_ITERS)
+    scored = _adc_pq_scored(spark, sf_dir, unit, cb=cb, frame=rot, col="ru")
     return _shortlist_rerank(scored, unit)

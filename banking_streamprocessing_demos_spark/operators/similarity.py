@@ -234,8 +234,8 @@ def rank_cells(
                 .select(
                     "cell_id",
                     "group_id",
-                    # eps guard: zero JL-norm seed would make gcos NaN,
-                    # which sorts above real scores under desc order
+                    # eps guard: zero JL-norm seed would throw
+                    # DIVIDE_BY_ZERO under ANSI (NULL if non-ANSI)
                     (_dot("jcv", "gv") / F.greatest(F.col("gn"), F.lit(1e-12))).alias(
                         "gcos"
                     ),
@@ -271,14 +271,20 @@ def rank_cells(
                 .select(
                     "vec_id",
                     "cell_id",
-                    (_dot("jv", "jcv") / F.col("jcn")).alias("cell_cos"),
+                    (_dot("jv", "jcv") / F.greatest(F.col("jcn"), F.lit(1e-12))).alias(
+                        "cell_cos"
+                    ),
                 )
             )
         else:
             # the vector's own JL norm is constant within its ranking
             # group, so only the centroid norm matters for the ordering
             jl_scores = jv_n.join(F.broadcast(jv_c), F.lit(True)).select(
-                "vec_id", "cell_id", (_dot("jv", "jcv") / F.col("jcn")).alias("cell_cos")
+                "vec_id",
+                "cell_id",
+                (_dot("jv", "jcv") / F.greatest(F.col("jcn"), F.lit(1e-12))).alias(
+                    "cell_cos"
+                ),
             )
         wj = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
         short = (
@@ -830,10 +836,12 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
             "query_id",
             "neighbor_id",
             # greatest(…, eps): a vector whose 16-dim sign projection
-            # cancels to zero has jn == 0 — the raw division would yield
-            # NaN, which sorts ABOVE every real value under desc order
-            # and fills the shortlist with arbitrary candidates; with
-            # the guard the (zero) dot gives jl_cos = 0 instead
+            # cancels to zero has jn == 0 — under this session's ANSI
+            # mode the raw division THROWS DIVIDE_BY_ZERO and kills the
+            # whole query (non-ANSI would yield NULL); with the guard
+            # the (zero) dot gives jl_cos = 0 and the degenerate vector
+            # simply ranks last.  Same guard on every JL-norm division
+            # in this file
             (
                 _dot("qjv", "cjv")
                 / F.greatest(F.col("qjn") * F.col("cjn"), F.lit(1e-12))

@@ -49,7 +49,7 @@ from .dedup import (
     NGRAM_N,
     minhash_lsh_oracle,  # noqa: F401  (doc pointer: shared constants family)
 )
-from .dedup import _minhash_sig_sql, _band_sql
+from .dedup import _band_sql, _minhash_sig_sql, _shingles_raw_sql
 from .message_domain import CFG, _PRELUDE, _events
 from .sketches import (
     CMS_D,
@@ -169,13 +169,7 @@ def _streaming_minhash_oracle() -> str:
     # same md5, same affine permutation family, same band hashing.
     return f"""
     WITH {_REPLAY_DOCS_SQL},
-    shingles_raw AS (
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, {" || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))} AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM replay),
-                 UNNEST(range(1, len(words) - {NGRAM_N} + 2)) AS t(i)
-        )
-    ),
+    {_shingles_raw_sql(docs_rel='replay')},
     {_minhash_sig_sql()},
     bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(MINHASH_BANDS))}),
     owned AS (SELECT band, bucket, MIN(doc_id) AS owner FROM bands GROUP BY band, bucket),
@@ -232,13 +226,7 @@ def _streaming_keep_best_oracle() -> str:
 
     return f"""
     WITH {_REPLAY_DOCS_SQL},
-    shingles_raw AS (
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, {" || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))} AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM replay),
-                 UNNEST(range(1, len(words) - {NGRAM_N} + 2)) AS t(i)
-        )
-    ),
+    {_shingles_raw_sql(docs_rel='replay')},
     {_minhash_sig_sql()},
     keys AS (SELECT doc_id, {_sig_key_sql()} AS sig_key FROM sigs),
     wc AS (
@@ -587,16 +575,10 @@ def streaming_pq_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_contamination_oracle() -> str:
-    from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU, NGRAM_N as _N
+    from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU
 
     return f"""
-    WITH shingles_raw AS (
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, {" || ' ' || ".join(f"words[i+{k}]" for k in range(NGRAM_N))} AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-                 UNNEST(range(1, len(words) - {_N} + 2)) AS t(i)
-        )
-    ),
+    WITH {_shingles_raw_sql()},
     bench AS (
         SELECT DISTINCT s FROM shingles_raw WHERE doc_id % {CONTAM_BENCH_MOD} = 0
     ),

@@ -276,6 +276,9 @@ def main() -> None:
             "train_s": tr,
             "encode_search_s": round(time.perf_counter() - t0, 3),
         }
+        # publish incrementally: an ivfpq failure below must not discard
+        # the flat-PQ split already measured
+        result["pq_stage_split"] = split
         print(f"# pq split sim_ann_pq: train {tr}s, search ({n} rows)", file=sys.stderr)
         t0 = time.perf_counter()
         idx = pqmod.ivfpq_index(spark, sf_dir)
@@ -289,7 +292,8 @@ def main() -> None:
         print(f"# pq split sim_ann_ivfpq: build {tb}s, search ({n} rows)", file=sys.stderr)
         result["pq_stage_split"] = split
     except Exception as exc:  # never lose earlier numbers to the split probe
-        result["pq_stage_split"] = {"error": str(exc)[:200]}
+        split["error"] = str(exc)[:200]
+        result["pq_stage_split"] = split
     emit(result)
 
     for key, kwargs in (

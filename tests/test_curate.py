@@ -87,17 +87,20 @@ def test_epoch_plan_bounds(curated):
 
 
 def test_bpe_token_counts_at_least_word_counts(spark, curated):
-    """BPE metering: each whitespace word encodes to >= 1 subword
-    token, so a doc's BPE token count is >= its word count."""
+    """BPE metering: each NONEMPTY whitespace word encodes to >= 1
+    subword token, so a doc's BPE token count is >= its nonempty word
+    count.  (Counted over nonempty split tokens, not spaces+1: the
+    encode joins only length>0 words, so text with doubled/leading
+    whitespace would make a spaces+1 bound spuriously strict.)"""
     from pyspark.sql import functions as F
 
     from banking_streamprocessing_demos_spark.sources.tables import load_table
 
-    spaces = F.length(F.col("text")) - F.length(F.expr("replace(text, ' ', '')"))
+    nonempty = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
     wc = {
         r["doc_id"]: r["wc"]
         for r in load_table(spark, SF_SMALL, "documents")
-        .select("doc_id", (spaces + 1).alias("wc"))
+        .select("doc_id", nonempty.alias("wc"))
         .collect()
     }
     for r in curated:

@@ -183,13 +183,17 @@ def main() -> None:
     if "--keep-best" in sys.argv:
         # run ONLY the round-7 keep_best family and merge it into the
         # existing artifact (the dedup/detector curves are
-        # corpus-independent and stay valid across rounds)
+        # corpus-independent and stay valid across rounds).  Open and
+        # validate the artifact BEFORE the ~2 min of measurement so a
+        # missing/foreign file fails fast instead of discarding data.
+        with open(out) as f:
+            payload = json.load(f)
+        if "metric" not in payload:
+            raise SystemExit(f"{out} is not a stream-state artifact")
         kb = {}
         for n_keys in (1_000, 10_000, 100_000):
             kb[str(n_keys)] = r = keep_best_state_curve(spark, n_keys)
             print(f"# keep_best n_keys={n_keys}: {r}", file=sys.stderr)
-        with open(out) as f:
-            payload = json.load(f)
         payload["keep_best"] = kb
         payload["keep_best_rate_eps"] = DEDUP_RATE
         with open(out, "w") as f:
