@@ -968,6 +968,23 @@ def _opq_oracle_sql() -> str:
     )
 
 
+def opq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """The OPQ BUILD stage — materialized rotated table + codebook
+    trained on it — split out for the bench's train/search stage
+    separation (the ivfpq_index pattern)."""
+    unit = _unit(spark, sf_dir)
+    # materialize (vec_id, ru) before the training/encode fan-out:
+    # sibling of the IVF-PQ residual checkpoint — projection collapse
+    # would inline the 64x64 rotation into every downstream reference
+    rot = unit.select("vec_id", _opq_rotate_expr("u").alias("ru")).localCheckpoint(
+        eager=True
+    )
+    return rot, _train_on(_subs_df(rot, col="ru"), PQ_ITERS)
+
+
+
 @REG.add(
     "sim_ann_opq",
     _opq_oracle_sql(),
@@ -988,14 +1005,12 @@ def _opq_oracle_sql() -> str:
     "rotation is recall-NEUTRAL by construction (nothing to balance); "
     "the equivalence with flat PQ is pinned in tests/test_pq.py.",
 )
-def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_opq(
+    spark: SparkSession,
+    sf_dir: str,
+    index: tuple[DataFrame, list[list[list[float]]]] | None = None,
+) -> DataFrame:
     unit = _unit(spark, sf_dir)
-    # materialize (vec_id, ru) before the training/encode fan-out:
-    # sibling of the IVF-PQ residual checkpoint — projection collapse
-    # would inline the 64x64 rotation into every downstream reference
-    rot = unit.select("vec_id", _opq_rotate_expr("u").alias("ru")).localCheckpoint(
-        eager=True
-    )
-    cb = _train_on(_subs_df(rot, col="ru"), PQ_ITERS)
+    rot, cb = index if index is not None else opq_index(spark, sf_dir)
     scored = _adc_pq_scored(spark, sf_dir, unit, cb=cb, frame=rot, col="ru")
     return _shortlist_rerank(scored, unit)

@@ -291,6 +291,17 @@ def main() -> None:
         }
         print(f"# pq split sim_ann_ivfpq: build {tb}s, search ({n} rows)", file=sys.stderr)
         result["pq_stage_split"] = split
+        t0 = time.perf_counter()
+        oidx = pqmod.opq_index(spark, sf_dir)
+        to = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = len(pqmod.sim_ann_opq(spark, sf_dir, index=oidx).collect())
+        split["sim_ann_opq"] = {
+            "train_s": to,
+            "encode_search_s": round(time.perf_counter() - t0, 3),
+        }
+        result["pq_stage_split"] = split
+        print(f"# pq split sim_ann_opq: build {to}s, search ({n} rows)", file=sys.stderr)
     except Exception as exc:  # never lose earlier numbers to the split probe
         split["error"] = str(exc)[:200]
         result["pq_stage_split"] = split
