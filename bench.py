@@ -263,10 +263,13 @@ def main() -> None:
     # ~90% FIXED codebook training; emit train/build vs encode+search
     # separately so a reader can't attribute the training wall to the
     # search path (search-time claims in README/SCALE cite these rows).
-    try:
-        from banking_streamprocessing_demos_spark.operators import pq as pqmod
+    # split + import live OUTSIDE the try: if the import itself raised
+    # inside, the except handler's split["error"] would NameError and
+    # abort the remaining streaming sections (round-7 ADVICE).
+    from banking_streamprocessing_demos_spark.operators import pq as pqmod
 
-        split: dict[str, dict[str, float]] = {}
+    split: dict[str, dict[str, float]] = {}
+    try:
         t0 = time.perf_counter()
         cb = pqmod.pq_train(spark, sf_dir)
         tr = round(time.perf_counter() - t0, 3)

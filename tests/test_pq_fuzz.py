@@ -171,11 +171,13 @@ def test_opq_rotation_duckdb_matches_python_fold_bitwise(u) -> None:
         assert struct.pack("<d", acc) == struct.pack("<d", g), (acc, g)
 
 
-def test_list_dot_product_is_not_a_sequential_fold() -> None:
-    """The counterexample the fuzz found, pinned as a plain test: if
-    DuckDB ever makes list_dot_product sequentially exact this starts
-    failing, which is the signal the explicit term chains COULD be
-    simplified (not that they must be)."""
+def test_list_dot_product_divergence_is_bounded() -> None:
+    """The counterexample the fuzz found, pinned as a plain test.  This
+    pins only the TOLERANCE BOUND (<=4 ULP) on the known-diverging
+    input — it does NOT detect DuckDB switching to a sequentially exact
+    kernel (exact equality trivially satisfies the bound; round-7
+    ADVICE).  The generated oracles therefore keep explicit left-assoc
+    term chains regardless of DuckDB's kernel choice."""
     import struct
 
     from banking_streamprocessing_demos_spark.operators.pq import _OPQ_R
