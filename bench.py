@@ -144,6 +144,37 @@ HEADLINE_V6 = [
 ]
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute load averages — the box-contention evidence the
+    round-7 VERDICT asked the payload to carry (three rounds running,
+    bench regressions turned out to be box noise that could only be
+    acquitted with side artifacts and commit archaeology)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
+def _prior_timings() -> dict[str, float]:
+    """Per-query walls from the previous round's committed full payload
+    (BENCH_full_local.json) — the baseline for the in-session
+    auto-re-run of suspicious movers."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full_local.json")) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, float] = {}
+    for key, val in prior.items():
+        if key.startswith("queries") and isinstance(val, dict):
+            for name, sec in val.items():
+                if isinstance(sec, (int, float)):
+                    out[name] = float(sec)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -167,19 +198,43 @@ def main() -> None:
     # two passes, min per query: pass 1 warms parquet footers/page cache
     # and codegen; pass 2 is the steady-state number a resident engine
     # would deliver
+    prior = _prior_timings()
+    reruns: dict[str, dict[str, float]] = {}
+    load_evidence: dict[str, list[float]] = {"start": _loadavg()}
+
+    def _time_one(name: str, tag: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # collect, never count(): count() lets Catalyst prune every
+        # aggregate/projection and would time a gutted plan
+        n = len(df.collect())
+        dt = time.perf_counter() - t0
+        print(f"# {tag} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        return dt
+
     def run_series(series_names: list[str], passes: int = 2) -> dict[str, float]:
         timings: dict[str, float] = {}
         for pass_i in range(passes):
             for name in series_names:
-                t0 = time.perf_counter()
-                df = qs[name](spark, sf_dir)
-                # collect, never count(): count() lets Catalyst prune every
-                # aggregate/projection and would time a gutted plan
-                n = len(df.collect())
-                dt = time.perf_counter() - t0
+                dt = _time_one(name, f"pass{pass_i}")
                 if name not in timings or dt < timings[name]:
                     timings[name] = round(dt, 3)
-                print(f"# pass{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # self-defense against box contention (round-7 VERDICT #2): any
+        # query measuring >1.5x its committed prior (and >0.5 s over it
+        # — sub-second wiggles are session noise, not contention) gets
+        # ONE same-session re-run; both samples land in the payload so
+        # a regression-vs-noise read needs no side artifacts.  The
+        # reported series value keeps min-of-samples semantics.
+        for name, first in list(timings.items()):
+            p = prior.get(name)
+            if p and first > 1.5 * p and first - p > 0.5:
+                again = _time_one(name, "rerun")
+                reruns[name] = {
+                    "first_s": first,
+                    "rerun_s": round(again, 3),
+                    "prior_s": round(p, 3),
+                }
+                timings[name] = min(first, round(again, 3))
         return timings
 
     # The driver's wall budget can kill this process at any point; the
@@ -206,6 +261,14 @@ def main() -> None:
             "streaming_join_variant": payload.get("streaming_join_variant"),
             "streaming_uncontended": payload.get("streaming_uncontended"),
             "full_payload_file": "BENCH_full_local.json",
+            # contention evidence, compressed: 1-min loadavg at start /
+            # after the v1 series / at end, plus which queries tripped
+            # the >1.5x-of-prior auto-re-run (full samples in the file)
+            "load_1m": {
+                k: (v[0] if v else None)
+                for k, v in payload.get("load_evidence", {}).items()
+            },
+            "n_reruns": len(payload.get("reruns", {})),
         }
         if len(json.dumps(c)) > 1900:  # still too wide? drop per-query detail
             c["queries"] = {"n_queries": len(payload["queries"])}
@@ -222,12 +285,16 @@ def main() -> None:
         sys.stdout.flush()
 
     timings = run_series(names)
+    load_evidence["after_v1"] = _loadavg()
     result = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # mutated in place by later series; every emit() re-serializes
+        "load_evidence": load_evidence,
+        "reruns": reruns,
     }
     emit(result)
 
@@ -349,6 +416,7 @@ def main() -> None:
     # committed-readable file; then emit a COMPACT final line (v1
     # queries + v2/v3 totals + streaming) hard-capped under the tail
     # window so the last line always parses.
+    load_evidence["end"] = _loadavg()
     get_spark("bench").sparkContext.setLogLevel("OFF")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_full_local.json"), "w") as f:
