@@ -72,6 +72,7 @@ _ROUND_NEW: list[str] = [
     "pipe_curate_end_to_end",
     "streaming_keep_best",
     "sim_ann_opq",
+    "mm_phash_dedup",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the

@@ -18,7 +18,7 @@ metadata.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -207,6 +207,209 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup detection (round-7 VERDICT #5) — the dHash /
+# aHash family standard in multimodal curation pipelines, restated for
+# the stubbed-codec environment: a real pipeline resizes the decoded
+# image to an 8x9 grayscale grid and compares adjacent cells (dHash);
+# here the "resize" is a block-mean downsample of the raw byte stream
+# into the same 8x9 grid (pure column expressions on byte slices — no
+# codec), and the comparison is the exact dHash rule.  Candidate
+# generation at scale is Manku/Jain/Das Sarma (WWW'07)-style block
+# banding: split the 64-bit hash into 8 blocks of 8 bits; a pair within
+# Hamming distance K <= 6 flips bits in at most 6 blocks, leaving >= 2
+# blocks untouched, so at least one of the C(8,2) = 28 block-PAIR keys
+# collides — candidate generation is provably LOSSLESS for K <= 6,
+# which is why the banded Spark plan can be hash-checked against a
+# brute-force all-pairs oracle.  Bucket keys are 16-bit, so expected
+# bucket size is N/65536 per table (the minhash-banding scale shape; no
+# all-pairs join anywhere).
+#
+# The corpus has no byte-near payload pairs (word-edit near-dups are
+# the minhash/ngram family's job and measured Hamming ~12-42 here — no
+# perceptual signal, by design), so the input view plants deterministic
+# "re-encode variants": a 5-char middle splice per doc_id % 8 == 1
+# image, the byte-level perturbation a real re-encoded image exhibits.
+# Planted variants measure Hamming 0-3; all other pairs >= 12 (sf0.01),
+# so K = 6 separates them with margin.
+
+PHASH_CELLS = 72  # 8 rows x 9 cols -> 64 dHash bits
+PHASH_HAM_K = 6
+PHASH_VARIANT_OFFSET = 1_000_000
+
+
+def _phash_cell_sql(payload: str, k: str, idiv: str, split_sum: Callable[[str], str]) -> tuple[str, str]:
+    """(sum, len) SQL for grid cell ``k`` (a SQL expression, possibly a
+    lambda variable) — ONE formula rendered per engine (idiv =
+    integer-division operator, split_sum = engine's sum-of-ascii-over-
+    string fragment), so the two engines cannot drift."""
+    n = f"length({payload})"
+    start = f"(({k} * {n}) {idiv} {PHASH_CELLS})"
+    end = f"((({k} + 1) * {n}) {idiv} {PHASH_CELLS})"
+    cell = f"substr({payload}, {start} + 1, {end} - {start})"
+    return split_sum(cell), f"({end} - {start})"
+
+
+def _phash_half_terms(cellref: Callable[[int], tuple[str, str]]) -> tuple[str, str]:
+    """(lo, hi) 32-bit-half SQL for the 64-bit dHash given a cell
+    reference renderer.  Bit (r, c) for r in 0..7, c in 0..7 compares
+    grid cells k = r*9+c and k+1 by integer CROSS-MULTIPLIED block
+    means (sum_a * len_b > sum_b * len_a) — exact integer arithmetic,
+    no division, bit-identical in both engines; zero-length cells
+    (payloads shorter than 72 bytes) compare 0 > 0 = false
+    deterministically."""
+    lo_terms, hi_terms = [], []
+    for r in range(8):
+        for c in range(8):
+            a, b = r * 9 + c, r * 9 + c + 1
+            bit = r * 8 + c
+            sa, la = cellref(a)
+            sb, lb = cellref(b)
+            cond = f"({sa} * {lb} > {sb} * {la})"
+            term = f"(CASE WHEN {cond} THEN CAST({1 << (bit % 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            (lo_terms if bit < 32 else hi_terms).append(term)
+    return " + ".join(lo_terms), " + ".join(hi_terms)
+
+
+def _duck_phash_halves(payload: str) -> tuple[str, str]:
+    """DuckDB renders each cell's formula inline (flat SQL; DuckDB has
+    no aggregate() HOF so the sum uses list_sum)."""
+    def split_sum(cell: str) -> str:
+        return f"COALESCE(list_sum(list_transform(string_split({cell}, ''), x -> ascii(x))), 0)"
+
+    return _phash_half_terms(
+        lambda k: _phash_cell_sql(payload, str(k), "//", split_sum)
+    )
+
+
+def _spark_phash_expr(payload: str) -> str:
+    """Spark computes the 72 (sum, len) cells ONCE into a lambda-bound
+    array, then packs the 64 bits from element_at references — the
+    let-binding-via-transform idiom.  Without it, projection collapse
+    inlines each cell's aggregate() into every comparison that reads it
+    (the round-6 projection-inlining trap): 128 full substr+split+sum
+    subtrees, a ~5 MiB codegen task binary, and ~2x the string work."""
+    def split_sum(cell: str) -> str:
+        return f"aggregate(transform(split({cell}, ''), x -> ascii(x)), 0, (acc, v) -> acc + v)"
+
+    s_expr, l_expr = _phash_cell_sql(payload, "k", "div", split_sum)
+    cells = (
+        f"transform(sequence(0, {PHASH_CELLS - 1}), "
+        f"k -> named_struct('s', CAST({s_expr} AS BIGINT), 'len', CAST({l_expr} AS BIGINT)))"
+    )
+    lo, hi = _phash_half_terms(
+        lambda k: (f"element_at(cs, {k + 1}).s", f"element_at(cs, {k + 1}).len")
+    )
+    return (
+        f"element_at(transform(array({cells}), "
+        f"cs -> named_struct('lo', {lo}, 'hi', {hi})), 1)"
+    )
+
+
+_VARIANT_SQL = (
+    "substr(text, 1, (length(text) {idiv} 2) - 1) || 'xxxxx' || "
+    "substr(text, (length(text) {idiv} 2) + 5)"
+)
+
+
+def media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash input view: image-typed media rows plus deterministic
+    re-encode variants (5-char middle splice, length-preserving for the
+    corpus's >= 48-char docs) at media_id + PHASH_VARIANT_OFFSET."""
+    doc = load_table(spark, sf_dir, "documents")
+    img = doc.filter(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
+    )
+    var = doc.filter(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + PHASH_VARIANT_OFFSET).alias("media_id"),
+        F.expr(_VARIANT_SQL.format(idiv="div")).alias("payload"),
+    )
+    return img.unionAll(var)
+
+
+@REG.add(
+    "mm_phash_dedup",
+    f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
+               {_VARIANT_SQL.format(idiv="//")} AS payload
+        FROM documents WHERE doc_id % 8 = 1
+    ),
+    ph AS (
+        SELECT media_id,
+               {_duck_phash_halves("payload")[0]} AS lo,
+               {_duck_phash_halves("payload")[1]} AS hi
+        FROM media
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {PHASH_HAM_K}
+    """,
+    doc="Perceptual-hash (dHash) image near-dup pairs: 8x9 block-mean "
+    "byte-grid -> 64-bit dHash -> Manku-style block-pair banding (28 "
+    "16-bit-key tables, LOSSLESS for Hamming <= 6 by pigeonhole) -> "
+    "exact Hamming verify.  The oracle brute-forces all pairs; equality "
+    "with the banded plan is the losslessness proof executed.  Input "
+    "plants deterministic re-encode variants (see module comment).",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the skinny (media_id, hash) table before fan-out:
+    # every downstream reference (8 block extracts, 28 band keys, the
+    # Hamming verify) would otherwise re-inline the full 72-cell sketch
+    # expression per reference (the round-6 projection-inlining trap)
+    ph = (
+        media_with_variants(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("media_id", F.expr(_spark_phash_expr("payload")).alias("h"))
+        .localCheckpoint(eager=True)
+        .select("media_id", F.col("h.lo").alias("lo"), F.col("h.hi").alias("hi"))
+    )
+    # 8 blocks of 8 bits; C(8,2)=28 block-pair keys per row.  posexplode
+    # wraps the array EXPRESSION directly (the round-5 explode trap).
+    blocks = [
+        (F.shiftright(F.col("lo"), 8 * j) if j < 4 else F.shiftright(F.col("hi"), 8 * (j - 4)))
+        .bitwiseAND(F.lit(255))
+        for j in range(8)
+    ]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                (blocks[j1] * 256 + blocks[j2]).alias("key"),
+            )
+            for t, (j1, j2) in enumerate(
+                (a, b) for a in range(8) for b in range(a + 1, 8)
+            )
+        ]
+    )
+    banded = ph.select("media_id", "lo", "hi", F.explode(keys).alias("bk")).select(
+        "media_id", "lo", "hi", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (
+                F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+                + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_K)
+    )
+    # a matching pair collides in several tables — one row per pair
+    return cand.groupBy("media_a", "media_b").agg(F.min("hamming").alias("hamming"))
 
 
 @REG.add(

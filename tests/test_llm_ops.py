@@ -94,6 +94,38 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.25, recall
 
 
+def test_phash_dedup_recall_and_losslessness(spark):
+    """mm_phash_dedup (a) finds EVERY planted re-encode variant pair
+    (recall 1.0 on the byte-perturbation class the operator exists
+    for), and (b) equals the brute-force all-pairs Hamming <= K set
+    computed by the plain-Python reference — the Manku block-pair
+    banding losslessness proof (8 blocks, <= 6 flips leave >= 2 blocks
+    untouched) executed against the Spark plan."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        PHASH_HAM_K,
+        PHASH_VARIANT_OFFSET,
+        media_with_variants,
+        mm_phash_dedup,
+    )
+    from tests.test_phash_fuzz import ref_pairs
+
+    rows = mm_phash_dedup(spark, SF_SMALL).collect()
+    got = {(r.media_a, r.media_b): r.hamming for r in rows}
+    assert all(h <= PHASH_HAM_K for h in got.values())
+
+    payloads = {
+        r.media_id: r.payload for r in media_with_variants(spark, SF_SMALL).collect()
+    }
+    planted = {
+        (mid - PHASH_VARIANT_OFFSET, mid)
+        for mid in payloads
+        if mid >= PHASH_VARIANT_OFFSET
+    }
+    assert planted, "fixture should plant re-encode variants"
+    assert planted <= set(got), "a planted variant pair was missed"
+    assert got == ref_pairs(payloads)
+
+
 def test_resize_and_frame_sampling(spark):
     """Resize: deterministic output dims and sizes.  Frame sampling: one
     video row explodes to N frame rows whose slices cover every byte of
