@@ -73,6 +73,7 @@ _ROUND_NEW: list[str] = [
     "streaming_keep_best",
     "sim_ann_opq",
     "mm_phash_dedup",
+    "streaming_mrl_assign",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the

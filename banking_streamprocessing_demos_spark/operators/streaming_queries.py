@@ -574,6 +574,117 @@ def streaming_pq_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(out_stream, "streaming_pq_assign")
 
 
+# coarse-screen membership threshold for the MRL serving twin: prefix
+# cosine >= tau admits a corpus vector to an arriving query's shortlist
+# (measured at sf0.01: sizes 0..25, mean ~7 of 500 — a realistic ~1.4%
+# coarse-screen admit rate with a non-degenerate size distribution)
+MRL_STREAM_TAU = 0.2
+
+
+def _streaming_mrl_oracle() -> str:
+    from .pq import MRL_DIMS
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM e),
+    sizes AS (
+        SELECT q.vec_id,
+               SUM(CASE WHEN ROUND(list_dot_product(q.u[1:{MRL_DIMS}], c.u[1:{MRL_DIMS}]), 6)
+                             >= {MRL_STREAM_TAU} THEN 1 ELSE 0 END) AS sz
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        GROUP BY 1
+    )
+    SELECT {INGEST_BASE_MS} + (vec_id // 60) * 60000 AS window_start_ms,
+           CAST(sz AS BIGINT) AS shortlist_size,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM sizes GROUP BY 1, 2
+    """
+
+
+@REG.add(
+    "streaming_mrl_assign",
+    _streaming_mrl_oracle(),
+    doc="MATRYOSHKA serving twin run FOR REAL (round-7 VERDICT #9 — "
+    "completes the pattern that every batch ANN family has a streaming "
+    "ingest twin): query vectors arrive as a stream and are coarse-"
+    "scored over ONLY the first MRL_DIMS prefix dimensions against the "
+    "FROZEN unit-normalized corpus index (broadcast stream-static join "
+    "— the production serving shape, where the prefix column is the "
+    "compact hot tier and the full vectors stay cold), then TWO chained "
+    "windowed aggregations maintain the per-minute histogram of coarse-"
+    "shortlist sizes — the serving-cost / screen-selectivity monitor "
+    "that tells an operator when the prefix tier stops discriminating "
+    "(sizes drifting up = rerank stage overload).  State: one counter "
+    "per in-flight (window, vec) in layer 1, at most one integer cell "
+    "per distinct size per window in layer 2; a far-future sentinel "
+    "closes every real window.  Prefix dots are 6dp-rounded with the "
+    "batch operator's exact formula (sim_ann_matryoshka's coarse pass), "
+    "so the streamed histogram hash-matches the SQL oracle.",
+)
+def streaming_mrl_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pq import MRL_DIMS, _unit
+    from .similarity import DIMS, _dot
+
+    corpus = _unit(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice("u", 1, MRL_DIMS).alias("cp"),
+    ).withColumn("one", F.lit(1))
+
+    replay = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sentinel = spark.createDataFrame(
+        [Row(vec_id=SENTINEL_ORD, v=[1.0] * DIMS)], schema="vec_id long, v array<double>"
+    )
+    replay = replay.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("vec_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "smrl-vecs-", ["ingest_ts", "vec_id"])
+    nrm = F.sqrt(_dot("v", "v"))
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+        .withColumn("qp", F.slice(F.transform("v", lambda x: x / nrm), 1, MRL_DIMS))
+        .withColumn("one", F.lit(1))
+    )
+    scored = (
+        stream.join(F.broadcast(corpus), "one")
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+        .withColumn("hit", (F.round(_dot("qp", "cp"), 6) >= MRL_STREAM_TAU).cast("long"))
+    )
+    sizes = scored.groupBy(F.window("ingest_ts", "1 minute"), "vec_id").agg(
+        F.sum("hit").alias("sz")
+    )
+    # NO sentinel filter between the stateful layers: a filter on a
+    # GROUPING column (vec_id < SENTINEL_ORD) is legally pushed by
+    # Catalyst through the aggregation, past the EventTimeWatermark
+    # node, into the source scan — the sentinel then never reaches the
+    # watermark tracker and the trailing real windows never flush
+    # (measured: 3 of 9 windows silently absent; the curriculum twin is
+    # immune only because its inter-layer filter is on an AGGREGATED
+    # verdict, which cannot push).  The sentinel's own windows never
+    # close (watermark semantics), so the post-run window filter below
+    # is a guard against flush-semantics changes, not a correctness
+    # crutch.  Layer 2 folds sizes into the per-(window, size) histogram
+    # via window_time() so it lands in the same tumbling minute.
+    agg2 = sizes.groupBy(
+        F.window(F.window_time("window"), "1 minute"),
+        F.col("sz").alias("shortlist_size"),
+    ).agg(F.count("*").alias("n_queries"))
+    out_stream = agg2.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        F.col("shortlist_size").cast("long").alias("shortlist_size"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+    )
+    out = _run_available_now(out_stream, "streaming_mrl_assign")
+    return out.filter(
+        F.col("window_start_ms") < INGEST_BASE_MS + SENTINEL_ORD * 1000
+    )
+
+
 def _streaming_contamination_oracle() -> str:
     from .dedup import CONTAM_BENCH_MOD, CONTAM_TAU
 
