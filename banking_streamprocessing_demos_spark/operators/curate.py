@@ -12,6 +12,10 @@ a single DAG:
                       offsets in BPE tokens)
                   ->  epoch/repeat plan (per-source budgets in BPE
                       tokens over the curated corpus)
+                  ->  sample materialization: epoch copies x domain-mix
+                      replicas -> shard assignment + in-shard position
+                      (the mixed, sharded write-out a training run
+                      actually consumes — round-8 extension)
 
 Composed plans rot in two specific ways this module guards against
 (both previously caught live in this repo):
@@ -61,10 +65,14 @@ from .packing import (
     CURR_TIER_STRIDE,
     EPOCH_BUDGET_FACTOR,
     MAX_EPOCHS,
+    N_SHARDS,
     SEQ_LEN,
     _epoch_u16,
+    _hex4_sql,
+    _mult_case_sql,
     exclusive_prefix_sum,
 )
+from .sketches import _hex8_sql
 from .text import _bpe_cte_stages, _quality_gate_sql
 
 REG = Registry()
@@ -126,7 +134,9 @@ def _curate_oracle_sql() -> str:
                         0) AS start_offset
         FROM tiered
     ),
-    src AS MATERIALIZED (SELECT doc_id, source FROM sdocs),
+    src AS MATERIALIZED (
+        SELECT s.doc_id, s.source, d.lang FROM sdocs s JOIN documents d USING (doc_id)
+    ),
     tot AS (
         SELECT s.source, SUM(e.n_tokens) AS t
         FROM enc e JOIN src s USING (doc_id) GROUP BY s.source
@@ -136,23 +146,56 @@ def _curate_oracle_sql() -> str:
         SELECT source,
                LEAST({MAX_EPOCHS}, ({EPOCH_BUDGET_FACTOR} * total_tokens / n_src) / t) AS r
         FROM tot, gg
+    ),
+    eplan AS (
+        SELECT o.doc_id, s.source, s.lang AS domain,
+               CAST(o.tier AS BIGINT) AS tier, o.n_tokens,
+               o.start_offset,
+               o.start_offset // {SEQ_LEN} AS start_seq,
+               (o.start_offset + o.n_tokens - 1) // {SEQ_LEN} AS end_seq,
+               (o.start_offset + o.n_tokens - 1) // {SEQ_LEN}
+                   - o.start_offset // {SEQ_LEN} + 1 AS n_seqs,
+               ROUND(rf.r, 6) AS repeat_factor,
+               CAST(FLOOR(rf.r) AS BIGINT)
+                   + CASE WHEN {_epoch_u16("o.doc_id")}
+                               < CAST(ROUND((rf.r - FLOOR(rf.r)) * 65536, 0) AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_copies,
+               (CAST(FLOOR(rf.r) AS BIGINT)
+                   + CASE WHEN {_epoch_u16("o.doc_id")}
+                               < CAST(ROUND((rf.r - FLOOR(rf.r)) * 65536, 0) AS BIGINT)
+                          THEN 1 ELSE 0 END) * o.n_tokens AS planned_tokens
+        FROM o JOIN src s ON o.doc_id = s.doc_id JOIN rf ON s.source = rf.source
+    ),
+    mix AS (
+        SELECT p0.*,
+               {_mult_case_sql("domain")} AS mult
+        FROM (SELECT eplan.*,
+                     {_hex4_sql("md5('mix-' || CAST(doc_id AS VARCHAR))")} AS u16
+              FROM eplan) p0
+    ),
+    cop AS (
+        SELECT mix.*, CAST(epoch_copy AS BIGINT) AS epoch_copy
+        FROM mix, UNNEST(range(1, n_copies + 1)) t(epoch_copy)
+    ),
+    sam AS (
+        SELECT cop.*, CAST(replica AS BIGINT) AS replica,
+               md5('currep-' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(epoch_copy AS VARCHAR) || '-'
+                   || CAST(replica AS VARCHAR)) AS sample_id
+        FROM cop, UNNEST(range(1, mult + 1)) t2(replica)
+    ),
+    sh AS (
+        SELECT sam.*, md5('shard-' || sample_id) AS hx,
+               CAST({_hex8_sql("md5('shard-' || sample_id)")} % {N_SHARDS} AS BIGINT)
+                   AS shard_id
+        FROM sam
     )
-    SELECT o.doc_id, s.source, CAST(o.tier AS BIGINT) AS tier, o.n_tokens,
-           o.start_offset,
-           o.start_offset // {SEQ_LEN} AS start_seq,
-           (o.start_offset + o.n_tokens - 1) // {SEQ_LEN} AS end_seq,
-           (o.start_offset + o.n_tokens - 1) // {SEQ_LEN}
-               - o.start_offset // {SEQ_LEN} + 1 AS n_seqs,
-           ROUND(rf.r, 6) AS repeat_factor,
-           CAST(FLOOR(rf.r) AS BIGINT)
-               + CASE WHEN {_epoch_u16("o.doc_id")}
-                           < CAST(ROUND((rf.r - FLOOR(rf.r)) * 65536, 0) AS BIGINT)
-                      THEN 1 ELSE 0 END AS n_copies,
-           (CAST(FLOOR(rf.r) AS BIGINT)
-               + CASE WHEN {_epoch_u16("o.doc_id")}
-                           < CAST(ROUND((rf.r - FLOOR(rf.r)) * 65536, 0) AS BIGINT)
-                      THEN 1 ELSE 0 END) * o.n_tokens AS planned_tokens
-    FROM o JOIN src s ON o.doc_id = s.doc_id JOIN rf ON s.source = rf.source
+    SELECT doc_id, source, domain, tier, n_tokens, start_offset, start_seq,
+           end_seq, n_seqs, repeat_factor, n_copies, planned_tokens,
+           epoch_copy, replica, sample_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY hx, sample_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sh
     """
 
 
@@ -164,9 +207,13 @@ def _curate_oracle_sql() -> str:
     "one best representative per cluster, fit the BPE tokenizer ON the "
     "curated corpus and meter every survivor in BPE tokens, curriculum-"
     "pack survivors into fixed-length training sequences (tiered by the "
-    "gate's LM score), and assign per-source epoch/repeat factors under "
-    "the token budget — one row per surviving document carrying its "
-    "tier, token count, packed-sequence span, and repeat plan.  Scale "
+    "gate's LM score), assign per-source epoch/repeat factors under "
+    "the token budget, then MATERIALIZE the training-sample manifest: "
+    "epoch copies x domain-mix replicas (pipe_domain_mix's policy), "
+    "each sample with a stable md5 id, shard of 64, and position in "
+    "shard (pipe_shard_assign's reproducible global shuffle) — one row "
+    "per final training sample carrying its doc's tier, token count, "
+    "packed-sequence span, and repeat plan.  Scale "
     "shape: each stage boundary is a SKINNY eager checkpoint (verdict, "
     "survivor ids, per-doc token counts — never text), so no stage "
     "re-executes inside a downstream fan-out (the trap the curriculum "
@@ -264,7 +311,7 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the skinny projection so the final plan contains no
     # parquet scan at all, only the stage-boundary RDDs.
     src = (
-        docs.select("doc_id", "source")
+        docs.select("doc_id", "source", "lang")
         .join(reps, "doc_id")
         .localCheckpoint(eager=True)
     )
@@ -285,12 +332,13 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     start_seq = F.expr(f"start_offset div {SEQ_LEN}")
     end_seq = F.expr(f"(start_offset + n_tokens - 1) div {SEQ_LEN}")
-    return (
+    plan = (
         packed.join(src, "doc_id")
         .join(F.broadcast(rf), "source")
         .select(
             "doc_id",
             "source",
+            F.col("lang").alias("domain"),
             "tier",
             "n_tokens",
             "start_offset",
@@ -301,4 +349,64 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_copies.alias("n_copies"),
             (n_copies * F.col("n_tokens")).alias("planned_tokens"),
         )
+    )
+
+    # STAGE 6 — materialize the training-sample manifest (round-7
+    # VERDICT #6: the real job ends in mixed, sharded output): the epoch
+    # plan's n_copies explode into per-epoch sample copies, the domain-
+    # mix multiplier (pipe_domain_mix's policy on the lang column, same
+    # 'mix' seed) replicates each copy, and every final sample gets a
+    # deterministic md5 id, an md5-derived shard of {N_SHARDS}, and a
+    # position within its shard (pipe_shard_assign's reproducible
+    # global shuffle — the only window partitions by shard_id, so
+    # shards order independently in parallel).  Both explodes are
+    # narrow maps over the already-checkpointed per-doc plan; zero
+    # additional scans.
+    mixed = plan.withColumn(
+        "u16", hex4_to_int(det_hash_hex("doc_id", seed="mix"))
+    ).withColumn("mult", F.expr(_mult_case_sql("domain")))
+    copies = mixed.select(
+        *plan.columns,
+        "mult",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1, F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("epoch_copy"),
+    )
+    samples = copies.select(
+        *plan.columns,
+        "epoch_copy",
+        F.explode(
+            F.when(
+                F.col("mult") >= 1,
+                F.sequence(F.lit(1).cast("long"), F.col("mult").cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("replica"),
+    ).withColumn(
+        "sample_id",
+        F.md5(
+            F.concat(
+                F.lit("currep-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.col("epoch_copy").cast("string"),
+                F.lit("-"),
+                F.col("replica").cast("string"),
+            )
+        ),
+    )
+    sharded = samples.withColumn(
+        "hx", F.md5(F.concat(F.lit("shard-"), F.col("sample_id")))
+    ).withColumn(
+        "shard_id", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long") % N_SHARDS
+    )
+    w = Window.partitionBy("shard_id").orderBy("hx", "sample_id")
+    return sharded.select(
+        *plan.columns,
+        "epoch_copy",
+        "replica",
+        "sample_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )

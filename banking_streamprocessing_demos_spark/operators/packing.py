@@ -160,17 +160,18 @@ def _hex4_sql(hexpr: str) -> str:
     )
 
 
-def _mult_case_sql() -> str:
+def _mult_case_sql(col: str = "lang") -> str:
     """Replica multiplier per domain: base + fractional Bernoulli via an
     INTEGER threshold on u16 (frac*65536 is exact) — no float compares,
-    bit-identical across engines."""
+    bit-identical across engines.  ``col`` names the domain column
+    (the curate DAG carries it as ``domain``)."""
     branches = []
     for lang, wgt in PIPE_MIX.items():
         base = int(wgt)
         thr = int(round((wgt - base) * 65536))
         expr = f"{base} + CASE WHEN u16 < {thr} THEN 1 ELSE 0 END" if thr else str(base)
         branches.append(f"WHEN '{lang}' THEN {expr}")
-    return "CASE lang " + " ".join(branches) + " ELSE 1 END"
+    return f"CASE {col} " + " ".join(branches) + " ELSE 1 END"
 
 
 @REG.add(

@@ -60,17 +60,83 @@ def test_no_near_duplicate_pair_survives(spark, curated):
     assert pairs.count() == 0
 
 
+def _per_doc(curated):
+    """One row per doc (the round-8 sample fan-out repeats the per-doc
+    plan columns on every sample row; they must agree across samples)."""
+    by_doc = {}
+    for r in curated:
+        prev = by_doc.setdefault(r["doc_id"], r)
+        for col in (
+            "source", "domain", "tier", "n_tokens", "start_offset",
+            "start_seq", "end_seq", "n_seqs", "repeat_factor",
+            "n_copies", "planned_tokens",
+        ):
+            assert prev[col] == r[col], (r["doc_id"], col)
+    return list(by_doc.values())
+
+
 def test_offsets_are_exact_prefix_sums(curated):
-    """start_offset must equal the running sum of n_tokens in
-    (tier, doc_id) order — the curriculum contract; spans/copies are
-    exact integer arithmetic."""
-    rows = sorted(curated, key=lambda r: (r["tier"], r["doc_id"]))
+    """start_offset must be consistent with the running sum of n_tokens
+    in (tier, doc_id) order — the curriculum contract.  Since round 8
+    the output is the SAMPLE manifest: docs planned at n_copies = 0
+    hold curriculum offsets but emit no sample rows, so the observed
+    offsets may jump forward by exactly the missing docs' tokens (never
+    backward, never overlap); exact equality over the full doc set is
+    pinned by the hash-checked oracle.  Spans/copies are exact integer
+    arithmetic."""
+    rows = sorted(_per_doc(curated), key=lambda r: (r["tier"], r["doc_id"]))
     run = 0
     for r in rows:
-        assert r["start_offset"] == run, (r["doc_id"], r["start_offset"], run)
-        run += r["n_tokens"]
+        assert r["start_offset"] >= run, (r["doc_id"], r["start_offset"], run)
+        run = r["start_offset"] + r["n_tokens"]
         assert r["n_seqs"] == r["end_seq"] - r["start_seq"] + 1
         assert r["planned_tokens"] == r["n_copies"] * r["n_tokens"]
+    # the first doc of tier 0 anchors the sum (offset gaps before it
+    # would mean phantom tokens)
+    first = rows[0]
+    if first["tier"] == 0 and first["n_copies"] > 0:
+        assert first["start_offset"] >= 0
+
+
+def test_sample_manifest_shape(curated):
+    """Round-8 sample materialization: per doc exactly n_copies x mult
+    sample rows (mult from the standalone domain-mix policy), sample
+    ids unique, and positions within each shard dense from 1."""
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        N_SHARDS,
+        PIPE_MIX,
+    )
+    import hashlib
+
+    def u16(doc_id: int) -> int:
+        return int(hashlib.md5(f"mix-{doc_id}".encode()).hexdigest()[:4], 16)
+
+    def mult(doc_id: int, domain: str) -> int:
+        w = PIPE_MIX.get(domain, 1.0)
+        base = int(w)
+        thr = int(round((w - base) * 65536))
+        return base + (1 if thr and u16(doc_id) < thr else 0)
+
+    per_doc = {}
+    for r in curated:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        expected = rows[0]["n_copies"] * mult(doc_id, rows[0]["domain"])
+        assert len(rows) == expected, (doc_id, len(rows), expected)
+        assert {(r["epoch_copy"], r["replica"]) for r in rows} == {
+            (c, k)
+            for c in range(1, rows[0]["n_copies"] + 1)
+            for k in range(1, mult(doc_id, rows[0]["domain"]) + 1)
+        }
+
+    ids = [r["sample_id"] for r in curated]
+    assert len(ids) == len(set(ids)), "sample ids must be unique"
+    by_shard = {}
+    for r in curated:
+        assert 0 <= r["shard_id"] < N_SHARDS
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 
 
 def test_epoch_plan_bounds(curated):

@@ -399,13 +399,16 @@ def test_curate_end_to_end_no_stage_reexecution(spark):
     """pipe_curate_end_to_end (the composed curation DAG): every
     expensive stage must be sealed behind its skinny checkpoint — the
     FINAL plan may contain NO parquet scan (gate/dedup/BPE/source-map
-    all read materialized stage boundaries) and NO Generate (no shingle
-    or word explode survives past its stage), so no upstream stage can
-    re-execute inside the downstream fan-out (the re-execution trap the
-    curriculum sweep caught live).  Exactly two SinglePartition
-    exchanges are budgeted, both over bounded tables: the prefix sum's
-    doubly-reduced super-bucket table and the epoch plan's grand total
-    over the per-SOURCE aggregate (rows = n_sources)."""
+    all read materialized stage boundaries) and EXACTLY TWO Generates —
+    the round-8 sample-materialization explodes (epoch copies x
+    domain-mix replicas), both narrow maps over the checkpointed
+    per-doc plan; no shingle or word explode survives past its stage,
+    so no upstream stage can re-execute inside the downstream fan-out
+    (the re-execution trap the curriculum sweep caught live).  Exactly
+    two SinglePartition exchanges are budgeted, both over bounded
+    tables: the prefix sum's doubly-reduced super-bucket table and the
+    epoch plan's grand total over the per-SOURCE aggregate (rows =
+    n_sources)."""
     from banking_streamprocessing_demos_spark.operators.curate import (
         pipe_curate_end_to_end,
     )
@@ -413,6 +416,8 @@ def test_curate_end_to_end_no_stage_reexecution(spark):
     df = pipe_curate_end_to_end(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "Scan parquet" not in plan, plan
-    assert "Generate" not in plan, plan
+    # each operator appears twice in a formatted plan (tree line +
+    # "(NNN) Generate" detail header); count the detail headers
+    assert plan.count(") Generate") == 2, plan
     assert plan.count("SinglePartition") == 2, plan
     assert_no_cartesian(df)
