@@ -74,6 +74,7 @@ _ROUND_NEW: list[str] = [
     "sim_ann_opq",
     "mm_phash_dedup",
     "streaming_mrl_assign",
+    "sim_ann_opq_trained",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the

@@ -424,13 +424,21 @@ def ivf_search(spark: SparkSession, index_dir: str, sf_dir: str, probes: int = I
     "— so unlike most ANN it is HASH-CHECKED against a full SQL oracle, not "
     "just recall-tested.",
 )
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
     """In-memory variant of the IVF search (no index materialization —
     the driver-facing query); the partitioned-layout path is exercised
-    by tests/test_llm_ops.py."""
+    by tests/test_llm_ops.py.  ``n_cells``/``probes`` let scale runs
+    apply the production ``auto_cells`` sizing rule (the _knn_kwargs
+    pattern); the registered driver query uses the oracle-pinned
+    module defaults."""
     n = _normed(spark, sf_dir)
-    assigned = assign_cells(n)
-    cents = _centroids(n)
+    assigned = assign_cells(n, n_cells)
+    cents = _centroids(n, n_cells)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -443,7 +451,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
             ),
         )
-        .filter(F.col("rn") <= IVF_PROBES)
+        .filter(F.col("rn") <= probes)
         .select("query_id", "qv", "qn", "cell_id")
     )
     cands = assigned.join(qcells, "cell_id").filter(F.col("vec_id") != F.col("query_id"))

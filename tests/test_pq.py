@@ -336,3 +336,98 @@ def test_opq_plan_shape(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     assert count_shuffles(df) <= 6, plan[:2000]
+
+
+def test_opq_trained_beats_random_rotation_on_anisotropic_fixture(spark):
+    """The round-8 trained OPQ must reproduce the paper's ordering ON
+    the anisotropic fixture: trained (Givens decorrelation + variance
+    allocation) beats the random-rotation baseline beats no rotation —
+    in quantization MSE (whole-corpus, the statistically solid
+    discriminator) and non-inferior in recall@5 at a shallow 16-deep
+    rerank (the regime where funnel slack can't mask codebook
+    quality).  numpy-prototype values at authoring time (sf0.01):
+    MSE 0.39 / 0.51 / 0.57, recall 0.76 / 0.68 / 0.68."""
+    import numpy as np
+
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        DIMS,
+        PQ_ITERS,
+        PQ_M,
+        PQ_SUBDIM,
+        _adc_pq_scored,
+        _opq_rotate_expr,
+        _shortlist_rerank,
+        _subs_df,
+        _train_on,
+        opq_trained_index,
+        sim_ann_opq_trained,
+    )
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    fix, rot_t, perm, cb_t = opq_trained_index(spark, SF_MEDIUM)
+    assert sorted(perm) == list(range(DIMS)), "allocation must be a permutation"
+
+    fv = {r["vec_id"]: np.array(r["u"]) for r in fix.collect()}
+    exact = {}
+    for q in range(N_QUERIES):
+        scores = sorted(
+            ((float(fv[i] @ fv[q]), i) for i in fv if i != q), reverse=True
+        )
+        exact[q] = {i for _, i in scores[:TOPK]}
+
+    def recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & exact[q]) for q in exact) / (
+            len(exact) * TOPK
+        )
+
+    def mse(frame, col, cb) -> float:
+        x = np.array([r[col] for r in frame.select(col).collect()])
+        err = 0.0
+        for m in range(PQ_M):
+            sub = x[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            cents = np.array(cb[m])
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            err += d.min(axis=1).sum()
+        return err / len(x)
+
+    RER = 16
+    r_tr = recall(
+        sim_ann_opq_trained(spark, SF_MEDIUM, index=(fix, rot_t, perm, cb_t), rerank=RER)
+    )
+    mse_tr = mse(rot_t, "ru", cb_t)
+
+    rot_r = fix.select("vec_id", _opq_rotate_expr("u").alias("ru")).localCheckpoint(
+        eager=True
+    )
+    cb_r = _train_on(_subs_df(rot_r, col="ru"), PQ_ITERS)
+    r_rand = recall(
+        _shortlist_rerank(
+            _adc_pq_scored(spark, SF_MEDIUM, fix, cb=cb_r, frame=rot_r, col="ru"),
+            fix,
+            shortlist_depth=RER,
+        )
+    )
+    mse_rand = mse(rot_r, "ru", cb_r)
+
+    cb_f = _train_on(_subs_df(fix), PQ_ITERS)
+    r_flat = recall(
+        _shortlist_rerank(
+            _adc_pq_scored(spark, SF_MEDIUM, fix, cb=cb_f), fix, shortlist_depth=RER
+        )
+    )
+    mse_f = mse(fix, "u", cb_f)
+
+    # the paper's ordering, with margins that survive per-round
+    # testdata regeneration
+    assert mse_tr < mse_rand - 0.03, (mse_tr, mse_rand)
+    assert mse_rand < mse_f, (mse_rand, mse_f)
+    assert r_tr >= r_rand, (r_tr, r_rand)
+    assert r_tr >= r_flat, (r_tr, r_flat)
+    assert r_tr >= 0.6, r_tr

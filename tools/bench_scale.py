@@ -634,8 +634,124 @@ def ivfpq_probe_sensitivity(
     print(f"wrote {out}")
 
 
+def ann_recall_scale(
+    base: str = "/root/testdata/sf0.1",
+    x10: str = "scale_corpus/fresh_x10",
+    x30: str = "scale_corpus/fresh_x30",
+    out: str = "BENCH_recall_scale.json",
+) -> None:
+    """ANN recall vs scale on the FRESH-VECTOR corpus (round-7 VERDICT
+    #1 — the one unmeasured axis of the 100 TB claim): the replicated
+    scale corpus is recall-degenerate (replica neighbors share the
+    query's cell, recall 1.0 everywhere), so tools/gen_scale_corpus.py
+    --fresh grows the embedding table with genuinely NEW vectors drawn
+    from the source distribution (x10 is an exact prefix of x30;
+    queries and quantizer seeds stay the replica-0 originals).  For
+    each scale point: exact brute-force top-5 baseline, then recall@5
+    + wall for the four compressed-search families.  sim_ann_ivf is
+    measured BOTH at the frozen oracle config (16 cells — the config a
+    naive scale-up would keep) and under the production auto_cells
+    sizing rule, so the artifact shows what the rule buys.
+    Run: python tools/bench_scale.py --recall"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_PROBES,
+        auto_cells,
+    )
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    exact_fn = merged["sim_topk_bruteforce"].fn
+    spark = get_spark("bench-recall-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def measure(fn, sf_dir, exact, kwargs=None):
+        t0 = time.time()
+        rows = fn(spark, sf_dir, **(kwargs or {})).collect()
+        sec = round(time.time() - t0, 3)
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return {"sec": sec, "recall_at_5": round(len(exact & got) / len(exact), 4)}
+
+    results: dict[str, dict] = {}
+    for tag, sf_dir in (("x1", base), ("x10", x10), ("x30", x30)):
+        n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        cells = auto_cells(n_vectors)
+        t0 = time.time()
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in exact_fn(spark, sf_dir).collect()
+        }
+        point: dict = {
+            "n_vectors": n_vectors,
+            "auto_cells": cells,
+            "exact_baseline_sec": round(time.time() - t0, 3),
+            "n_exact_pairs": len(exact),
+        }
+        point["sim_ann_ivf_frozen16"] = measure(
+            merged["sim_ann_ivf"].fn, sf_dir, exact
+        )
+        point["sim_ann_ivf_auto"] = measure(
+            merged["sim_ann_ivf"].fn, sf_dir, exact,
+            {"n_cells": cells, "probes": IVF_PROBES},
+        )
+        point["sim_ann_pq"] = measure(merged["sim_ann_pq"].fn, sf_dir, exact)
+        point["sim_ann_ivfpq"] = measure(merged["sim_ann_ivfpq"].fn, sf_dir, exact)
+        point["sim_ann_matryoshka"] = measure(
+            merged["sim_ann_matryoshka"].fn, sf_dir, exact
+        )
+        # the compressed-search sizing rule: funnel (shortlist) depth
+        # scales with the per-query candidate pool — frozen 64/128-deep
+        # funnels are what decays in the rows above; these rows show the
+        # scaled funnel restoring recall at the same code size
+        factor = max(1, n_vectors // 2000)
+        point["funnel_factor"] = factor
+        if factor > 1:
+            point["sim_ann_pq_scaled"] = measure(
+                merged["sim_ann_pq"].fn, sf_dir, exact, {"rerank": 64 * factor}
+            )
+            point["sim_ann_ivfpq_scaled"] = measure(
+                merged["sim_ann_ivfpq"].fn, sf_dir, exact, {"rerank": 128 * factor}
+            )
+            point["sim_ann_matryoshka_scaled"] = measure(
+                merged["sim_ann_matryoshka"].fn, sf_dir, exact,
+                {"shortlist": 128 * factor},
+            )
+        results[tag] = point
+        print(f"# {tag}: {point}", file=sys.stderr)
+
+    payload = {
+        "metric": "ann_recall_vs_scale_fresh_vectors",
+        "dirs": {"x1": base, "x10": x10, "x30": x30},
+        "frozen_config": {"ivf_cells": IVF_CELLS, "ivf_probes": IVF_PROBES},
+        "points": results,
+        "note": "recall@5 over the N_QUERIES=5 replica-0 query vectors (25 "
+        "pairs; the convention every sensitivity artifact uses) against the "
+        "exact brute-force top-5 on the same corpus; fresh-vector corpus = "
+        "new seeded per-label-Gaussian unit vectors, x10 an exact prefix of "
+        "x30.  sim_ann_ivf_frozen16 keeps the oracle's 16-cell quantizer at "
+        "every scale (what naive scale-up does); sim_ann_ivf_auto applies "
+        "auto_cells ~ N/128.  PQ/IVF-PQ/MRL base rows run their shipped "
+        "constant configs (codebook size is scale-free by design; "
+        "shortlist depths PQ_RERANK=64 / IVFPQ_RERANK=128 / "
+        "MRL_SHORTLIST=128 — the frozen-funnel decay is the measured "
+        "point); *_scaled rows apply the funnel sizing rule depth ~ "
+        "base_depth x (N / N_base), the PQ family's analog of "
+        "auto_cells.",
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({t: {k: v.get("recall_at_5") for k, v in p.items() if isinstance(v, dict)} for t, p in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    if "--ivfpq-probes" in sys.argv:
+    if "--recall" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        ann_recall_scale(*args)
+    elif "--ivfpq-probes" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         ivfpq_probe_sensitivity(*args)
     elif "--ivf-probes" in sys.argv:

@@ -26,7 +26,72 @@ import sys
 import duckdb
 
 
+def fresh_embeddings(src: str, out: str, factor: int) -> None:
+    """--fresh mode (round-7 VERDICT #1): the REPLICATED corpus is
+    degenerate for ANN recall (every replica's neighbors share its
+    quantizer cell — recall measures 1.0 at any scale), so this mode
+    grows the embedding table with genuinely NEW vectors drawn from the
+    source distribution: per-label mean + isotropic residual fitted
+    from the source, unit-normalized like the source.  Replica block k
+    uses rng seed 1000+k, so the x10 corpus is an exact prefix of the
+    x30 corpus and the recall curve compares like-for-like.  Replica 0
+    keeps the original vectors verbatim (queries vec_id < N_QUERIES and
+    quantizer seed vectors stay identical across scale points — only
+    the candidate pool grows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    vec_id = t.column("vec_id").to_numpy()
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    label = t.column("label").to_numpy()
+    n, dims = emb.shape
+    labels = np.unique(label)
+    means = {int(l): emb[label == l].mean(axis=0) for l in labels}
+    resid_std = float(
+        np.std(np.concatenate([emb[label == l] - means[int(l)] for l in labels]))
+    )
+    props = np.array([(label == l).mean() for l in labels])
+
+    out_ids = [vec_id]
+    out_emb = [emb.astype(np.float32)]
+    out_lab = [label]
+    max_vec = int(vec_id.max())
+    for k in range(1, factor):
+        rng = np.random.default_rng(1000 + k)
+        labs = rng.choice(labels, size=n, p=props)
+        mu = np.stack([means[int(l)] for l in labs])
+        v = mu + rng.standard_normal((n, dims)) * resid_std
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        out_ids.append(vec_id + k * (max_vec + 1))
+        out_emb.append(v.astype(np.float32))
+        out_lab.append(labs.astype(label.dtype))
+
+    ids = np.concatenate(out_ids)
+    vecs = np.concatenate(out_emb)
+    labs = np.concatenate(out_lab)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(labs, type=pa.int32()),
+        }
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(table, f"{out}/embeddings.parquet")
+    print(f"wrote {out}/embeddings.parquet: {len(ids)} fresh-mode vectors "
+          f"({factor}x {src}, resid_std={resid_std:.4f})")
+
+
 def main() -> None:
+    if "--fresh" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        src = args[0] if args else "/root/testdata/sf0.1"
+        out = args[1] if len(args) > 1 else "scale_corpus/fresh_x10"
+        factor = int(args[2]) if len(args) > 2 else 10
+        fresh_embeddings(src, out, factor)
+        return
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "scale_corpus/x10"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
