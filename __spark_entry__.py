@@ -55,47 +55,41 @@ _REGISTRIES = [
 # queries stay registered and are hash-verified every round by
 # tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
 # artifact records the whole registry, not just the driver's window.
-_PROMOTED_NEVER_CHECKED = [
-    # round-6 overflow (window was full; carried CORRECTNESS_FULL_r06
-    # evidence + the round-6 judge's independent rerun).  With these
-    # promoted, every registered query has driver-green evidence from
-    # some round.
-    "emb_pq_codebook",
-    "sim_ann_pq",
-    "streaming_pq_assign",
-    "sim_ann_ivfpq",
-    "sim_ann_matryoshka",
+_PROMOTED_NEVER_CHECKED: list[str] = [
+    # round-8: the queue is EMPTY — with the r7 PQ-overflow promotions
+    # every registered query now has driver-green evidence from some
+    # round (the policy's goal state); new queries enter via _ROUND_NEW
 ]
 
 # New this round — zero prior driver evidence by construction.
+# pipe_curate_end_to_end is round-7-new but was EXTENDED this round
+# (sample materialization: mix + shard; new per-sample output schema),
+# so its r7 evidence no longer covers it — it re-enters as round-new.
 _ROUND_NEW: list[str] = [
-    "pipe_curate_end_to_end",
-    "streaming_keep_best",
-    "sim_ann_opq",
     "mm_phash_dedup",
     "streaming_mrl_assign",
     "sim_ann_opq_trained",
+    "pipe_curate_end_to_end",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # round-6 window members re-earning rows (keeps each streaming-ingest
-    # family, the curation gate, and curriculum packing represented on
-    # fresh testdata), plus a recall rotation of long-demoted families
-    # (quantiles, tfidf, packing, sketches, epoch planning, exact
-    # median) so driver evidence doesn't go stale on any family
+    # r7 window members re-earning rows on this round's testdata, plus a
+    # 10-query recall rotation of long-demoted families (distinct aggs,
+    # funnels, generator alerts, langid, cluster graph, deterministic
+    # sampling, filter pushdown, upsert, streaming IVF ingest, JSON
+    # props) so no family's driver evidence goes stale; six r7 earners
+    # rest in the tail this round (streaming_token_histogram,
+    # streaming_pack_sequences, sketch_hll_distinct, pipe_epoch_plan,
+    # smp3_stratified_split, dedup_substring_spans)
     "dedup_semantic_ivf",
-    "streaming_token_histogram",
     "streaming_quality_gate",
-    "streaming_pack_sequences",
     "streaming_curriculum_histogram",
     "text_boilerplate_strip",
     "dedup_keep_best",
     "pack_sequences",
-    "sketch_hll_distinct",
-    "pipe_epoch_plan",
     "pipe_curriculum_pack",
     "streaming_sessionization",
     "streaming_doc_dedup",
@@ -116,18 +110,27 @@ _FLAGSHIP_REFRESH = [
     "w5_session_window",
     "u3_snapshot_last_event_wins",
     "u6_merge_upsert",
-    "smp3_stratified_split",
     "f_expressions",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_semantic_clusters",
-    "dedup_substring_spans",
     "text_containment",
     "contamination_check",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_knn_graph",
+    # recall rotation (returning from the demoted tail)
+    "a9_distinct_aggs",
+    "w7_funnel",
+    "gen_timeout_alerts",
+    "text_langid",
+    "dedup_clusters",
+    "smp1_deterministic_sample",
+    "p2_filter_inequality",
+    "u1_insert_or_ignore",
+    "streaming_ivf_assign",
+    "f12_json_props",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -139,6 +142,21 @@ _ROUND_OVERFLOW: list[str] = []
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # demoted after earning r7 driver rows (PQ-family promotions +
+    # round-7 news + six rested flagships)
+    "emb_pq_codebook",
+    "sim_ann_pq",
+    "streaming_pq_assign",
+    "sim_ann_ivfpq",
+    "sim_ann_matryoshka",
+    "streaming_keep_best",
+    "sim_ann_opq",
+    "streaming_token_histogram",
+    "streaming_pack_sequences",
+    "sketch_hll_distinct",
+    "pipe_epoch_plan",
+    "smp3_stratified_split",
+    "dedup_substring_spans",
     # demoted after earning r6 driver rows
     "streaming_boilerplate_strip",
     "pipe_bpe_merges",
@@ -165,13 +183,10 @@ _DEMOTED_TAIL = [
     "w2_latency_quantiles",
     "a12_exact_group_median",
     "f13_morton_code",
-    "f12_json_props",
     "w6_retention_cohorts",
     "streaming_cms_cells",
     "streaming_contamination_check",
-    "streaming_ivf_assign",
     "p1_projection_sort_limit",
-    "p2_filter_inequality",
     "p3_filter_eq_single_col",
     "p4_filter_enum",
     "p5_time_threshold",
@@ -186,29 +201,22 @@ _DEMOTED_TAIL = [
     "a4_group_stats",
     "a6_running_counters",
     "srt1_topn_by_time",
-    "smp1_deterministic_sample",
-    "u1_insert_or_ignore",
     "u4_heartbeat_rollup",
     "f8_weighted_classify",
     "w3_event_gaps",
     "a8_rollup_counts",
-    "a9_distinct_aggs",
     "a10_pivot_counts",
-    "w7_funnel",
     "w8_funnel_windowed",
     "w10_anomaly_zscore",
     "j9_full_outer_reconcile",
-    "gen_timeout_alerts",
     "gen_carrier_active_counts",
     "gen_normal_delay_snapshot",
     "gen_alert_rates_by_carrier",
     "smp2_backpressure_topup",
     "s5_console_dry_run",
     "gen_status_histogram",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact_normalized",
-    "text_langid",
     "text_token_counts",
     "text_fingerprint",
     "pipe_curation",

@@ -148,7 +148,17 @@ def _subs_df(unit: DataFrame, col: str = "u") -> DataFrame:
 def _mean_update(assigned: DataFrame) -> DataFrame:
     """(m, code, dim, comp) means over assigned sub-vectors — DECIMAL
     exact sums, 6dp-rounded, map-side-combined; output width is the
-    codebook, not the corpus."""
+    codebook, not the corpus.
+
+    KNOWN measure-zero boundary (round-8 bigram-LM fuzz finding,
+    text._avg6_sql): round6(decimal_sum/count) goes through a DOUBLE
+    division here, and at an EXACT 6dp tie DuckDB's multiply-based
+    ROUND and Spark's BigDecimal ROUND disagree.  Ties require the
+    rational sum/count to land exactly on a half-micro — unreachable
+    in practice for these 9dp-real-valued vector components (every
+    round's trajectory has hash-matched), so this keeps the simpler
+    form; _avg6_sql is the exact-integer recipe if a fixture ever
+    hits the boundary."""
     ex = assigned.select("m", "code", F.posexplode("sub").alias("d0", "comp"))
     return (
         ex.select("m", "code", (F.col("d0") + 1).alias("dim"), "comp")

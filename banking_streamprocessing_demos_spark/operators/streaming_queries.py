@@ -1227,6 +1227,7 @@ def _gate_verdict_cte_sql() -> str:
         QG_MAX_DUP_WORD,
         QG_MIN_AVG_LOGPROB,
         QG_MIN_WC,
+        _avg6_sql,
     )
 
     # frozen reference LM from the BASE corpus; survivors of first-
@@ -1257,8 +1258,8 @@ def _gate_verdict_cte_sql() -> str:
     lm AS (
         SELECT d.doc_id,
                CAST(COUNT(l.logp) AS BIGINT) AS n_bigrams,
-               CAST(ROUND(CAST(SUM(l.logp) AS DOUBLE) / COUNT(l.logp), 6) AS DOUBLE)
-                   AS avg_logprob
+               CASE WHEN COUNT(l.logp) = 0 THEN NULL
+                    ELSE {_avg6_sql("SUM(l.logp)", "COUNT(l.logp)")} END AS avg_logprob
         FROM doc_big d LEFT JOIN logp l USING (w1, w2)
         GROUP BY d.doc_id
     ),
@@ -1413,9 +1414,13 @@ def _gate_verdict_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("logp").alias("n_bigrams"),
         F.sum("logp").alias("sum_logp"),
     )
+    # exact integer half-away rounding (text._avg6_sql: the double-ROUND
+    # forms disagree across engines at exact 6dp ties)
+    from .text import _avg6_spark
+
     avg_lp = F.when(
         F.col("n_bigrams") > 0,
-        F.round(F.col("sum_logp").cast("double") / F.col("n_bigrams"), 6),
+        _avg6_spark("sum_logp", "n_bigrams"),
     )
     lm_ok = avg_lp.isNotNull() & (avg_lp >= F.lit(QG_MIN_AVG_LOGPROB))
     return agg.select(

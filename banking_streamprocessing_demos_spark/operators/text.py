@@ -435,7 +435,31 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared with pipe_quality_prune's oracle (packing.py), which percentile-
 # prunes on this exact score
-BIGRAM_LM_SQL = """
+def _avg6_sql(t: str, n: str) -> str:
+    """round6(t / n) as EXACT INTEGER half-away-from-zero arithmetic,
+    for a DECIMAL(x,6) sum ``t`` and BIGINT count ``n``: DuckDB's
+    ROUND(DOUBLE, 6) is multiply-based while Spark's goes through
+    BigDecimal's shortest-repr string, and at an exact 6dp tie the two
+    DISAGREE (found by tests/test_bigram_lm_fuzz: total -4.220325 over
+    n=6 is exactly -0.7033875 -> DuckDB -0.703388, Spark -0.703387).
+    Scaling to integer micro-units first makes the tie arithmetic exact
+    and engine-independent: sign(t) * ((2*|t|*1e6 + n) // (2n)) / 1e6.
+    The same helper renders both engines' formulas (// vs div is the
+    only dialect difference, patched by the caller for Spark)."""
+    t_micro = f"CAST(abs({t}) * 1000000 AS BIGINT)"
+    return (
+        f"CAST((CASE WHEN {t} < 0 THEN -1 ELSE 1 END) * "
+        f"((2 * {t_micro} + {n}) // (2 * {n})) AS DOUBLE) / 1000000.0"
+    )
+
+
+def _avg6_spark(t: str, n: str):
+    """Spark twin of _avg6_sql over column NAMES (rendered through
+    F.expr so the integer division is the SQL ``div`` operator)."""
+    return F.expr(_avg6_sql(t, n).replace("//", "div"))
+
+
+BIGRAM_LM_SQL = f"""
     WITH big AS (
         SELECT doc_id, words[i] AS w1, words[i+1] AS w2, COUNT(*) AS k
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -451,7 +475,7 @@ BIGRAM_LM_SQL = """
     )
     SELECT doc_id,
            CAST(SUM(k) AS BIGINT) AS n_bigrams,
-           CAST(ROUND(CAST(SUM(k * logp) AS DOUBLE) / SUM(k), 6) AS DOUBLE) AS avg_logprob
+           {_avg6_sql("SUM(k * logp)", "CAST(SUM(k) AS BIGINT)")} AS avg_logprob
     FROM scored GROUP BY doc_id
 """
 
@@ -498,13 +522,16 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id").agg(
         F.sum("k").cast("long").alias("n_bigrams"),
-        F.round(
-            (F.sum(F.col("k") * F.col("logp")).cast("double") / F.sum("k")), 6
-        )
-        .cast("double")
-        .alias("avg_logprob"),
+        F.sum(F.col("k") * F.col("logp")).alias("t"),
+    )
+    # exact integer half-away rounding of t/n (see _avg6_sql: the
+    # double-ROUND forms disagree across engines at exact 6dp ties)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        _avg6_spark("t", "n_bigrams").alias("avg_logprob"),
     )
 
 

@@ -136,11 +136,24 @@ HEADLINE_V5 = [
 HEADLINE_V6 = [
     # the composed curation DAG: gate + keep-best dedup + BPE fit/meter
     # + curriculum pack + epoch plan as ONE job with checkpointed stage
-    # boundaries — its wall should track ~the sum of its stages
+    # boundaries — its wall should track ~the sum of its stages.
+    # ROUND-8 NOTE: the DAG gained sample materialization (mix + shard),
+    # so v6 totals are not comparable r7<->r8 for this entry.
     "pipe_curate_end_to_end",
     # OPQ-style rotated PQ (random-rotation baseline, recall-neutral on
     # this isotropic corpus by construction — pinned in test_pq.py)
     "sim_ann_opq",
+]
+
+# Seventh series (round 8+): round-8 batch additions — own
+# round-over-round track.  (streaming_mrl_assign is exercised by the
+# driver correctness runs; streaming ops are not re-timed here.)
+HEADLINE_V7 = [
+    # perceptual-hash image near-dup pairs (banded, losslessness-proved)
+    "mm_phash_dedup",
+    # trained OPQ: Givens decorrelation + eigenvalue allocation on the
+    # anisotropic fixture view (8 aggregate+rotate stages + Lloyd)
+    "sim_ann_opq_trained",
 ]
 
 
@@ -189,6 +202,7 @@ def main() -> None:
     names_v4 = [n for n in HEADLINE_V4 if n in qs]
     names_v5 = [n for n in HEADLINE_V5 if n in qs]
     names_v6 = [n for n in HEADLINE_V6 if n in qs]
+    names_v7 = [n for n in HEADLINE_V7 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -256,6 +270,7 @@ def main() -> None:
             "headline_v4_total": payload.get("headline_v4_total"),
             "headline_v5_total": payload.get("headline_v5_total"),
             "headline_v6_total": payload.get("headline_v6_total"),
+            "headline_v7_total": payload.get("headline_v7_total"),
             "pq_stage_split": payload.get("pq_stage_split"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
@@ -324,6 +339,11 @@ def main() -> None:
     timings_v6 = run_series(names_v6, passes=1)
     result["headline_v6_total"] = round(sum(timings_v6.values()), 3)
     result["queries_v6"] = timings_v6
+    emit(result)
+
+    timings_v7 = run_series(names_v7, passes=1)
+    result["headline_v7_total"] = round(sum(timings_v7.values()), 3)
+    result["queries_v7"] = timings_v7
     emit(result)
 
     # PQ-family stage split (round-6 VERDICT #4): the v5 walls above are

@@ -47,11 +47,14 @@ def _reference(corpus: list[list[str]]) -> dict[int, tuple[int, float]]:
             logp = _round6d(math.log(c2[(a, b)] / c1[a]))
             total += k * logp
             n += k
-        avg = float(
-            Decimal(repr(float(total) / n)).quantize(
-                Decimal("1e-6"), rounding=ROUND_HALF_UP
-            )
-        )
+        # exact integer half-away-from-zero mean in micro-units — the
+        # _avg6_sql contract (the old float(total)/n path lost exact
+        # 6dp ties: total -4.220325 over n=6 is exactly -0.7033875,
+        # which the engines round away from zero to -0.703388 while the
+        # float detour rounded to -0.703387)
+        t_micro = int(abs(total) * 1_000_000)
+        sign = -1 if total < 0 else 1
+        avg = sign * ((2 * t_micro + n) // (2 * n)) / 1_000_000.0
         out[doc_id] = (n, avg)
     return out
 
