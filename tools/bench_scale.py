@@ -237,6 +237,14 @@ FAMILIES: dict[str, dict] = {
     # round-7: OPQ random-rotation baseline — one extra in-row 64x64
     # fold at encode; wall should track flat PQ + a constant
     "sim_ann_opq": {},
+    # round-8: trained OPQ (8 Givens aggregate+rotate stages + variance
+    # allocation + Lloyd on the anisotropic fixture view) — wall should
+    # track flat PQ plus a corpus-proportional constant per stage
+    "sim_ann_opq_trained": {},
+    # round-8: perceptual-hash image near-dup pairs — banded (28 16-bit
+    # key tables), expected bucket size N/65536: the within-bucket join
+    # must stay near-linear like the minhash banding it mirrors
+    "mm_phash_dedup": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
     # semantic near-dup clustering (round-4 plan: cosine scored inside
     # the bucket join) — bits sized by the production auto_lsh_bits rule
