@@ -339,7 +339,7 @@ def media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_VARIANT_SQL.format(idiv="//")} AS payload
         FROM documents WHERE doc_id % 8 = 1
     ),
-    ph AS (
+    ph AS MATERIALIZED (
         SELECT media_id,
                {_duck_phash_halves("payload")[0]} AS lo,
                {_duck_phash_halves("payload")[1]} AS hi

@@ -680,8 +680,12 @@ def streaming_mrl_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_queries").cast("long").alias("n_queries"),
     )
     out = _run_available_now(out_stream, "streaming_mrl_assign")
+    # guard bound = the sentinel's own WINDOW START (SENTINEL_ORD is not
+    # minute-aligned, so BASE + ORD*1000 would sit above the window
+    # start and the filter would be the documented no-op of
+    # streaming_pq_assign:571)
     return out.filter(
-        F.col("window_start_ms") < INGEST_BASE_MS + SENTINEL_ORD * 1000
+        F.col("window_start_ms") < INGEST_BASE_MS + (SENTINEL_ORD // 60) * 60000
     )
 
 

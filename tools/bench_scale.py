@@ -663,6 +663,11 @@ def ann_recall_scale(
     Run: python tools/bench_scale.py --recall"""
     import __spark_entry__ as entrymod
     from banking_streamprocessing_demos_spark.operators import merge_registries
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        IVFPQ_RERANK,
+        MRL_SHORTLIST,
+        PQ_RERANK,
+    )
     from banking_streamprocessing_demos_spark.operators.similarity import (
         IVF_CELLS,
         IVF_PROBES,
@@ -717,15 +722,20 @@ def ann_recall_scale(
         factor = max(1, n_vectors // 2000)
         point["funnel_factor"] = factor
         if factor > 1:
+            # base depths come from the module constants so the
+            # "base_depth x factor" rule in the payload note stays true
+            # if the shipped funnels are ever retuned
             point["sim_ann_pq_scaled"] = measure(
-                merged["sim_ann_pq"].fn, sf_dir, exact, {"rerank": 64 * factor}
+                merged["sim_ann_pq"].fn, sf_dir, exact,
+                {"rerank": PQ_RERANK * factor},
             )
             point["sim_ann_ivfpq_scaled"] = measure(
-                merged["sim_ann_ivfpq"].fn, sf_dir, exact, {"rerank": 128 * factor}
+                merged["sim_ann_ivfpq"].fn, sf_dir, exact,
+                {"rerank": IVFPQ_RERANK * factor},
             )
             point["sim_ann_matryoshka_scaled"] = measure(
                 merged["sim_ann_matryoshka"].fn, sf_dir, exact,
-                {"shortlist": 128 * factor},
+                {"shortlist": MRL_SHORTLIST * factor},
             )
         results[tag] = point
         print(f"# {tag}: {point}", file=sys.stderr)
