@@ -70,6 +70,8 @@ _ROUND_NEW: list[str] = [
     "streaming_mrl_assign",
     "sim_ann_opq_trained",
     "pipe_curate_end_to_end",
+    "mm_phash_clusters",
+    "mm_chunk_dedup",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -91,7 +93,6 @@ _FLAGSHIP_REFRESH = [
     "dedup_keep_best",
     "pack_sequences",
     "pipe_curriculum_pack",
-    "streaming_sessionization",
     "streaming_doc_dedup",
     "streaming_minhash_dedup",
     "pipe_quality_gate",
@@ -116,7 +117,6 @@ _FLAGSHIP_REFRESH = [
     "dedup_simhash",
     "dedup_semantic_clusters",
     "text_containment",
-    "contamination_check",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_knn_graph",
@@ -144,6 +144,8 @@ _ROUND_OVERFLOW: list[str] = []
 _DEMOTED_TAIL = [
     # demoted after earning r7 driver rows (PQ-family promotions +
     # round-7 news + six rested flagships)
+    "streaming_sessionization",
+    "contamination_check",
     "emb_pq_codebook",
     "sim_ann_pq",
     "streaming_pq_assign",

@@ -428,3 +428,182 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_media_table(spark, sf_dir).mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+@REG.add(
+    "mm_phash_clusters",
+    f"""
+    WITH RECURSIVE media AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
+               {_VARIANT_SQL.format(idiv="//")} AS payload
+        FROM documents WHERE doc_id % 8 = 1
+    ),
+    ph AS MATERIALIZED (
+        SELECT media_id,
+               {_duck_phash_halves("payload")[0]} AS lo,
+               {_duck_phash_halves("payload")[1]} AS hi
+        FROM media
+    ),
+    nd AS MATERIALIZED (
+        SELECT a.media_id AS doc_a, b.media_id AS doc_b
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {PHASH_HAM_K}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM nd
+        UNION ALL SELECT doc_b, doc_a FROM nd
+    ),
+    walk(doc, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc
+    ),
+    labels AS (SELECT doc AS media_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)
+    SELECT media_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+    """,
+    doc="Perceptual near-dup CLUSTERS: connected components over the "
+    "mm_phash_dedup pair graph via min-label propagation (the "
+    "dedup_clusters machinery on perceptual pairs) — the form a "
+    "curation pipeline consumes (keep one representative per visual "
+    "cluster).  Oracle replays components as a recursive CTE over the "
+    "brute-force Hamming pairs.",
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import min_label_components
+
+    pairs = mm_phash_dedup(spark, sf_dir).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    return min_label_components(pairs, "media_id").select(
+        "media_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-block (chunk-hash) media dedup: the storage-layer complement of
+# the perceptual hash — catches the SAME BYTES re-uploaded or extended
+# (trailer/watermark appended), which phash's whole-payload grid dilutes.
+# Every payload splits into fixed 64-byte chunks, chunk md5s equi-join,
+# and pairs sharing >= MM_CHUNK_MIN_SHARED chunks are emitted with a
+# containment fraction.  Scale shape: ONE equi-join on near-unique chunk
+# hashes (the contamination_check shape) — linear, no all-pairs; at
+# 100 TB the chunk table is the dedup index you'd persist, partitioned
+# by hash prefix.  The corpus has no byte-identical payloads, so the
+# input view plants deterministic EXTENDED variants (a literal trailer
+# appended to every doc_id % 8 == 3 video): all full 64-byte prefix
+# chunks stay position-identical, the partial tail chunk differs — the
+# exact signature of an append-only edit.
+# ---------------------------------------------------------------------------
+
+MM_CHUNK_BYTES = 64
+MM_CHUNK_MIN_SHARED = 2  # >= 2 shared 64-byte chunks: collision odds ~0
+MM_CHUNK_VARIANT_OFFSET = 2_000_000
+MM_CHUNK_TRAILER = " trailer-metadata-v2 re-encoded-by-pipeline"
+
+
+def media_with_extended_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-dedup input view: video-typed media rows plus extended
+    (trailer-appended) variants at media_id + MM_CHUNK_VARIANT_OFFSET."""
+    doc = load_table(spark, sf_dir, "documents")
+    vid = doc.filter(F.col("doc_id") % 4 == 3).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
+    )
+    var = doc.filter(F.col("doc_id") % 8 == 3).select(
+        (F.col("doc_id") + MM_CHUNK_VARIANT_OFFSET).alias("media_id"),
+        F.concat(F.col("text"), F.lit(MM_CHUNK_TRAILER)).alias("payload"),
+    )
+    return vid.unionAll(var)
+
+
+@REG.add(
+    "mm_chunk_dedup",
+    f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 3
+        UNION ALL
+        SELECT doc_id + {MM_CHUNK_VARIANT_OFFSET} AS media_id,
+               text || '{MM_CHUNK_TRAILER}' AS payload
+        FROM documents WHERE doc_id % 8 = 3
+    ),
+    chunks AS MATERIALIZED (
+        SELECT media_id,
+               (length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES} AS n_chunks,
+               i AS chunk_idx,
+               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
+        FROM media,
+             UNNEST(range((length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
+                 AS t(i)
+    ),
+    pairs AS (
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_chunks,
+               MIN(a.n_chunks) AS na, MIN(b.n_chunks) AS nb
+        FROM chunks a JOIN chunks b
+          ON a.h = b.h AND a.chunk_idx = b.chunk_idx AND a.media_id < b.media_id
+        GROUP BY 1, 2
+    )
+    SELECT media_a, media_b, shared_chunks,
+           ROUND(shared_chunks / CAST(LEAST(na, nb) AS DOUBLE), 6) AS containment
+    FROM pairs
+    WHERE shared_chunks >= {MM_CHUNK_MIN_SHARED}
+    """,
+    doc=f"Fixed-block media dedup ({MM_CHUNK_BYTES}-byte chunk md5s, "
+    "position-aligned equi-join, the storage-dedup shape): pairs "
+    f"sharing >= {MM_CHUNK_MIN_SHARED} chunks with a containment "
+    "fraction — catches byte-identical re-uploads and append-only "
+    "edits (planted trailer-extended variants) that the perceptual "
+    "grid dilutes.  One linear join on near-unique hashes; no "
+    "all-pairs anywhere.",
+)
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_with_extended_variants(spark, sf_dir)
+    n_chunks = F.expr(f"(length(payload) + {MM_CHUNK_BYTES - 1}) div {MM_CHUNK_BYTES}")
+    # posexplode around the array EXPRESSION directly (explode trap);
+    # each chunk hash reads only its own substr
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.md5(
+                F.substring(
+                    F.col("payload"), i * MM_CHUNK_BYTES + 1, MM_CHUNK_BYTES
+                )
+            ).alias("h"),
+        ),
+    )
+    chunks = media.select(
+        "media_id",
+        n_chunks.cast("long").alias("n_chunks"),
+        F.explode(chunk_structs).alias("c"),
+    ).select("media_id", "n_chunks", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("shared_chunks"),
+            F.min("a.n_chunks").alias("na"),
+            F.min("b.n_chunks").alias("nb"),
+        )
+        .filter(F.col("shared_chunks") >= MM_CHUNK_MIN_SHARED)
+    )
+    return pairs.select(
+        "media_a",
+        "media_b",
+        "shared_chunks",
+        F.round(
+            F.col("shared_chunks") / F.least("na", "nb").cast("double"), 6
+        ).alias("containment"),
+    )

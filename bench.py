@@ -154,6 +154,10 @@ HEADLINE_V7 = [
     # trained OPQ: Givens decorrelation + eigenvalue allocation on the
     # anisotropic fixture view (8 aggregate+rotate stages + Lloyd)
     "sim_ann_opq_trained",
+    # perceptual clusters (components over the phash pair graph) and
+    # fixed-block chunk dedup (position-aligned chunk-hash equi-join)
+    "mm_phash_clusters",
+    "mm_chunk_dedup",
 ]
 
 

@@ -126,6 +126,66 @@ def test_phash_dedup_recall_and_losslessness(spark):
     assert got == ref_pairs(payloads)
 
 
+def test_phash_clusters_cover_pair_graph(spark):
+    """mm_phash_clusters must label exactly the endpoints of the pair
+    graph, with every pair's endpoints sharing a cluster id and sizes
+    consistent with the labeling."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        mm_phash_clusters,
+        mm_phash_dedup,
+    )
+
+    pairs = [(r.media_a, r.media_b) for r in mm_phash_dedup(spark, SF_SMALL).collect()]
+    rows = mm_phash_clusters(spark, SF_SMALL).collect()
+    label = {r.media_id: r.cluster_id for r in rows}
+    assert set(label) == {m for p in pairs for m in p}
+    for a, b in pairs:
+        assert label[a] == label[b], (a, b)
+    import collections
+
+    sizes = collections.Counter(label.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.cluster_size >= 2
+
+
+def test_chunk_dedup_finds_extended_variants(spark):
+    """Every planted trailer-extended variant with >= MIN_SHARED full
+    64-byte prefix chunks must pair with its original at full prefix
+    containment; originals' full-chunk counts bound shared_chunks."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        MM_CHUNK_BYTES,
+        MM_CHUNK_MIN_SHARED,
+        MM_CHUNK_VARIANT_OFFSET,
+        mm_chunk_dedup,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    }
+    got = {
+        (r.media_a, r.media_b): (r.shared_chunks, r.containment)
+        for r in mm_chunk_dedup(spark, SF_SMALL).collect()
+    }
+    expected_hits = 0
+    for doc_id, text in texts.items():
+        if doc_id % 8 != 3:
+            continue
+        full = len(text) // MM_CHUNK_BYTES  # position-identical prefix chunks
+        pair = (doc_id, doc_id + MM_CHUNK_VARIANT_OFFSET)
+        if full >= MM_CHUNK_MIN_SHARED:
+            assert pair in got, (pair, full)
+            shared, containment = got[pair]
+            assert shared == full, (pair, shared, full)
+            expected_hits += 1
+        else:
+            assert pair not in got, pair
+    assert expected_hits > 0, "fixture should plant extendable variants"
+    assert all(s >= MM_CHUNK_MIN_SHARED for s, _ in got.values())
+
+
 def test_resize_and_frame_sampling(spark):
     """Resize: deterministic output dims and sizes.  Frame sampling: one
     video row explodes to N frame rows whose slices cover every byte of

@@ -647,6 +647,7 @@ def ann_recall_scale(
     x10: str = "scale_corpus/fresh_x10",
     x30: str = "scale_corpus/fresh_x30",
     out: str = "BENCH_recall_scale.json",
+    x100: str = "scale_corpus/fresh_x100",
 ) -> None:
     """ANN recall vs scale on the FRESH-VECTOR corpus (round-7 VERDICT
     #1 — the one unmeasured axis of the 100 TB claim): the replicated
@@ -689,7 +690,10 @@ def ann_recall_scale(
         return {"sec": sec, "recall_at_5": round(len(exact & got) / len(exact), 4)}
 
     results: dict[str, dict] = {}
-    for tag, sf_dir in (("x1", base), ("x10", x10), ("x30", x30)):
+    points = [("x1", base), ("x10", x10), ("x30", x30)]
+    if os.path.isdir(x100):  # third decade when the corpus exists
+        points.append(("x100", x100))
+    for tag, sf_dir in points:
         n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         cells = auto_cells(n_vectors)
         t0 = time.time()
@@ -742,7 +746,7 @@ def ann_recall_scale(
 
     payload = {
         "metric": "ann_recall_vs_scale_fresh_vectors",
-        "dirs": {"x1": base, "x10": x10, "x30": x30},
+        "dirs": {"x1": base, "x10": x10, "x30": x30, "x100": x100},
         "frozen_config": {"ivf_cells": IVF_CELLS, "ivf_probes": IVF_PROBES},
         "points": results,
         "note": "recall@5 over the N_QUERIES=5 replica-0 query vectors (25 "
