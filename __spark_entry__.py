@@ -72,6 +72,7 @@ _ROUND_NEW: list[str] = [
     "pipe_curate_end_to_end",
     "mm_phash_clusters",
     "mm_chunk_dedup",
+    "streaming_chunk_dedup",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -112,7 +113,6 @@ _FLAGSHIP_REFRESH = [
     "u3_snapshot_last_event_wins",
     "u6_merge_upsert",
     "f_expressions",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_semantic_clusters",
@@ -146,6 +146,7 @@ _DEMOTED_TAIL = [
     # round-7 news + six rested flagships)
     "streaming_sessionization",
     "contamination_check",
+    "dedup_exact",
     "emb_pq_codebook",
     "sim_ann_pq",
     "streaming_pq_assign",

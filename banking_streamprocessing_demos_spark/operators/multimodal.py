@@ -519,6 +519,37 @@ def media_with_extended_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vid.unionAll(var)
 
 
+def chunk_frame(media: DataFrame) -> DataFrame:
+    """(media_id, n_chunks, chunk_idx, h) fixed-block chunk hashes of a
+    (media_id, payload) frame — the explode wraps the array EXPRESSION
+    directly (explode trap); each chunk hash reads only its own substr.
+    Shared by the batch pair join and the streaming ingest twin (works
+    on streaming frames: pure narrow expressions)."""
+    n_chunks = F.expr(f"(length(payload) + {MM_CHUNK_BYTES - 1}) div {MM_CHUNK_BYTES}")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.md5(
+                F.substring(
+                    F.col("payload"), i * MM_CHUNK_BYTES + 1, MM_CHUNK_BYTES
+                )
+            ).alias("h"),
+        ),
+    )
+    return media.select(
+        *[c for c in media.columns if c != "payload"],
+        n_chunks.cast("long").alias("n_chunks"),
+        F.explode(chunk_structs).alias("c"),
+    ).select(
+        *[c for c in media.columns if c != "payload"],
+        "n_chunks",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.h").alias("h"),
+    )
+
+
+
 @REG.add(
     "mm_chunk_dedup",
     f"""
@@ -561,25 +592,7 @@ def media_with_extended_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_with_extended_variants(spark, sf_dir)
-    n_chunks = F.expr(f"(length(payload) + {MM_CHUNK_BYTES - 1}) div {MM_CHUNK_BYTES}")
-    # posexplode around the array EXPRESSION directly (explode trap);
-    # each chunk hash reads only its own substr
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_idx"),
-            F.md5(
-                F.substring(
-                    F.col("payload"), i * MM_CHUNK_BYTES + 1, MM_CHUNK_BYTES
-                )
-            ).alias("h"),
-        ),
-    )
-    chunks = media.select(
-        "media_id",
-        n_chunks.cast("long").alias("n_chunks"),
-        F.explode(chunk_structs).alias("c"),
-    ).select("media_id", "n_chunks", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
+    chunks = chunk_frame(media)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(

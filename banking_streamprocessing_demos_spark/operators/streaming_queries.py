@@ -1791,3 +1791,127 @@ def streaming_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_available_now(out_stream, "streaming_bpe_encode")
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+def _streaming_chunk_oracle() -> str:
+    from .multimodal import (
+        MM_CHUNK_BYTES,
+        MM_CHUNK_MIN_SHARED,
+        MM_CHUNK_TRAILER,
+        MM_CHUNK_VARIANT_OFFSET,
+    )
+
+    return f"""
+    WITH held AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 3
+    ),
+    uploads AS (
+        SELECT media_id, payload FROM held
+        UNION ALL
+        SELECT doc_id + {MM_CHUNK_VARIANT_OFFSET} AS media_id,
+               text || '{MM_CHUNK_TRAILER}' AS payload
+        FROM documents WHERE doc_id % 8 = 3
+    ),
+    inv AS MATERIALIZED (
+        SELECT media_id AS match_id,
+               (length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES} AS ni,
+               i AS chunk_idx,
+               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
+        FROM held,
+             UNNEST(range((length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
+                 AS t(i)
+    ),
+    up AS MATERIALIZED (
+        SELECT media_id AS upload_id,
+               (length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES} AS nu,
+               i AS chunk_idx,
+               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
+        FROM uploads,
+             UNNEST(range((length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
+                 AS t(i)
+    ),
+    pairs AS (
+        SELECT u.upload_id, i.match_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_chunks,
+               MIN(u.nu) AS nu, MIN(i.ni) AS ni
+        FROM up u JOIN inv i ON u.h = i.h AND u.chunk_idx = i.chunk_idx
+        GROUP BY 1, 2
+    )
+    SELECT {INGEST_BASE_MS} + (upload_id // 60) * 60000 AS window_start_ms,
+           upload_id, match_id, shared_chunks,
+           ROUND(shared_chunks / CAST(LEAST(nu, ni) AS DOUBLE), 6) AS containment
+    FROM pairs
+    WHERE shared_chunks >= {MM_CHUNK_MIN_SHARED}
+    """
+
+
+@REG.add(
+    "streaming_chunk_dedup",
+    _streaming_chunk_oracle(),
+    doc="INGEST-TIME upload dedup run FOR REAL (mm_chunk_dedup's "
+    "streaming twin — the 'is this upload already held?' gate a media "
+    "store runs before writing bytes): arriving payloads are fixed-"
+    "block chunk-hashed IN-ROW (narrow expressions, no pandas), "
+    "equi-joined position-aligned against the FROZEN broadcast chunk "
+    "inventory of the held corpus, and a windowed count per (upload, "
+    "held-object) pair emits matches >= the shared-chunk floor with a "
+    "containment fraction — exact re-uploads read containment 1.0, "
+    "trailer-extended re-uploads full prefix containment.  State: one "
+    "counter per in-flight (window, upload, match) pair — bounded by "
+    "matches, not arrivals; a far-future sentinel (whose chunks match "
+    "nothing and die at the join) closes every window via the source "
+    "watermark.  Chunk hashes match the batch operator bit-for-bit, so "
+    "the stream hash-matches the SQL oracle.",
+)
+def streaming_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import (
+        MM_CHUNK_MIN_SHARED,
+        chunk_frame,
+        media_with_extended_variants,
+    )
+
+    held = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3
+    ).select(F.col("doc_id").alias("media_id"), F.col("text").alias("payload"))
+    inv = chunk_frame(held).select(
+        F.col("media_id").alias("match_id"),
+        F.col("n_chunks").alias("ni"),
+        "chunk_idx",
+        "h",
+    )
+
+    replay = media_with_extended_variants(spark, sf_dir).select(
+        F.col("media_id").alias("upload_id"), "payload"
+    )
+    sentinel = spark.createDataFrame(
+        [Row(upload_id=SENTINEL_ORD, payload="sentinel-payload-matches-no-chunk")],
+        schema="upload_id long, payload string",
+    )
+    replay = replay.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("upload_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "scd-media-", ["ingest_ts", "upload_id"])
+    stream = (
+        spark.readStream.schema("upload_id long, payload string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    # chunk_frame carries every non-payload column through, so the
+    # streaming frame keeps (upload_id, ingest_ts) alongside the chunks
+    up = chunk_frame(stream)
+    joined = up.join(F.broadcast(inv), ["chunk_idx", "h"])
+    agg = joined.groupBy(F.window("ingest_ts", "1 minute"), "upload_id", "match_id").agg(
+        F.count("*").cast("long").alias("shared_chunks"),
+        F.min("n_chunks").alias("nu"),
+        F.min("ni").alias("ni2"),
+    )
+    out_stream = agg.filter(F.col("shared_chunks") >= MM_CHUNK_MIN_SHARED).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "upload_id",
+        "match_id",
+        "shared_chunks",
+        F.round(
+            F.col("shared_chunks") / F.least("nu", "ni2").cast("double"), 6
+        ).alias("containment"),
+    )
+    return _run_available_now(out_stream, "streaming_chunk_dedup")

@@ -138,3 +138,42 @@ def test_x100_wall_citations_match_artifact(artifact, doc_text):
         if bad:
             stale[doc] = bad
     assert not stale, f"x100 wall citations not in BENCH_scale4.json {sorted(walls)}: {stale}"
+
+
+def test_recall_table_matches_artifact(doc_text):
+    """Round-8 doc-drift defense for the fresh-vector recall table:
+    every recall cell in SCALE.md's 'ANN recall vs scale' table must
+    equal the committed BENCH_recall_scale.json value (the class of
+    defect rounds 5/6 shipped twice for the wall-time tables)."""
+    with open(ROOT / "BENCH_recall_scale.json") as f:
+        art = json.load(f)
+    points = art["points"]
+    doc_rows = {
+        "sim_ann_ivf, frozen 16 cells": "sim_ann_ivf_frozen16",
+        "sim_ann_ivf, auto_cells": "sim_ann_ivf_auto",
+        "sim_ann_pq, frozen": "sim_ann_pq",
+        "sim_ann_pq, funnel": "sim_ann_pq_scaled",
+        "sim_ann_ivfpq, frozen": "sim_ann_ivfpq",
+        "sim_ann_ivfpq, funnel": "sim_ann_ivfpq_scaled",
+        "sim_ann_matryoshka, frozen": "sim_ann_matryoshka",
+        "sim_ann_matryoshka, shortlist": "sim_ann_matryoshka_scaled",
+    }
+    section = doc_text["SCALE.md"].split(
+        "### ANN recall vs scale — FRESH-VECTOR corpus", 1
+    )[1]
+    table_lines = [
+        line for line in section.splitlines() if line.startswith("| sim_ann_")
+    ]
+    assert len(table_lines) == len(doc_rows), table_lines
+    stale = []
+    for line in table_lines:
+        key = next(k for prefix, k in doc_rows.items() if line.startswith(f"| {prefix}"))
+        cells = [c.strip() for c in line.split("|")[2:-1]]
+        for tag, cell in zip(("x1", "x10", "x30", "x100"), cells):
+            want = points[tag].get(key, {}).get("recall_at_5")
+            if cell == "—":
+                assert want is None or tag == "x1", (line, tag)
+                continue
+            if want is None or f"{want:.2f}" != cell:
+                stale.append((key, tag, cell, want))
+    assert not stale, f"recall cells diverge from BENCH_recall_scale.json: {stale}"
