@@ -519,6 +519,22 @@ def media_with_extended_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vid.unionAll(var)
 
 
+
+def _duck_chunk_sql(src_rel: str, id_alias: str, n_alias: str) -> str:
+    """The fixed-block chunk relation rendered ONCE for every DuckDB
+    oracle that chunks a (media_id, payload) relation (batch pair join,
+    streaming inventory, streaming uploads) — the anti-drift rule the
+    phash family's _phash_cell_sql states: one formula per engine."""
+    n = f"(length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}"
+    return f"""
+        SELECT media_id AS {id_alias},
+               {n} AS {n_alias},
+               i AS chunk_idx,
+               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
+        FROM {src_rel}, UNNEST(range({n})) AS t(i)
+    """
+
+
 def chunk_frame(media: DataFrame) -> DataFrame:
     """(media_id, n_chunks, chunk_idx, h) fixed-block chunk hashes of a
     (media_id, payload) frame — the explode wraps the array EXPRESSION
@@ -526,17 +542,24 @@ def chunk_frame(media: DataFrame) -> DataFrame:
     Shared by the batch pair join and the streaming ingest twin (works
     on streaming frames: pure narrow expressions)."""
     n_chunks = F.expr(f"(length(payload) + {MM_CHUNK_BYTES - 1}) div {MM_CHUNK_BYTES}")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_idx"),
-            F.md5(
-                F.substring(
-                    F.col("payload"), i * MM_CHUNK_BYTES + 1, MM_CHUNK_BYTES
-                )
-            ).alias("h"),
+    # empty payloads yield ZERO chunks: sequence(0, -1) would produce a
+    # DESCENDING [0, -1] (two phantom chunks of md5(''), diverging from
+    # the oracle's empty range and making containment divide by zero) —
+    # the pipe_domain_mix empty-sequence guard
+    chunk_structs = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.md5(
+                    F.substring(
+                        F.col("payload"), i * MM_CHUNK_BYTES + 1, MM_CHUNK_BYTES
+                    )
+                ).alias("h"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<chunk_idx:bigint,h:string>>"))
     return media.select(
         *[c for c in media.columns if c != "payload"],
         n_chunks.cast("long").alias("n_chunks"),
@@ -560,15 +583,7 @@ def chunk_frame(media: DataFrame) -> DataFrame:
                text || '{MM_CHUNK_TRAILER}' AS payload
         FROM documents WHERE doc_id % 8 = 3
     ),
-    chunks AS MATERIALIZED (
-        SELECT media_id,
-               (length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES} AS n_chunks,
-               i AS chunk_idx,
-               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
-        FROM media,
-             UNNEST(range((length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
-                 AS t(i)
-    ),
+    chunks AS MATERIALIZED ({_duck_chunk_sql("media", "media_id", "n_chunks")}),
     pairs AS (
         SELECT a.media_id AS media_a, b.media_id AS media_b,
                CAST(COUNT(*) AS BIGINT) AS shared_chunks,
@@ -592,7 +607,10 @@ def chunk_frame(media: DataFrame) -> DataFrame:
 )
 def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_with_extended_variants(spark, sf_dir)
-    chunks = chunk_frame(media)
+    # materialize before the self-join: both sides would otherwise
+    # re-run the substr+md5 explode over the whole view (the
+    # mm_phash_dedup checkpoint rationale; oracle twin is MATERIALIZED)
+    chunks = chunk_frame(media).localCheckpoint(eager=True)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(

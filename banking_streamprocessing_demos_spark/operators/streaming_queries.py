@@ -1795,10 +1795,10 @@ def streaming_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _streaming_chunk_oracle() -> str:
     from .multimodal import (
-        MM_CHUNK_BYTES,
         MM_CHUNK_MIN_SHARED,
         MM_CHUNK_TRAILER,
         MM_CHUNK_VARIANT_OFFSET,
+        _duck_chunk_sql,
     )
 
     return f"""
@@ -1812,24 +1812,8 @@ def _streaming_chunk_oracle() -> str:
                text || '{MM_CHUNK_TRAILER}' AS payload
         FROM documents WHERE doc_id % 8 = 3
     ),
-    inv AS MATERIALIZED (
-        SELECT media_id AS match_id,
-               (length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES} AS ni,
-               i AS chunk_idx,
-               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
-        FROM held,
-             UNNEST(range((length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
-                 AS t(i)
-    ),
-    up AS MATERIALIZED (
-        SELECT media_id AS upload_id,
-               (length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES} AS nu,
-               i AS chunk_idx,
-               md5(substr(payload, i * {MM_CHUNK_BYTES} + 1, {MM_CHUNK_BYTES})) AS h
-        FROM uploads,
-             UNNEST(range((length(payload) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
-                 AS t(i)
-    ),
+    inv AS MATERIALIZED ({_duck_chunk_sql("held", "match_id", "ni")}),
+    up AS MATERIALIZED ({_duck_chunk_sql("uploads", "upload_id", "nu")}),
     pairs AS (
         SELECT u.upload_id, i.match_id,
                CAST(COUNT(*) AS BIGINT) AS shared_chunks,

@@ -172,7 +172,7 @@ def test_recall_table_matches_artifact(doc_text):
         for tag, cell in zip(("x1", "x10", "x30", "x100"), cells):
             want = points[tag].get(key, {}).get("recall_at_5")
             if cell == "—":
-                assert want is None or tag == "x1", (line, tag)
+                assert want is None, (line, tag, want)
                 continue
             if want is None or f"{want:.2f}" != cell:
                 stale.append((key, tag, cell, want))

@@ -186,6 +186,22 @@ def test_chunk_dedup_finds_extended_variants(spark):
     assert all(s >= MM_CHUNK_MIN_SHARED for s, _ in got.values())
 
 
+def test_chunk_frame_empty_payload_yields_no_chunks(spark):
+    """Round-8 review find: Spark sequence(0, -1) is DESCENDING, so an
+    unguarded chunk explode emitted two phantom md5('') chunks for an
+    empty payload (diverging from the oracle's empty range and making
+    containment divide by zero).  The guard must yield ZERO rows."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import chunk_frame
+
+    media = spark.createDataFrame(
+        [(1, ""), (2, "x" * 70)], "media_id long, payload string"
+    )
+    rows = chunk_frame(media).collect()
+    assert [r.media_id for r in rows] == [2, 2]
+    assert [r.chunk_idx for r in rows] == [0, 1]
+    assert all(r.n_chunks == 2 for r in rows)
+
+
 def test_resize_and_frame_sampling(spark):
     """Resize: deterministic output dims and sizes.  Frame sampling: one
     video row explodes to N frame rows whose slices cover every byte of

@@ -693,6 +693,9 @@ def ann_recall_scale(
     points = [("x1", base), ("x10", x10), ("x30", x30)]
     if os.path.isdir(x100):  # third decade when the corpus exists
         points.append(("x100", x100))
+    else:  # never let the artifact imply an unmeasured point
+        print(f"# SKIPPING x100: {x100} not generated "
+              "(tools/gen_scale_corpus.py --fresh ... 100)", file=sys.stderr)
     for tag, sf_dir in points:
         n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         cells = auto_cells(n_vectors)
@@ -746,7 +749,7 @@ def ann_recall_scale(
 
     payload = {
         "metric": "ann_recall_vs_scale_fresh_vectors",
-        "dirs": {"x1": base, "x10": x10, "x30": x30, "x100": x100},
+        "dirs": {tag: d for tag, d in points},
         "frozen_config": {"ivf_cells": IVF_CELLS, "ivf_probes": IVF_PROBES},
         "points": results,
         "note": "recall@5 over the N_QUERIES=5 replica-0 query vectors (25 "
