@@ -309,7 +309,12 @@ def _spark_phash_expr(payload: str) -> str:
 
 
 _VARIANT_SQL = (
-    "substr(text, 1, (length(text) {idiv} 2) - 1) || 'xxxxx' || "
+    # GREATEST-guard the prefix length: for payloads < 2 chars the
+    # unguarded form renders substr(text, 1, -1), whose negative-length
+    # semantics are engine-specific (round-8 ADVICE).  The corpus
+    # contract is >= 48 chars, but the splice must stay well-defined
+    # for any payload length in both engines.
+    "substr(text, 1, GREATEST((length(text) {idiv} 2) - 1, 0)) || 'xxxxx' || "
     "substr(text, (length(text) {idiv} 2) + 5)"
 )
 

@@ -445,8 +445,18 @@ def _avg6_sql(t: str, n: str) -> str:
     Scaling to integer micro-units first makes the tie arithmetic exact
     and engine-independent: sign(t) * ((2*|t|*1e6 + n) // (2n)) / 1e6.
     The same helper renders both engines' formulas (// vs div is the
-    only dialect difference, patched by the caller for Spark)."""
-    t_micro = f"CAST(abs({t}) * 1000000 AS BIGINT)"
+    only dialect difference, patched by the caller for Spark).
+
+    The abs sum is narrowed to DECIMAL(30,6) BEFORE the 1e6 scaling:
+    DuckDB's SUM over DECIMAL(18,6) is DECIMAL(38,6), and
+    DECIMAL(38,6) * 1000000 overflows width 38, silently detouring
+    through DOUBLE before the BIGINT cast (round-8 ADVICE) — it landed
+    on the right integer only while |t|*1e6 << 2^53.  At (30,6) the
+    product is DECIMAL(38,6) in both engines — exact decimal all the
+    way.  The recipe's true bound is the BIGINT micro-unit cast:
+    |t| <= ~9.2e12 (2^63 / 1e6), loud ConversionException/overflow
+    beyond, never a silent double detour."""
+    t_micro = f"CAST(CAST(abs({t}) AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
     return (
         f"CAST((CASE WHEN {t} < 0 THEN -1 ELSE 1 END) * "
         f"((2 * {t_micro} + {n}) // (2 * {n})) AS DOUBLE) / 1000000.0"

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -174,21 +175,47 @@ def _loadavg() -> list[float]:
 
 
 def _prior_timings() -> dict[str, float]:
-    """Per-query walls from the previous round's committed full payload
-    (BENCH_full_local.json) — the baseline for the in-session
-    auto-re-run of suspicious movers."""
+    """Per-query walls from the previous round's COMMITTED full payload —
+    the baseline for the in-session auto-re-run of suspicious movers.
+    Read from `git show HEAD:BENCH_full_local.json`, not the working
+    file: main() overwrites the working file at the end of every run, so
+    a second bench invocation in the same session would otherwise compare
+    against its own just-written (possibly contended) walls and quietly
+    neuter the >1.5x-of-prior defense (round-8 ADVICE).  Disk fallback
+    only when git is unavailable (e.g. an exported tree)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict = {}
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_full_local.json")) as f:
-            prior = json.load(f)
-    except (OSError, ValueError):
-        return {}
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_full_local.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            prior = json.loads(blob.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        prior = {}
+    if not prior:
+        try:
+            with open(os.path.join(here, "BENCH_full_local.json")) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            return {}
     out: dict[str, float] = {}
     for key, val in prior.items():
         if key.startswith("queries") and isinstance(val, dict):
             for name, sec in val.items():
                 if isinstance(sec, (int, float)):
                     out[name] = float(sec)
+    # pq_stage_split train/search phases get the same protection as the
+    # query series (round-8 VERDICT #1: the OPQ train regression shipped
+    # unexplained because the split phases were outside the defense)
+    split = prior.get("pq_stage_split")
+    if isinstance(split, dict):
+        for fam, phases in split.items():
+            if isinstance(phases, dict):
+                for ph, sec in phases.items():
+                    if isinstance(sec, (int, float)):
+                        out[f"pq_split:{fam}:{ph}"] = float(sec)
     return out
 
 
@@ -360,40 +387,52 @@ def main() -> None:
     from banking_streamprocessing_demos_spark.operators import pq as pqmod
 
     split: dict[str, dict[str, float]] = {}
+
+    def _timed_phase(fam: str, phase: str, fn):
+        """Time one split phase under the SAME >1.5x-of-prior auto-rerun
+        defense run_series applies to the query series (round-8 VERDICT
+        #1: the OPQ train regression shipped unexplained because these
+        phases were outside the defense).  Returns (wall_s, fn result —
+        the rerun's result when a rerun happened, both are equivalent)."""
+        key = f"pq_split:{fam}:{phase}"
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        p = prior.get(key)
+        if p and dt > 1.5 * p and dt - p > 0.5:
+            t0 = time.perf_counter()
+            out = fn()
+            again = time.perf_counter() - t0
+            reruns[key] = {
+                "first_s": round(dt, 3),
+                "rerun_s": round(again, 3),
+                "prior_s": round(p, 3),
+            }
+            dt = min(dt, again)
+        return round(dt, 3), out
+
     try:
-        t0 = time.perf_counter()
-        cb = pqmod.pq_train(spark, sf_dir)
-        tr = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = len(pqmod.sim_ann_pq(spark, sf_dir, cb=cb).collect())
-        split["sim_ann_pq"] = {
-            "train_s": tr,
-            "encode_search_s": round(time.perf_counter() - t0, 3),
-        }
+        tr, cb = _timed_phase("sim_ann_pq", "train_s",
+                              lambda: pqmod.pq_train(spark, sf_dir))
+        ts, n = _timed_phase("sim_ann_pq", "encode_search_s",
+                             lambda: len(pqmod.sim_ann_pq(spark, sf_dir, cb=cb).collect()))
+        split["sim_ann_pq"] = {"train_s": tr, "encode_search_s": ts}
         # publish incrementally: an ivfpq failure below must not discard
         # the flat-PQ split already measured
         result["pq_stage_split"] = split
         print(f"# pq split sim_ann_pq: train {tr}s, search ({n} rows)", file=sys.stderr)
-        t0 = time.perf_counter()
-        idx = pqmod.ivfpq_index(spark, sf_dir)
-        tb = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = len(pqmod.sim_ann_ivfpq(spark, sf_dir, index=idx).collect())
-        split["sim_ann_ivfpq"] = {
-            "train_s": tb,
-            "encode_search_s": round(time.perf_counter() - t0, 3),
-        }
+        tb, idx = _timed_phase("sim_ann_ivfpq", "train_s",
+                               lambda: pqmod.ivfpq_index(spark, sf_dir))
+        ts, n = _timed_phase("sim_ann_ivfpq", "encode_search_s",
+                             lambda: len(pqmod.sim_ann_ivfpq(spark, sf_dir, index=idx).collect()))
+        split["sim_ann_ivfpq"] = {"train_s": tb, "encode_search_s": ts}
         print(f"# pq split sim_ann_ivfpq: build {tb}s, search ({n} rows)", file=sys.stderr)
         result["pq_stage_split"] = split
-        t0 = time.perf_counter()
-        oidx = pqmod.opq_index(spark, sf_dir)
-        to = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = len(pqmod.sim_ann_opq(spark, sf_dir, index=oidx).collect())
-        split["sim_ann_opq"] = {
-            "train_s": to,
-            "encode_search_s": round(time.perf_counter() - t0, 3),
-        }
+        to, oidx = _timed_phase("sim_ann_opq", "train_s",
+                                lambda: pqmod.opq_index(spark, sf_dir))
+        ts, n = _timed_phase("sim_ann_opq", "encode_search_s",
+                             lambda: len(pqmod.sim_ann_opq(spark, sf_dir, index=oidx).collect()))
+        split["sim_ann_opq"] = {"train_s": to, "encode_search_s": ts}
         result["pq_stage_split"] = split
         print(f"# pq split sim_ann_opq: build {to}s, search ({n} rows)", file=sys.stderr)
     except Exception as exc:  # never lose earlier numbers to the split probe
