@@ -62,41 +62,32 @@ _PROMOTED_NEVER_CHECKED: list[str] = [
 ]
 
 # New this round — zero prior driver evidence by construction.
-# pipe_curate_end_to_end is round-7-new but was EXTENDED this round
-# (sample materialization: mix + shard; new per-sample output schema),
-# so its r7 evidence no longer covers it — it re-enters as round-new.
 _ROUND_NEW: list[str] = [
-    "mm_phash_dedup",
-    "streaming_mrl_assign",
-    "sim_ann_opq_trained",
-    "pipe_curate_end_to_end",
-    "mm_phash_clusters",
-    "mm_chunk_dedup",
-    "streaming_chunk_dedup",
+    # round-9: bounded seeded-sample quantizer training (FAISS-shape
+    # scale path) — codebook trajectory + end-to-end sampled search
+    "emb_pq_codebook_sampled",
+    "sim_ann_pq_sampled",
+    # round-9: ingest-time perceptual near-dup gate (mm_phash_dedup twin)
+    "streaming_phash_dedup",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # r7 window members re-earning rows on this round's testdata, plus a
-    # 10-query recall rotation of long-demoted families (distinct aggs,
-    # funnels, generator alerts, langid, cluster graph, deterministic
-    # sampling, filter pushdown, upsert, streaming IVF ingest, JSON
-    # props) so no family's driver evidence goes stale; six r7 earners
-    # rest in the tail this round (streaming_token_histogram,
-    # streaming_pack_sequences, sketch_hll_distinct, pipe_epoch_plan,
-    # smp3_stratified_split, dedup_substring_spans)
-    "dedup_semantic_ivf",
+    # Round-9 window: core flagships re-earning rows on this round's
+    # regenerated testdata, the six r8-rested r7 earners returning
+    # (streaming_token_histogram, streaming_pack_sequences,
+    # sketch_hll_distinct, pipe_epoch_plan, smp3_stratified_split,
+    # dedup_substring_spans), and a 15-query recall rotation of
+    # long-demoted families.  Six r8 earners rest in the tail this
+    # round (dedup_semantic_ivf, streaming_curriculum_histogram,
+    # dedup_keep_best, pack_sequences, text_boilerplate_strip,
+    # pipe_quality_gate); last round's 10 recalls returned to the tail.
     "streaming_quality_gate",
-    "streaming_curriculum_histogram",
-    "text_boilerplate_strip",
-    "dedup_keep_best",
-    "pack_sequences",
     "pipe_curriculum_pack",
     "streaming_doc_dedup",
     "streaming_minhash_dedup",
-    "pipe_quality_gate",
     "st1_streaming_detector",
     "st1_join_variant",
     "gen_messages_snapshot",
@@ -120,17 +111,28 @@ _FLAGSHIP_REFRESH = [
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_knn_graph",
+    # rested-in-r8 earners returning
+    "streaming_token_histogram",
+    "streaming_pack_sequences",
+    "sketch_hll_distinct",
+    "pipe_epoch_plan",
+    "smp3_stratified_split",
+    "dedup_substring_spans",
     # recall rotation (returning from the demoted tail)
-    "a9_distinct_aggs",
-    "w7_funnel",
-    "gen_timeout_alerts",
-    "text_langid",
-    "dedup_clusters",
-    "smp1_deterministic_sample",
-    "p2_filter_inequality",
-    "u1_insert_or_ignore",
-    "streaming_ivf_assign",
-    "f12_json_props",
+    "a8_rollup_counts",
+    "w10_anomaly_zscore",
+    "j9_full_outer_reconcile",
+    "text_token_counts",
+    "pipe_curation",
+    "mm_resize",
+    "sketch_cms_heavy_hitters",
+    "emb_quantize_int8",
+    "gen_status_histogram",
+    "smp2_backpressure_topup",
+    "text_fingerprint",
+    "pipe_domain_mix",
+    "pipe_shard_assign",
+    "w3_event_gaps",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -142,6 +144,32 @@ _ROUND_OVERFLOW: list[str] = []
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # demoted after earning r8 driver rows (r8 round-new + six rested
+    # flagships + the r8 recall rotation)
+    "mm_phash_dedup",
+    "streaming_mrl_assign",
+    "sim_ann_opq_trained",
+    "pipe_curate_end_to_end",
+    "mm_phash_clusters",
+    "mm_chunk_dedup",
+    "streaming_chunk_dedup",
+    "dedup_semantic_ivf",
+    "streaming_curriculum_histogram",
+    "dedup_keep_best",
+    "pack_sequences",
+    "text_boilerplate_strip",
+    "pipe_quality_gate",
+    "a9_distinct_aggs",
+    "w7_funnel",
+    "gen_timeout_alerts",
+    "text_langid",
+    "dedup_clusters",
+    "smp1_deterministic_sample",
+    "p2_filter_inequality",
+    "u1_insert_or_ignore",
+    "streaming_ivf_assign",
+    "f12_json_props",
+    "a10_pivot_counts",
     # demoted after earning r7 driver rows (PQ-family promotions +
     # round-7 news + six rested flagships)
     "streaming_sessionization",
@@ -154,12 +182,6 @@ _DEMOTED_TAIL = [
     "sim_ann_matryoshka",
     "streaming_keep_best",
     "sim_ann_opq",
-    "streaming_token_histogram",
-    "streaming_pack_sequences",
-    "sketch_hll_distinct",
-    "pipe_epoch_plan",
-    "smp3_stratified_split",
-    "dedup_substring_spans",
     # demoted after earning r6 driver rows
     "streaming_boilerplate_strip",
     "pipe_bpe_merges",
@@ -206,36 +228,21 @@ _DEMOTED_TAIL = [
     "srt1_topn_by_time",
     "u4_heartbeat_rollup",
     "f8_weighted_classify",
-    "w3_event_gaps",
-    "a8_rollup_counts",
-    "a10_pivot_counts",
     "w8_funnel_windowed",
-    "w10_anomaly_zscore",
-    "j9_full_outer_reconcile",
     "gen_carrier_active_counts",
     "gen_normal_delay_snapshot",
     "gen_alert_rates_by_carrier",
-    "smp2_backpressure_topup",
     "s5_console_dry_run",
-    "gen_status_histogram",
     "dedup_embedding_cosine",
     "dedup_exact_normalized",
-    "text_token_counts",
-    "text_fingerprint",
-    "pipe_curation",
     "text_repetition",
     "doc_chunk_overlap",
     "text_vocab_topk",
     "pipe_length_filter",
-    "mm_resize",
     "mm_frame_sample",
     "mm_feature_extract",
-    "pipe_domain_mix",
     "pipe_quality_prune",
-    "pipe_shard_assign",
-    "sketch_cms_heavy_hitters",
     "sketch_bloom_prefilter",
-    "emb_quantize_int8",
     "text_stats_quality",
 ]
 

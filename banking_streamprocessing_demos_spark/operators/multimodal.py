@@ -334,6 +334,60 @@ def media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionAll(var)
 
 
+def phash_banded(ph: DataFrame) -> DataFrame:
+    """(media_id, lo, hi, tbl, key) Manku block-pair band rows of a
+    materialized (media_id, lo, hi) hash frame: 8 blocks of 8 bits,
+    C(8,2)=28 16-bit keys per row.  The explode wraps the array
+    EXPRESSION directly (the round-5 explode trap).  Shared by the
+    batch pair join and the streaming twin's frozen inventory."""
+    blocks = [
+        (F.shiftright(F.col("lo"), 8 * j) if j < 4 else F.shiftright(F.col("hi"), 8 * (j - 4)))
+        .bitwiseAND(F.lit(255))
+        for j in range(8)
+    ]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                (blocks[j1] * 256 + blocks[j2]).alias("key"),
+            )
+            for t, (j1, j2) in enumerate(
+                (a, b) for a in range(8) for b in range(a + 1, 8)
+            )
+        ]
+    )
+    return ph.select("media_id", "lo", "hi", F.explode(keys).alias("bk")).select(
+        "media_id", "lo", "hi", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key")
+    )
+
+
+def _phash_band_structs_sql(payload: str) -> str:
+    """array<struct<tbl, key, lo, hi>> — the 28 band keys AND the hash
+    halves in ONE expression, with the 72-cell sketch evaluated ONCE via
+    the same let-binding-in-transform idiom as _spark_phash_expr.  The
+    streaming twin needs this form: a streaming frame can't
+    localCheckpoint, so the batch op's materialize-before-fan-out
+    defense against projection-inlining is unavailable — the lambda
+    binding gives the same single-evaluation guarantee in-plan.  Explode
+    the RESULT directly (round-5 explode rule)."""
+    inner = _spark_phash_expr(payload)
+
+    def blk(j: int) -> str:
+        return (
+            f"(shiftright(h.lo, {8 * j}) & 255)"
+            if j < 4
+            else f"(shiftright(h.hi, {8 * (j - 4)}) & 255)"
+        )
+
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'key', {blk(a)} * 256 + {blk(b)}, "
+        f"'lo', h.lo, 'hi', h.hi)"
+        for t, (a, b) in enumerate((a, b) for a in range(8) for b in range(a + 1, 8))
+    )
+    return f"element_at(transform(array({inner}), h -> array({structs})), 1)"
+
+
+
 @REG.add(
     "mm_phash_dedup",
     f"""
@@ -374,27 +428,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
         .select("media_id", F.col("h.lo").alias("lo"), F.col("h.hi").alias("hi"))
     )
-    # 8 blocks of 8 bits; C(8,2)=28 block-pair keys per row.  posexplode
-    # wraps the array EXPRESSION directly (the round-5 explode trap).
-    blocks = [
-        (F.shiftright(F.col("lo"), 8 * j) if j < 4 else F.shiftright(F.col("hi"), 8 * (j - 4)))
-        .bitwiseAND(F.lit(255))
-        for j in range(8)
-    ]
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                (blocks[j1] * 256 + blocks[j2]).alias("key"),
-            )
-            for t, (j1, j2) in enumerate(
-                (a, b) for a in range(8) for b in range(a + 1, 8)
-            )
-        ]
-    )
-    banded = ph.select("media_id", "lo", "hi", F.explode(keys).alias("bk")).select(
-        "media_id", "lo", "hi", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key")
-    )
+    banded = phash_banded(ph)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

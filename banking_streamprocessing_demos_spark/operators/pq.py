@@ -65,6 +65,53 @@ PQ_K = 16  # centroids per subspace -> 4-bit codes
 PQ_ITERS = 2  # fixed Lloyd iterations after seeded init
 PQ_RERANK = 64  # ADC shortlist depth rescored exactly before the top-k cut
 
+# Bounded training-sample size for the sampled-training path (FAISS
+# convention: quantizers train on ~10^5-10^6 sampled vectors, never the
+# corpus — training statistics converge long before that, and a
+# full-corpus train stage is the one part of an ANN build that would
+# NOT scale to 100 TB).  256 = 16 vectors per centroid at PQ_K=16; a
+# true subset at every committed SF (sf0.01 has 500 vectors).
+N_TRAIN = 256
+TRAIN_SEED = "pqtrain"
+
+
+def _train_ids(unit: DataFrame, n: int, offset: int = 0) -> DataFrame:
+    """Deterministic seeded training sample: the top-``n`` vec_ids by
+    md5(seed||vec_id) rank (the smp1 sample-without-replacement
+    machinery — both engines draw the IDENTICAL sample), UNION the PQ_K
+    seeded-init vectors so the k-means init is sample-independent.
+    Returns a skinny (vec_id) frame for a broadcast semi-join; the
+    top-n is a TakeOrderedAndProject (per-partition top-n, no global
+    sort), so the whole selection is scale-safe for bounded n."""
+    rank = F.md5(F.concat(F.lit(TRAIN_SEED + "-"), F.col("vec_id").cast("string")))
+    samp = unit.orderBy(rank.asc(), F.col("vec_id").asc()).limit(n).select("vec_id")
+    seeds = unit.filter(
+        (F.col("vec_id") >= offset) & (F.col("vec_id") < offset + PQ_K)
+    ).select("vec_id")
+    return samp.unionAll(seeds).distinct()
+
+
+def _train_sample_sql(n: int, offset: int = 0, src: str = "n", subs: str = "subs") -> str:
+    """The oracle twin of _train_ids + the semi-join: ``tsel`` (sampled
+    vec_ids) and ``ssubs`` (sub-vectors restricted to the sample) CTEs,
+    appended after the vector prelude."""
+    return f""",
+    tsel AS (
+        SELECT DISTINCT vec_id FROM (
+            SELECT vec_id FROM (
+                SELECT vec_id FROM {src}
+                ORDER BY md5('{TRAIN_SEED}-' || CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {n}
+            )
+            UNION ALL
+            SELECT vec_id FROM {src}
+            WHERE vec_id >= {offset} AND vec_id < {offset + PQ_K}
+        )
+    ),
+    ssubs AS (
+        SELECT s.vec_id, s.m, s.sub FROM {subs} s JOIN tsel t ON s.vec_id = t.vec_id
+    )"""
+
 
 def _unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalized embedding vectors (vec_id, u) — built on
@@ -222,9 +269,24 @@ def _train_on(subs: DataFrame, iters: int, offset: int = 0) -> list[list[list[fl
     return cb
 
 
-def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS) -> list[list[list[float]]]:
-    """Train the full codebook on the raw unit vectors."""
-    subs = _subs_df(_unit(spark, sf_dir)).localCheckpoint(eager=True)
+def pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PQ_ITERS,
+    train_sample: int | None = None,
+) -> list[list[list[float]]]:
+    """Train the full codebook on the raw unit vectors.
+
+    ``train_sample`` bounds training to a deterministic seeded sample of
+    that many vectors (plus the PQ_K init seeds) — the FAISS-convention
+    scale shape: at 100 TB the Lloyd iterations scan a fixed-size sample
+    instead of the corpus, and only the one-pass ENCODE touches every
+    vector.  The oracle replays the identical sample (_train_sample_sql),
+    so the sampled trajectory is hash-checked like the full one."""
+    unit = _unit(spark, sf_dir)
+    if train_sample is not None:
+        unit = unit.join(F.broadcast(_train_ids(unit, train_sample)), "vec_id", "semi")
+    subs = _subs_df(unit).localCheckpoint(eager=True)
     return _train_on(subs, iters)
 
 
@@ -346,6 +408,14 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cb_prev = pq_train(spark, sf_dir, iters=PQ_ITERS - 1)
     subs = _subs_df(_unit(spark, sf_dir))
+    return _final_lloyd_frame(spark, subs, cb_prev)
+
+
+def _final_lloyd_frame(
+    spark: SparkSession, subs: DataFrame, cb_prev: list[list[list[float]]]
+) -> DataFrame:
+    """The last Lloyd iteration as a distributed plan over ``subs``,
+    shared by the full and sampled codebook queries."""
     assigned = subs.withColumn(
         "code", _case_over_m([_argmin_code(F.col("sub"), cb_prev[m]) for m in range(PQ_M)])
     )
@@ -370,6 +440,40 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.coalesce(F.col("comp"), F.col("comp_prev")).alias("comp"),
     )
+
+
+def _sampled_codebook_oracle_sql() -> str:
+    return (
+        _pq_vector_prelude_sql()
+        + _train_sample_sql(N_TRAIN)
+        + _pq_kmeans_sql(PQ_ITERS, "ssubs")
+        + f"""
+    SELECT CAST(m AS INT) AS subspace, CAST(k AS INT) AS code,
+           CAST(dim AS BIGINT) AS dim, comp
+    FROM c{PQ_ITERS}d
+    """
+    )
+
+
+@REG.add(
+    "emb_pq_codebook_sampled",
+    _sampled_codebook_oracle_sql(),
+    doc=f"PQ codebook trained on a BOUNDED deterministic sample of "
+    f"{N_TRAIN} vectors (md5-rank seeded draw, the smp1 machinery, plus "
+    "the PQ_K init seeds) — the FAISS-convention scale shape: quantizer "
+    "statistics come from a fixed-size sample, so the train stage's cost "
+    "is CONSTANT in corpus size and only the one-pass encode touches "
+    "every vector.  The oracle replays the identical sample selection "
+    "and Lloyd trajectory in generated CTE stages, so sampled training "
+    "is hash-checked exactly like full-corpus training.",
+)
+def emb_pq_codebook_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-training twin of emb_pq_codebook: the final Lloyd
+    iteration runs distributed over the SAMPLED sub-vectors."""
+    cb_prev = pq_train(spark, sf_dir, iters=PQ_ITERS - 1, train_sample=N_TRAIN)
+    unit = _unit(spark, sf_dir)
+    unit_s = unit.join(F.broadcast(_train_ids(unit, N_TRAIN)), "vec_id", "semi")
+    return _final_lloyd_frame(spark, _subs_df(unit_s), cb_prev)
 
 
 # per-candidate ADC score: PQ_M LUT lookups summed in fixed
@@ -422,9 +526,16 @@ def _rerank_tail_sql(shortlist_depth: int = PQ_RERANK) -> str:
     """
 
 
-def _adc_oracle_sql() -> str:
+def _adc_oracle_sql(sample_n: int | None = None) -> str:
+    """Flat-PQ ADC search oracle; with ``sample_n`` the k-means stages
+    train over the seeded sample CTE while encode/LUT/rerank stay
+    corpus-wide — the exact split the Spark sampled path makes."""
+    prefix = _pq_vector_prelude_sql()
+    if sample_n is not None:
+        prefix += _train_sample_sql(sample_n)
+    prefix += _pq_kmeans_sql(PQ_ITERS, "ssubs" if sample_n is not None else "subs")
     return (
-        _pq_prefix_sql()
+        prefix
         + f""",
     acode AS {_assign_sql("subs", f"c{PQ_ITERS}")},
     ncodes AS (
@@ -534,6 +645,21 @@ def sim_ann_pq(
     return _shortlist_rerank(
         _adc_pq_scored(spark, sf_dir, unit, cb=cb), unit, shortlist_depth=rerank
     )
+
+
+@REG.add(
+    "sim_ann_pq_sampled",
+    _adc_oracle_sql(sample_n=N_TRAIN),
+    doc=f"Flat-PQ ADC search with the codebook trained on the bounded "
+    f"{N_TRAIN}-vector seeded sample (emb_pq_codebook_sampled's "
+    "trajectory) and then applied corpus-wide: encode, LUT scoring, and "
+    "exact rerank are identical to sim_ann_pq — this is the end-to-end "
+    "proof that sampled training composes with the full search funnel "
+    "(recall parity vs full-corpus training is pinned in tests/test_pq.py "
+    "and measured at x10..x100 in BENCH_recall_scale.json).",
+)
+def sim_ann_pq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ann_pq(spark, sf_dir, cb=pq_train(spark, sf_dir, train_sample=N_TRAIN))
 
 
 def _adc_pq_scored(
@@ -679,11 +805,17 @@ def _ivfpq_oracle_sql() -> str:
 
 
 def ivfpq_index(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, train_sample: int | None = None
 ) -> tuple[list[list[float]], DataFrame, list[list[list[float]]]]:
     """The IVF-PQ BUILD stage — coarse cells, materialized residuals,
     residual codebook — split out so the bench can time index build vs
-    probe+search separately (round-6 VERDICT #4)."""
+    probe+search separately (round-6 VERDICT #4).
+
+    ``train_sample`` bounds the residual k-means to the deterministic
+    seeded sample (plus the residual-init seeds at IVF_CELLS..): the
+    residual MATERIALIZATION stays corpus-wide because the encode needs
+    it anyway, but the iterated Lloyd passes scan only the sample —
+    constant train cost in corpus size."""
     cells = _cells_data(spark, sf_dir)
     cells_arr = F.array(*[_lit_vec(c) for c in cells])
     unit = _unit(spark, sf_dir)
@@ -702,6 +834,10 @@ def ivfpq_index(
         .localCheckpoint(eager=True)
     )
     rsubs = _subs_df(resid, col="r")
+    if train_sample is not None:
+        rsubs = rsubs.join(
+            F.broadcast(_train_ids(unit, train_sample, offset=IVF_CELLS)), "vec_id", "semi"
+        )
     cbr = _train_on(rsubs, PQ_ITERS, offset=IVF_CELLS)
     return cells, resid, cbr
 
@@ -1122,42 +1258,67 @@ def _dec_sum(expr: F.Column) -> F.Column:
 
 
 def opq_trained_index(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, train_sample: int | None = None
 ) -> tuple[DataFrame, DataFrame, list[int], list[list[list[float]]]]:
     """The trained-OPQ BUILD stage: fixture -> Givens sweep -> variance
     allocation -> rounded rotated table -> Lloyd codebook.  Returns
     (fixture, rotated, perm, codebook) — split out for the bench's
-    train/search stage separation (the opq_index pattern).  Driver
-    round-trips: one 3-double collect per Givens step (8), one 129-agg
-    variance collect, plus the Lloyd codebook merges — all
-    codebook-scale, the documented bounded-collect class."""
+    train/search stage separation (the opq_index pattern).
+
+    SINGLE-PASS Givens (round-9): OPQT_PAIRS is a DISJOINT lattice —
+    no dim appears in two pairs — so step k's (sab, saa, sbb) over the
+    step-(k-1) table read only dims NO earlier rotation touched (the
+    sequential update copies untouched dims verbatim).  All 8 steps'
+    statistics therefore equal the same sums over the UNROTATED fixture
+    and come from ONE aggregate pass, and the composed rotation (each
+    dim written by at most one pair) applies in ONE projection.  This
+    is bit-identical to the sequential sweep — the oracle still replays
+    it sequentially and the driver hash-check passes — and replaces 8
+    full-corpus aggregate+checkpoint rounds with 1 aggregate + 1
+    rotation pass: the difference between un-runnable and fine at
+    100 TB.  Driver round-trips: one 24-double collect (Givens sums),
+    one 129-agg variance collect, plus the Lloyd codebook merges — all
+    codebook-scale, the documented bounded-collect class.
+
+    ``train_sample`` bounds every training STATISTIC (Givens sums,
+    variance ranking, Lloyd) to the deterministic seeded sample; the
+    learned rotation/permutation/codebook still apply corpus-wide."""
     fix = _opq_fixture(spark, sf_dir)
-    r = fix.select("vec_id", F.col("u").alias("r"))
+    ids = (
+        F.broadcast(_train_ids(fix, train_sample)) if train_sample is not None else None
+    )
+    stats_src = fix if ids is None else fix.join(ids, "vec_id", "semi")
+    aggs = []
     for a, b in OPQT_PAIRS:
-        ra, rb = F.element_at("r", a + 1), F.element_at("r", b + 1)
-        row = r.agg(
-            _dec_sum(ra * rb).alias("sab"),
-            _dec_sum(ra * ra).alias("saa"),
-            _dec_sum(rb * rb).alias("sbb"),
-        ).first()
-        c, s = _jacobi_cs(row["sab"], row["saa"], row["sbb"])
-
-        def rot_lambda(c=c, s=s, ra=ra, rb=rb, a=a, b=b):
-            # closure factory: pyspark rejects extra default args on the
-            # HOF lambda itself (it counts them as lambda variables)
-            return lambda x, i: (
-                F.when(i == a, F.lit(c) * ra - F.lit(s) * rb)
-                .when(i == b, F.lit(s) * ra + F.lit(c) * rb)
-                .otherwise(x)
+        ua, ub = F.element_at("u", a + 1), F.element_at("u", b + 1)
+        aggs += [
+            _dec_sum(ua * ub).alias(f"sab{a}"),
+            _dec_sum(ua * ua).alias(f"saa{a}"),
+            _dec_sum(ub * ub).alias(f"sbb{a}"),
+        ]
+    row = stats_src.agg(*aggs).first()
+    cs = {
+        a: _jacobi_cs(row[f"sab{a}"], row[f"saa{a}"], row[f"sbb{a}"]) for a, _ in OPQT_PAIRS
+    }
+    # composed rotation: dim a of pair (a, b) -> c*u[a] - s*u[b]; dim b
+    # -> s*u[a] + c*u[b]; other dims copied.  One projection, checkpointed
+    # because variance/round6/Lloyd all re-reference it.
+    in_pair = {a: ("a", a, b) for a, b in OPQT_PAIRS} | {b: ("b", a, b) for a, b in OPQT_PAIRS}
+    terms = []
+    for j in range(DIMS):
+        if j in in_pair:
+            side, a, b = in_pair[j]
+            c, s = cs[a]
+            ua, ub = F.element_at("u", a + 1), F.element_at("u", b + 1)
+            terms.append(
+                F.lit(c) * ua - F.lit(s) * ub if side == "a" else F.lit(s) * ua + F.lit(c) * ub
             )
+        else:
+            terms.append(F.element_at("u", j + 1))
+    r = fix.select("vec_id", F.array(*terms).alias("r")).localCheckpoint(eager=True)
 
-        upd = F.transform("r", rot_lambda())
-        # checkpoint per step: the next step's aggregates and rotation
-        # both re-reference r — without it the transform chain deepens
-        # and re-executes per reference (the projection-inlining trap)
-        r = r.select("vec_id", upd.alias("r")).localCheckpoint(eager=True)
-
-    stats = r.agg(
+    var_src = r if ids is None else r.join(ids, "vec_id", "semi")
+    stats = var_src.agg(
         F.count("*").alias("cnt"),
         *[_dec_sum(F.element_at("r", d + 1)).alias(f"sm{d}") for d in range(DIMS)],
         *[
@@ -1178,7 +1339,8 @@ def opq_trained_index(
         "vec_id",
         F.array(*[F.round(F.element_at("r", p + 1), 6) for p in perm]).alias("ru"),
     ).localCheckpoint(eager=True)
-    cb = _train_on(_subs_df(rot, col="ru"), PQ_ITERS)
+    lloyd_src = rot if ids is None else rot.join(ids, "vec_id", "semi")
+    cb = _train_on(_subs_df(lloyd_src, col="ru"), PQ_ITERS)
     return fix, rot, perm, cb
 
 

@@ -1899,3 +1899,141 @@ def streaming_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("containment"),
     )
     return _run_available_now(out_stream, "streaming_chunk_dedup")
+
+
+def _streaming_phash_oracle() -> str:
+    from .multimodal import (
+        PHASH_HAM_K,
+        PHASH_VARIANT_OFFSET,
+        _VARIANT_SQL,
+        _duck_phash_halves,
+    )
+
+    lo, hi = _duck_phash_halves("payload")
+    return f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
+               {_VARIANT_SQL.format(idiv="//")} AS payload
+        FROM documents WHERE doc_id % 8 = 1
+    ),
+    ph AS MATERIALIZED (
+        SELECT media_id, {lo} AS lo, {hi} AS hi FROM media
+    ),
+    inv AS (SELECT * FROM ph WHERE media_id < {PHASH_VARIANT_OFFSET}),
+    pairs AS (
+        SELECT u.media_id AS upload_id, i.media_id AS match_id,
+               CAST(bit_count(xor(u.hi, i.hi)) + bit_count(xor(u.lo, i.lo)) AS BIGINT)
+                   AS hamming
+        FROM ph u JOIN inv i
+          ON bit_count(xor(u.hi, i.hi)) + bit_count(xor(u.lo, i.lo)) <= {PHASH_HAM_K}
+    )
+    SELECT {INGEST_BASE_MS} + (upload_id // 60) * 60000 AS window_start_ms,
+           upload_id, match_id, hamming
+    FROM pairs
+    """
+
+
+@REG.add(
+    "streaming_phash_dedup",
+    _streaming_phash_oracle(),
+    doc="INGEST-TIME perceptual near-dup gate run FOR REAL "
+    "(mm_phash_dedup's streaming twin — 'is this image perceptually "
+    "close to one we already hold?'): arriving payloads compute the "
+    "64-bit dHash IN-ROW (the 72-cell sketch evaluated ONCE via the "
+    "let-binding idiom — a streaming frame can't localCheckpoint, so "
+    "the lambda binding replaces the batch op's materialize-before-"
+    "fan-out defense), emit their 28 Manku block-pair band keys, join "
+    "the FROZEN broadcast band inventory of the held corpus, and "
+    "verify candidates with the exact integer Hamming distance; a "
+    "windowed MIN collapses multi-band collisions to one row per "
+    "(window, upload, held-image) pair.  Banding is LOSSLESS for "
+    "Hamming <= 6 by pigeonhole, and the oracle brute-forces all "
+    "upload x inventory pairs — the stream-vs-oracle hash equality "
+    "executes that proof at ingest.  Exact re-uploads read hamming 0; "
+    "spliced re-encodes land within the Hamming budget.  State: one "
+    "MIN per in-flight (window, upload, match) — bounded by MATCHES, "
+    "not arrivals (the chunk-dedup state story); a sentinel whose "
+    "band collisions can't survive the Hamming verify closes every "
+    "window via the source watermark.",
+)
+def streaming_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import (
+        PHASH_HAM_K,
+        _phash_band_structs_sql,
+        _spark_phash_expr,
+        media_with_variants,
+        phash_banded,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    held = doc.filter(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
+    )
+    inv_ph = (
+        held.select("media_id", F.expr(_spark_phash_expr("payload")).alias("h"))
+        .localCheckpoint(eager=True)
+        .select("media_id", F.col("h.lo").alias("lo"), F.col("h.hi").alias("hi"))
+    )
+    inv = phash_banded(inv_ph).select(
+        F.col("media_id").alias("match_id"),
+        F.col("lo").alias("ilo"),
+        F.col("hi").alias("ihi"),
+        "tbl",
+        "key",
+    )
+
+    replay = media_with_variants(spark, sf_dir).select(
+        F.col("media_id").alias("upload_id"), "payload"
+    )
+    sentinel = spark.createDataFrame(
+        [Row(upload_id=SENTINEL_ORD, payload="sentinel-payload-matches-no-held-image")],
+        schema="upload_id long, payload string",
+    )
+    replay = replay.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("upload_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "sph-media-", ["ingest_ts", "upload_id"])
+    stream = (
+        spark.readStream.schema("upload_id long, payload string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    bands = stream.select(
+        "upload_id",
+        "ingest_ts",
+        F.explode(F.expr(_phash_band_structs_sql("payload"))).alias("bk"),
+    ).select(
+        "upload_id",
+        "ingest_ts",
+        F.col("bk.tbl").alias("tbl"),
+        F.col("bk.key").alias("key"),
+        F.col("bk.lo").alias("lo"),
+        F.col("bk.hi").alias("hi"),
+    )
+    joined = (
+        bands.join(F.broadcast(inv), ["tbl", "key"])
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("hi").bitwiseXOR(F.col("ihi")))
+                + F.bit_count(F.col("lo").bitwiseXOR(F.col("ilo")))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_K)
+    )
+    agg = joined.groupBy(F.window("ingest_ts", "1 minute"), "upload_id", "match_id").agg(
+        F.min("hamming").alias("hamming")
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "upload_id",
+        "match_id",
+        "hamming",
+    )
+    out = _run_available_now(out_stream, "streaming_phash_dedup")
+    # sentinel filtered on the MATERIALIZED result: a pre-agg filter on a
+    # grouping column would be pushed past the watermark into the scan
+    # and the flush would never happen (the round-8 pushdown trap)
+    return out.filter(F.col("upload_id") < SENTINEL_ORD)

@@ -126,6 +126,40 @@ def test_phash_dedup_recall_and_losslessness(spark):
     assert got == ref_pairs(payloads)
 
 
+def test_streaming_phash_dedup_matches_batch(spark):
+    """Batch==stream for the perceptual gate: the streaming twin's
+    off-diagonal matches (normalized to unordered pairs) must equal
+    exactly the batch pairs with an ORIGINAL endpoint (the twin joins
+    uploads against the held-originals inventory, so variant-variant
+    pairs are out of scope by design), and every held original re-uploads
+    as an exact hamming-0 self-match."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        PHASH_VARIANT_OFFSET,
+        mm_phash_dedup,
+    )
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_phash_dedup_q,
+    )
+
+    srows = streaming_phash_dedup_q(spark, SF_SMALL).collect()
+    self_rows = [r for r in srows if r.upload_id == r.match_id]
+    assert self_rows and all(r.hamming == 0 for r in self_rows)
+    stream_pairs = {
+        (min(r.upload_id, r.match_id), max(r.upload_id, r.match_id)): r.hamming
+        for r in srows
+        if r.upload_id != r.match_id
+    }
+    batch_pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in mm_phash_dedup(spark, SF_SMALL).collect()
+        if r.media_a < PHASH_VARIANT_OFFSET  # at least one original endpoint
+    }
+    assert stream_pairs == batch_pairs
+    # every held original re-uploads exactly once as a self-match
+    held = {r.upload_id for r in self_rows}
+    assert len(self_rows) == len(held)
+
+
 def test_phash_clusters_cover_pair_graph(spark):
     """mm_phash_clusters must label exactly the endpoints of the pair
     graph, with every pair's endpoints sharing a cluster id and sizes

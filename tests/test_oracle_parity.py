@@ -98,7 +98,7 @@ def test_driver_window_rotation_invariants():
     import json
 
     green = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json", "CORRECTNESS_r04.json", "CORRECTNESS_r05.json", "CORRECTNESS_r06.json", "CORRECTNESS_r07.json"):
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json", "CORRECTNESS_r04.json", "CORRECTNESS_r05.json", "CORRECTNESS_r06.json", "CORRECTNESS_r07.json", "CORRECTNESS_r08.json"):
         try:
             with open(art) as f:
                 rows = json.load(f)
@@ -111,7 +111,7 @@ def test_driver_window_rotation_invariants():
     # full-registry evidence instead (the end-of-round artifact: overflow
     # can land after the round-entry _pre gate was recorded)
     if entrymod._ROUND_OVERFLOW:
-        with open("CORRECTNESS_FULL_r08.json") as f:
+        with open("CORRECTNESS_FULL_r09.json") as f:
             full = json.load(f)
         for name in entrymod._ROUND_OVERFLOW:
             assert name in ORACLES, name

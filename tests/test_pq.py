@@ -431,3 +431,79 @@ def test_opq_trained_beats_random_rotation_on_anisotropic_fixture(spark):
     assert r_tr >= r_rand, (r_tr, r_rand)
     assert r_tr >= r_flat, (r_tr, r_flat)
     assert r_tr >= 0.6, r_tr
+
+
+def test_sampled_training_sample_is_deterministic_and_bounded(spark):
+    """The seeded md5-rank training sample (FAISS-convention bounded
+    train set): identical across draws, at most n + PQ_K ids, and the
+    k-means init seeds are ALWAYS included so sampled and full training
+    share the same seeded init."""
+    from banking_streamprocessing_demos_spark.operators.pq import _train_ids
+    from banking_streamprocessing_demos_spark.operators.similarity import IVF_CELLS
+
+    unit = _unit(spark, SF_SMALL)
+    ids1 = sorted(r["vec_id"] for r in _train_ids(unit, 64).collect())
+    ids2 = sorted(r["vec_id"] for r in _train_ids(unit, 64).collect())
+    assert ids1 == ids2
+    assert len(ids1) <= 64 + PQ_K
+    assert set(range(PQ_K)) <= set(ids1)
+    # the residual-codebook variant carries the offset init seeds instead
+    ids3 = {r["vec_id"] for r in _train_ids(unit, 64, offset=IVF_CELLS).collect()}
+    assert set(range(IVF_CELLS, IVF_CELLS + PQ_K)) <= ids3
+
+
+def test_sampled_codebook_recall_parity_vs_full(spark):
+    """Quantizer statistics converge on a bounded sample: the codebook
+    trained on the N_TRAIN seeded draw must search within a small recall
+    margin of the full-corpus codebook (the property that makes sampled
+    training the correct 100 TB shape — scale evidence in
+    BENCH_recall_scale.json)."""
+    from banking_streamprocessing_demos_spark.operators.pq import N_TRAIN
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    full = {(r["query_id"], r["neighbor_id"]) for r in sim_ann_pq(spark, SF_SMALL).collect()}
+    cb_s = pq_train(spark, SF_SMALL, train_sample=N_TRAIN)
+    # sampled training is itself deterministic
+    assert cb_s == pq_train(spark, SF_SMALL, train_sample=N_TRAIN)
+    samp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_pq(spark, SF_SMALL, cb=cb_s).collect()
+    }
+    r_full = len(exact & full) / len(exact)
+    r_samp = len(exact & samp) / len(exact)
+    assert r_samp >= r_full - 0.15, (r_samp, r_full)
+
+
+def test_sampled_ivfpq_and_opq_trained_indexes_search(spark):
+    """train_sample on the IVF-PQ and trained-OPQ builds bounds every
+    training statistic to the sample while rotation/codebook/encode stay
+    corpus-wide: searches return the full per-query result set and stay
+    within tolerance of the full-corpus-trained index."""
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        N_TRAIN,
+        ivfpq_index,
+        opq_trained_index,
+        sim_ann_ivfpq,
+        sim_ann_opq_trained,
+    )
+
+    got_s = sim_ann_ivfpq(
+        spark, SF_SMALL, index=ivfpq_index(spark, SF_SMALL, train_sample=N_TRAIN)
+    ).collect()
+    got_f = sim_ann_ivfpq(spark, SF_SMALL, index=ivfpq_index(spark, SF_SMALL)).collect()
+    pairs_s = {(r["query_id"], r["neighbor_id"]) for r in got_s}
+    pairs_f = {(r["query_id"], r["neighbor_id"]) for r in got_f}
+    assert len(got_s) == len(got_f)
+    assert len(pairs_s & pairs_f) / len(pairs_f) >= 0.6, len(pairs_s & pairs_f) / len(pairs_f)
+
+    idx = opq_trained_index(spark, SF_SMALL, train_sample=N_TRAIN)
+    fix, rot, perm, cb = idx
+    assert sorted(perm) == list(range(len(perm)))  # a true permutation
+    assert len(cb) == PQ_M and all(len(cb_m) == PQ_K for cb_m in cb)
+    got_o = sim_ann_opq_trained(spark, SF_SMALL, index=idx).collect()
+    by_q: dict[int, int] = {}
+    for r in got_o:
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+    assert by_q and all(v == TOPK for v in by_q.values()), by_q
