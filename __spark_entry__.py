@@ -69,6 +69,9 @@ _ROUND_NEW: list[str] = [
     "sim_ann_pq_sampled",
     # round-9: ingest-time perceptual near-dup gate (mm_phash_dedup twin)
     "streaming_phash_dedup",
+    # round-9: SentencePiece-style batched merge learning (K/batch
+    # driver round-trips instead of K — the 32k-merge scale shape)
+    "pipe_bpe_merges_batched",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -132,7 +135,6 @@ _FLAGSHIP_REFRESH = [
     "text_fingerprint",
     "pipe_domain_mix",
     "pipe_shard_assign",
-    "w3_event_gaps",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -170,6 +172,7 @@ _DEMOTED_TAIL = [
     "streaming_ivf_assign",
     "f12_json_props",
     "a10_pivot_counts",
+    "w3_event_gaps",
     # demoted after earning r7 driver rows (PQ-family promotions +
     # round-7 news + six rested flagships)
     "streaming_sessionization",

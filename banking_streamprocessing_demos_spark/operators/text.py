@@ -945,6 +945,202 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batched BPE fitting (round-8 VERDICT #6: the sequential fit's one
+# driver round-trip PER MERGE is fine at K=8, unusable at a real
+# tokenizer's 32k merges — this is the SentencePiece-style batched
+# variant that makes the round-trip count K / |batch|.)
+# ---------------------------------------------------------------------------
+
+BPE_BATCH_ROUNDS = 4  # driver round-trips
+BPE_BATCH_WINDOW = 8  # top-W candidate pairs examined per round
+
+
+def _batch_accept(ranked: list[tuple]) -> list[tuple]:
+    """Deterministic batch selection over the (count desc, a, b)-ranked
+    top-W pairs: accept a pair iff NO higher-ranked pair in the window
+    shares a token with it (either side).  Conservative — conflicting
+    with a REJECTED higher pair also rejects — but that is exactly what
+    makes the rule one-shot SQL-expressible (a self anti-join, no
+    sequential greedy state), and the rank-1 pair is always accepted so
+    every round makes progress.  Accepted pairs are pairwise
+    token-disjoint, so applying them in ONE fold is order-independent:
+    at any (acc, x) step at most one rule's b equals x."""
+    out: list[tuple] = []
+    for i, (a, b, c) in enumerate(ranked):
+        if not any(
+            sa in (a, b) or sb in (a, b) for sa, sb, _sc in ranked[:i]
+        ):
+            out.append((i + 1, a, b, c))  # carries the WINDOW rank (rn)
+    return out
+
+
+def _batched_fold(rules: list[tuple[str, str, str]]):
+    """One vocab re-tokenization fold applying ALL of this round's
+    accepted (a, b, merged) rules — the multi-rule generalization of the
+    sequential fit's fold.  Rules are token-disjoint, so the when-chain
+    order is immaterial."""
+    toks_arr = F.split("toks", " ")
+
+    def step(acc, x):
+        expr = None
+        for a, b, m in rules:
+            cond = ((acc == F.lit(a)) | F.endswith(acc, F.lit(" " + a))) & (x == F.lit(b))
+            then = F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - len(a)), F.lit(m)
+            )
+            expr = F.when(cond, then) if expr is None else expr.when(cond, then)
+        return expr.otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.aggregate(
+        F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
+        F.element_at(toks_arr, 1),
+        step,
+    )
+
+
+def _bpe_batched_oracle(rounds: int = BPE_BATCH_ROUNDS, w: int = BPE_BATCH_WINDOW) -> str:
+    """The batched trajectory as generated CTE stages: per round, pair
+    counts -> top-W ranking -> anti-join acceptance -> ONE list_reduce
+    fold driven by the accepted rule lists (b-sides are distinct within
+    a batch, so list_position(lb, x) identifies the applicable rule)."""
+    parts = [
+        """
+    WITH v AS (SELECT word, COUNT(*) AS freq
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+    t1 AS (SELECT word, freq,
+                  trim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS toks
+           FROM v)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT pr.pa AS a, pr.pb AS b, SUM(freq) AS c FROM (
+            SELECT freq,
+                   UNNEST(list_transform(range(1, len(string_split(toks, ' '))),
+                          j -> struct_pack(pa := string_split(toks, ' ')[j],
+                                           pb := string_split(toks, ' ')[j + 1]))) AS pr
+            FROM t{i}
+        ) GROUP BY 1, 2
+    ),
+    r{i} AS (
+        SELECT * FROM (
+            SELECT a, b, a || b AS m, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rn
+            FROM p{i}
+        ) WHERE rn <= {w}
+    ),
+    acc{i} AS (
+        SELECT r.* FROM r{i} r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM r{i} s
+            WHERE s.rn < r.rn
+              AND (s.a IN (r.a, r.b) OR s.b IN (r.a, r.b))
+        )
+    ),
+    ru{i} AS (
+        SELECT COALESCE(list(a ORDER BY rn), []) AS la,
+               COALESCE(list(b ORDER BY rn), []) AS lb,
+               COALESCE(list(m ORDER BY rn), []) AS lm
+        FROM acc{i}
+    ),
+    t{i + 1} AS (
+        SELECT word, freq,
+               CASE WHEN len(lb) = 0 THEN toks ELSE
+               list_reduce(string_split(toks, ' '),
+                 (acc, x) -> CASE WHEN list_position(lb, x) > 0
+                                   AND (acc = la[list_position(lb, x)]
+                                        OR ends_with(acc, ' ' || la[list_position(lb, x)]))
+                                  THEN substr(acc, 1,
+                                              length(acc) - length(la[list_position(lb, x)]))
+                                       || lm[list_position(lb, x)]
+                                  ELSE acc || ' ' || x END) END AS toks
+        FROM t{i} CROSS JOIN ru{i}
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS round, CAST(rn AS INT) AS merge_rank, a AS token_a, "
+        f"b AS token_b, m AS merged, CAST(c AS BIGINT) AS pair_count FROM acc{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "".join(parts) + " " + unions
+
+
+@REG.add(
+    "pipe_bpe_merges_batched",
+    _bpe_batched_oracle(),
+    doc=f"BATCHED BPE fitting (the SentencePiece-style scale shape the "
+    f"sequential fit can't reach): each round counts weighted pairs ONCE, "
+    f"ranks the top {BPE_BATCH_WINDOW}, accepts every pair that shares no "
+    "token with a higher-ranked pair in the window (one-shot anti-join — "
+    "deterministic, no sequential greedy state), and applies the whole "
+    "accepted batch in ONE vocab fold (token-disjointness makes the fold "
+    "order-independent).  Driver round-trips become K / |batch| instead "
+    f"of K: a 32k-merge production tokenizer fits in ~{32000 // BPE_BATCH_WINDOW} "
+    f"rounds instead of 32k.  {BPE_BATCH_ROUNDS} rounds here; the oracle "
+    "replays ranking, acceptance, and fold per round in generated CTEs.  "
+    "Batched greedy is a documented approximation of strict Sennrich "
+    "order (rank-2+ merges don't see rank-1's effect until next round); "
+    "tests pin the first round's top pair equal to the sequential fit's.",
+)
+def pipe_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules, _vocab = _bpe_fit_batched(spark, sf_dir)
+    return spark.createDataFrame(
+        rules,
+        "round int, merge_rank int, token_a string, token_b string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_fit_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_BATCH_ROUNDS,
+    window: int = BPE_BATCH_WINDOW,
+) -> tuple[list[tuple], DataFrame]:
+    """Batched fit loop: per round ONE pair-count aggregate, ONE bounded
+    (<= window rows) driver collect, ONE fold — vs the sequential fit's
+    one round-trip per merge.  Returns (rules, fitted vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.withColumn(
+        "toks", F.trim(F.regexp_replace("word", "(?s)(.)", "$1 "))
+    ).localCheckpoint(eager=True)
+    out: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        arr = F.split("toks", " ")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("pa"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("pb"),
+                )
+            ).alias("pr"),
+        )
+        ranked = (
+            pairs.groupBy(F.col("pr.pa").alias("a"), F.col("pr.pb").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(window)
+            .collect()
+        )
+        if not ranked:
+            break
+        accepted = _batch_accept([(r["a"], r["b"], int(r["c"])) for r in ranked])
+        rules = [(a, b, a + b) for _rn, a, b, _c in accepted]
+        out.extend((rnd, rn, a, b, a + b, c) for rn, a, b, c in accepted)
+        vocab = vocab.withColumn("toks", _batched_fold(rules)).localCheckpoint(
+            eager=True
+        )
+    return out, vocab
+
+
 VOCAB_TOPK = 100
 
 

@@ -1212,3 +1212,33 @@ def test_bpe_oracle_parity_when_merges_exhaust(spark, tmp_path):
     oracle_enc = con.execute(_bpe_encode_oracle()).fetchall()
     spark_enc = [tuple(r) for r in pipe_bpe_encode(spark, sf).collect()]
     assert [tuple(r) for r in oracle_enc] == spark_enc == [(0, 5, 5)]
+
+
+def test_bpe_batched_fit_spark_properties(spark):
+    """The batched fit (Spark side): (a) its first round's rank-1 rule
+    IS the sequential fit's first merge (both are the global weighted
+    argmax over the seed vocab); (b) every round's accepted rules are
+    token-disjoint; (c) the batched fit learns at least as many merges
+    as it has rounds (rank-1 is always accepted) while spending one
+    driver round-trip per ROUND, not per merge."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        BPE_BATCH_ROUNDS,
+        _bpe_fit,
+        _bpe_fit_batched,
+    )
+
+    rules, _vocab = _bpe_fit_batched(spark, SF_SMALL)
+    seq_merges, _ = _bpe_fit(spark, SF_SMALL)
+    assert rules, "batched fit learned nothing"
+    rnd1 = [r for r in rules if r[0] == 1]
+    # (rank, a, b, merged, count) vs (round, rn, a, b, merged, count)
+    assert (rnd1[0][2], rnd1[0][3], rnd1[0][5]) == (
+        seq_merges[0][1], seq_merges[0][2], seq_merges[0][4]
+    )
+    by_round: dict[int, set] = {}
+    for rnd, _rn, a, b, _m, _c in rules:
+        seen = by_round.setdefault(rnd, set())
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+    assert len(by_round) <= BPE_BATCH_ROUNDS
+    assert len(rules) >= len(by_round)

@@ -245,11 +245,21 @@ FAMILIES: dict[str, dict] = {
     # key tables), expected bucket size N/65536: the within-bucket join
     # must stay near-linear like the minhash banding it mirrors
     "mm_phash_dedup": {},
+    # round-9: fixed-block chunk-hash upload dedup — position-aligned
+    # equi-join against the held inventory; output (matching pairs)
+    # grows with cross-replica byte-near copies like phash's
+    "mm_chunk_dedup": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
     # semantic near-dup clustering (round-4 plan: cosine scored inside
     # the bucket join) — bits sized by the production auto_lsh_bits rule
     "dedup_semantic_clusters": {"scale_kwargs": _semantic_kwargs},
 }
+
+
+# families whose output rows ARE the superlinear quantity on the
+# replicated corpus (cross-replica copies are true byte-near pairs):
+# their curve rows carry a per-output-normalized ratio
+ROWS_NORMALIZED = {"mm_phash_dedup", "mm_chunk_dedup"}
 
 
 def _time_query(spark, fn, sf_dir, kwargs, passes=2) -> tuple[float, int]:
@@ -357,6 +367,14 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         # cross-replica copies are real cosine-1.0 duplicates) curves
         # the collision join or the label propagation up
         "dedup_semantic_clusters": _semantic_kwargs,
+        # round-9 (round-8 VERDICT #3): the r8 families had x10-only
+        # evidence — phash banding (output grows as cross-replica texts
+        # ARE byte-near; rows-normalized below), chunk equi-join (same
+        # output growth), and the trained-OPQ build (now 1 aggregate +
+        # 1 rotation pass + sampled-or-full Lloyd)
+        "mm_phash_dedup": None,
+        "mm_chunk_dedup": None,
+        "sim_ann_opq_trained": None,
     }
     points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
               ("x30", "scale_corpus/x30", 30)]
@@ -367,9 +385,18 @@ def three_point(out: str = "BENCH_scale3.json") -> None:
         for label, path, _f in points:
             sec, nrows = _time_query(spark, fn, path, kw_fn(spark, path) if kw_fn else {})
             row[label] = sec
+            row[f"{label}_rows"] = nrows
             print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
         row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
         row["ratio_30_10"] = round(row["x30"] / row["x10"], 2)
+        # per-output normalization for the families whose OUTPUT is the
+        # thing that grows superlinearly on the replicated corpus (every
+        # cross-replica copy is a true byte-near pair): wall ratio /
+        # output-rows ratio, the round-5 semantic-family defense
+        if name in ROWS_NORMALIZED and row["x10_rows"] > 0:
+            growth = row["x30_rows"] / row["x10_rows"]
+            row["rows_growth_30_10"] = round(growth, 2)
+            row["ratio_30_10_per_output"] = round(row["ratio_30_10"] / growth, 3)
         results[name] = row
     payload = {
         "metric": "scaling_curve_3pt",
@@ -424,6 +451,13 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
         # round-6: the truncation axis — one prefix-width corpus scan per
         # query batch + the fixed-width rerank, should track PQ's slope
         "sim_ann_matryoshka": None,
+        # round-9 (round-8 VERDICT #3): second-decade points for the r8
+        # families — banded phash pairs and chunk-hash upload dedup
+        # (both rows-normalized: replicated copies are true pairs), and
+        # the single-pass trained-OPQ build
+        "mm_phash_dedup": None,
+        "mm_chunk_dedup": None,
+        "sim_ann_opq_trained": None,
     }
     points = [
         ("x1", "/root/testdata/sf0.1", 1),
@@ -457,7 +491,9 @@ def four_point(out: str = "BENCH_scale4.json") -> None:
         # above linear in the raw ratio is the output growth itself
         # (C(k,2) per replica group in the replicated corpus).
         vol_key = "n_true_pairs" if "x100_n_true_pairs" in row else (
-            "n_candidates" if "x100_n_candidates" in row else None
+            "n_candidates" if "x100_n_candidates" in row else (
+                "rows" if name in ROWS_NORMALIZED else None
+            )
         )
         if vol_key is not None and row[f"x30_{vol_key}"] > 0:
             vol_growth = row[f"x100_{vol_key}"] / row[f"x30_{vol_key}"]
@@ -667,7 +703,12 @@ def ann_recall_scale(
     from banking_streamprocessing_demos_spark.operators.pq import (
         IVFPQ_RERANK,
         MRL_SHORTLIST,
+        N_TRAIN,
         PQ_RERANK,
+        ivfpq_index,
+        pq_train,
+        sim_ann_ivfpq,
+        sim_ann_pq,
     )
     from banking_streamprocessing_demos_spark.operators.similarity import (
         IVF_CELLS,
@@ -744,6 +785,36 @@ def ann_recall_scale(
                 merged["sim_ann_matryoshka"].fn, sf_dir, exact,
                 {"shortlist": MRL_SHORTLIST * factor},
             )
+        # Sampled-vs-full training (round-8 VERDICT #2's evidence): the
+        # FAISS-shape claim is (a) train wall ~flat in corpus size under
+        # the bounded N_TRAIN sample while full-corpus training grows
+        # linearly, and (b) recall parity between the two codebooks at
+        # the SAME (scaled) funnel depth.  Walls timed separately from
+        # the searches so the artifact attributes cost to the right
+        # stage.
+        t0 = time.time()
+        cb_full = pq_train(spark, sf_dir)
+        full_train_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        cb_samp = pq_train(spark, sf_dir, train_sample=N_TRAIN)
+        samp_train_s = round(time.time() - t0, 3)
+        rr = PQ_RERANK * factor
+        point["pq_train"] = {
+            "full_train_s": full_train_s,
+            "sampled_train_s": samp_train_s,
+            "n_train": N_TRAIN,
+            "full_search": measure(sim_ann_pq, sf_dir, exact, {"cb": cb_full, "rerank": rr}),
+            "sampled_search": measure(sim_ann_pq, sf_dir, exact, {"cb": cb_samp, "rerank": rr}),
+        }
+        t0 = time.time()
+        idx_samp = ivfpq_index(spark, sf_dir, train_sample=N_TRAIN)
+        point["ivfpq_sampled"] = {
+            "sampled_build_s": round(time.time() - t0, 3),
+            "search": measure(
+                sim_ann_ivfpq, sf_dir, exact,
+                {"index": idx_samp, "rerank": IVFPQ_RERANK * factor},
+            ),
+        }
         results[tag] = point
         print(f"# {tag}: {point}", file=sys.stderr)
 
@@ -764,7 +835,13 @@ def ann_recall_scale(
         "MRL_SHORTLIST=128 — the frozen-funnel decay is the measured "
         "point); *_scaled rows apply the funnel sizing rule depth ~ "
         "base_depth x (N / N_base), the PQ family's analog of "
-        "auto_cells.",
+        "auto_cells.  pq_train rows compare full-corpus vs N_TRAIN "
+        "seeded-sample training walls and recall at the SAME scaled "
+        "funnel (the Lloyd passes are the bounded part; the sample "
+        "SELECTION is still one skinny linear rank pass).  "
+        "ivfpq_sampled's build wall includes the corpus-wide residual "
+        "materialization (the encode needs it regardless) — only its "
+        "Lloyd stage is sample-bounded.",
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
