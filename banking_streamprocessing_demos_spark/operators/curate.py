@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import det_hash_hex, hex4_to_int
+from ..plans.explain import checkpoint_stage
 from ..sources.tables import load_table
 from . import Registry
 from .dedup import (
@@ -227,10 +228,9 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STAGE 1 — gate.  Checkpoint the skinny verdict once (the
     # pipe_curriculum_pack lesson: filtering the live gate plan loses
     # the bigram-LM ReusedExchange and re-executes the gate per branch).
-    gate = (
-        pipe_quality_gate(spark, sf_dir)
-        .select("doc_id", "avg_logprob", "passed")
-        .localCheckpoint(eager=True)
+    gate = checkpoint_stage(
+        pipe_quality_gate(spark, sf_dir).select("doc_id", "avg_logprob", "passed"),
+        "stage1_gate_verdict",
     )
     gated = gate.filter("passed").select("doc_id", "avg_logprob")
 
@@ -263,11 +263,11 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from four different subtrees (fit vocab scan, encode scan, source
     # map, final join) — without this the whole gate+dedup DAG would
     # re-execute per reference
-    reps = (
+    reps = checkpoint_stage(
         lab.withColumn("rn", F.row_number().over(best_first))
         .filter(F.col("rn") == 1)
-        .select("doc_id")
-        .localCheckpoint(eager=True)
+        .select("doc_id"),
+        "stage2_keepbest_survivors",
     )
     sdocs = docs.select("doc_id", "text").join(reps, "doc_id")
 
@@ -283,10 +283,10 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_words.join(F.broadcast(mapping), "word")
         .groupBy("doc_id")
         .agg(F.sum("word_toks").cast("long").alias("n_tokens"))
-        # skinny (doc_id, n_tokens): the prefix sum reads its input from
-        # two branches per level, and the epoch aggregate reads it again
-        .localCheckpoint(eager=True)
     )
+    # skinny (doc_id, n_tokens): the prefix sum reads its input from
+    # two branches per level, and the epoch aggregate reads it again
+    enc = checkpoint_stage(enc, "stage3_bpe_token_meter")
 
     # STAGE 4 — curriculum pack (tier from the gate's LM score, offsets
     # in BPE tokens via the recursive distributed prefix sum).
@@ -310,10 +310,9 @@ def pipe_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join, the per-source totals, and the grand total under them) —
     # checkpoint the skinny projection so the final plan contains no
     # parquet scan at all, only the stage-boundary RDDs.
-    src = (
-        docs.select("doc_id", "source", "lang")
-        .join(reps, "doc_id")
-        .localCheckpoint(eager=True)
+    src = checkpoint_stage(
+        docs.select("doc_id", "source", "lang").join(reps, "doc_id"),
+        "stage5_source_map",
     )
     toks = enc.join(src, "doc_id")
     tot = toks.groupBy("source").agg(F.sum("n_tokens").alias("t"))

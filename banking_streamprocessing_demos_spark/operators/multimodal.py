@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..plans.explain import checkpoint_stage
 from ..sources.tables import load_table
 from . import Registry
 
@@ -421,13 +422,12 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every downstream reference (8 block extracts, 28 band keys, the
     # Hamming verify) would otherwise re-inline the full 72-cell sketch
     # expression per reference (the round-6 projection-inlining trap)
-    ph = (
+    ph = checkpoint_stage(
         media_with_variants(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("media_id", F.expr(_spark_phash_expr("payload")).alias("h"))
-        .localCheckpoint(eager=True)
-        .select("media_id", F.col("h.lo").alias("lo"), F.col("h.hi").alias("hi"))
-    )
+        .select("media_id", F.expr(_spark_phash_expr("payload")).alias("h")),
+        "phash_sketch",
+    ).select("media_id", F.col("h.lo").alias("lo"), F.col("h.hi").alias("hi"))
     banded = phash_banded(ph)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import Registry
+from ..plans.explain import checkpoint_stage
 from .similarity import DIMS, IVF_CELLS, N_QUERIES, TOPK, _dot, _normed
 
 REG = Registry()
@@ -1242,13 +1243,16 @@ def _opq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             terms.append(el(j + 1 - PQ_SUBDIM) + F.lit(2.0) * el(j + 1))
         else:
             terms.append(el(j + 1))
-    cp = unit.select("vec_id", F.array(*terms).alias("w")).localCheckpoint(eager=True)
+    cp = checkpoint_stage(
+        unit.select("vec_id", F.array(*terms).alias("w")), "opq_fixture_stretch"
+    )
     wdot = F.aggregate(
         F.zip_with("w", "w", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    return cp.select(
-        "vec_id", F.transform("w", lambda x: x / F.sqrt(wdot)).alias("u")
-    ).localCheckpoint(eager=True)
+    return checkpoint_stage(
+        cp.select("vec_id", F.transform("w", lambda x: x / F.sqrt(wdot)).alias("u")),
+        "opq_fixture_renormalize",
+    )
 
 
 def _dec_sum(expr: F.Column) -> F.Column:
@@ -1315,7 +1319,9 @@ def opq_trained_index(
             )
         else:
             terms.append(F.element_at("u", j + 1))
-    r = fix.select("vec_id", F.array(*terms).alias("r")).localCheckpoint(eager=True)
+    r = checkpoint_stage(
+        fix.select("vec_id", F.array(*terms).alias("r")), "opq_composed_givens_rotation"
+    )
 
     var_src = r if ids is None else r.join(ids, "vec_id", "semi")
     stats = var_src.agg(
@@ -1335,10 +1341,13 @@ def opq_trained_index(
     perm = [0] * DIMS  # perm[dest] = source dim (0-based)
     for rho, d in enumerate(order):
         perm[(rho % PQ_M) * PQ_SUBDIM + rho // PQ_M] = d
-    rot = r.select(
-        "vec_id",
-        F.array(*[F.round(F.element_at("r", p + 1), 6) for p in perm]).alias("ru"),
-    ).localCheckpoint(eager=True)
+    rot = checkpoint_stage(
+        r.select(
+            "vec_id",
+            F.array(*[F.round(F.element_at("r", p + 1), 6) for p in perm]).alias("ru"),
+        ),
+        "opq_allocation_permute_round6",
+    )
     lloyd_src = rot if ids is None else rot.join(ids, "vec_id", "semi")
     cb = _train_on(_subs_df(lloyd_src, col="ru"), PQ_ITERS)
     return fix, rot, perm, cb

@@ -8,6 +8,8 @@ change) fails CI instead of surfacing as a 100x slowdown at scale.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -15,6 +17,41 @@ def formatted_plan(df: DataFrame) -> str:
     qe = df._jdf.queryExecution()
     jvm = df.sparkSession._jvm
     return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+# ---------------------------------------------------------------------------
+# Stage capture for checkpointed operators (round-8 VERDICT #5): an
+# eager localCheckpoint EXECUTES its upstream at plan-construction time,
+# so the final dumped plan shows an opaque ExistingRDD at every stage
+# boundary.  Operators route their checkpoints through checkpoint_stage;
+# under capture_stages() the PRE-checkpoint formatted plan of each stage
+# is recorded, giving PLANS.md (and tests) the full lineage.
+# ---------------------------------------------------------------------------
+
+_STAGE_CAPTURE: list[tuple[str, str]] | None = None
+
+
+@contextmanager
+def capture_stages():
+    """Collect (stage_name, formatted_plan) pairs from every
+    checkpoint_stage call made while the context is active."""
+    global _STAGE_CAPTURE
+    prev = _STAGE_CAPTURE
+    _STAGE_CAPTURE = []
+    try:
+        yield _STAGE_CAPTURE
+    finally:
+        _STAGE_CAPTURE = prev
+
+
+def checkpoint_stage(df: DataFrame, stage: str) -> DataFrame:
+    """localCheckpoint(eager=True) that, under capture_stages(), first
+    records the stage's pre-checkpoint plan.  Outside a capture this is
+    exactly df.localCheckpoint(eager=True) — explainString is never
+    called, so the hot path pays nothing."""
+    if _STAGE_CAPTURE is not None:
+        _STAGE_CAPTURE.append((stage, formatted_plan(df)))
+    return df.localCheckpoint(eager=True)
 
 
 def assert_broadcast_join(df: DataFrame, expect: bool = True) -> str:

@@ -421,3 +421,44 @@ def test_curate_end_to_end_no_stage_reexecution(spark):
     assert plan.count(") Generate") == 2, plan
     assert plan.count("SinglePartition") == 2, plan
     assert_no_cartesian(df)
+
+
+def test_checkpointed_operators_expose_stage_lineage(spark):
+    """Round-8 VERDICT #5: eager checkpoints make the FINAL plan opaque
+    (ExistingRDD at each stage boundary), so the checkpointed operators
+    route their boundaries through plans.explain.checkpoint_stage and a
+    capture_stages() run must recover the full pre-checkpoint lineage:
+    named stages, each stage plan rooted in real lineage (the first
+    stage scans parquet; no captured stage is ExistingRDD-only), and
+    tools/dump_plans.py renders these into PLANS.md."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        mm_phash_dedup,
+    )
+    from banking_streamprocessing_demos_spark.operators.pq import opq_trained_index
+    from banking_streamprocessing_demos_spark.plans.explain import capture_stages
+
+    with capture_stages() as stages:
+        mm_phash_dedup(spark, SF_SMALL)
+    names = [s for s, _p in stages]
+    assert names == ["phash_sketch"], names
+    assert "Scan parquet" in stages[0][1], stages[0][1][:500]
+
+    with capture_stages() as stages:
+        opq_trained_index(spark, SF_SMALL)
+    names = [s for s, _p in stages]
+    assert names == [
+        "opq_fixture_stretch",
+        "opq_fixture_renormalize",
+        "opq_composed_givens_rotation",
+        "opq_allocation_permute_round6",
+    ], names
+    # first stage reads the real table; later stages chain off the
+    # previous checkpoint (ExistingRDD root) but still show THEIR OWN
+    # transformation lineage, which is the point of the capture
+    assert "Scan parquet" in stages[0][1]
+    for _s, plan in stages:
+        assert "Project" in plan or "Scan parquet" in plan, plan[:300]
+    # capture is strictly observational: outside the context the
+    # operator takes the zero-overhead path
+    out = mm_phash_dedup(spark, SF_SMALL)
+    assert out.columns == ["media_a", "media_b", "hamming"]
