@@ -82,7 +82,7 @@ _FLAGSHIP_REFRESH = [
     # regenerated testdata, the six r8-rested r7 earners returning
     # (streaming_token_histogram, streaming_pack_sequences,
     # sketch_hll_distinct, pipe_epoch_plan, smp3_stratified_split,
-    # dedup_substring_spans), and a 15-query recall rotation of
+    # dedup_substring_spans), and a 13-query recall rotation of
     # long-demoted families.  Six r8 earners rest in the tail this
     # round (dedup_semantic_ivf, streaming_curriculum_histogram,
     # dedup_keep_best, pack_sequences, text_boilerplate_strip,
@@ -171,8 +171,6 @@ _DEMOTED_TAIL = [
     "u1_insert_or_ignore",
     "streaming_ivf_assign",
     "f12_json_props",
-    "a10_pivot_counts",
-    "w3_event_gaps",
     # demoted after earning r7 driver rows (PQ-family promotions +
     # round-7 news + six rested flagships)
     "streaming_sessionization",
@@ -226,6 +224,8 @@ _DEMOTED_TAIL = [
     "j4_semi_join",
     "a1_count_global",
     "a2_groupby_count",
+    "a10_pivot_counts",
+    "w3_event_gaps",
     "a4_group_stats",
     "a6_running_counters",
     "srt1_topn_by_time",

@@ -320,6 +320,23 @@ _VARIANT_SQL = (
 )
 
 
+def _phash_media_sql() -> str:
+    """The phash input POPULATION rendered once for every DuckDB oracle
+    that consumes it (batch pair join, clusters, the streaming twin's
+    brute-force oracle) — originals plus spliced re-encode variants.
+    The one-formula-per-engine anti-drift rule _phash_cell_sql states:
+    a variant-population change must be impossible to land in one
+    oracle and miss another."""
+    return f"""
+        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
+               {_VARIANT_SQL.format(idiv="//")} AS payload
+        FROM documents WHERE doc_id % 8 = 1
+    """
+
+
+
 def media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The phash input view: image-typed media rows plus deterministic
     re-encode variants (5-char middle splice, length-preserving for the
@@ -392,13 +409,7 @@ def _phash_band_structs_sql(payload: str) -> str:
 @REG.add(
     "mm_phash_dedup",
     f"""
-    WITH media AS (
-        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
-        UNION ALL
-        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
-               {_VARIANT_SQL.format(idiv="//")} AS payload
-        FROM documents WHERE doc_id % 8 = 1
-    ),
+    WITH media AS ({_phash_media_sql()}),
     ph AS MATERIALIZED (
         SELECT media_id,
                {_duck_phash_halves("payload")[0]} AS lo,
@@ -472,13 +483,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "mm_phash_clusters",
     f"""
-    WITH RECURSIVE media AS (
-        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
-        UNION ALL
-        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
-               {_VARIANT_SQL.format(idiv="//")} AS payload
-        FROM documents WHERE doc_id % 8 = 1
-    ),
+    WITH RECURSIVE media AS ({_phash_media_sql()}),
     ph AS MATERIALIZED (
         SELECT media_id,
                {_duck_phash_halves("payload")[0]} AS lo,

@@ -284,11 +284,21 @@ def pq_train(
     instead of the corpus, and only the one-pass ENCODE touches every
     vector.  The oracle replays the identical sample (_train_sample_sql),
     so the sampled trajectory is hash-checked like the full one."""
-    unit = _unit(spark, sf_dir)
     if train_sample is not None:
-        unit = unit.join(F.broadcast(_train_ids(unit, train_sample)), "vec_id", "semi")
-    subs = _subs_df(unit).localCheckpoint(eager=True)
+        return _train_on(_sampled_subs(spark, sf_dir, train_sample), iters)
+    subs = _subs_df(_unit(spark, sf_dir)).localCheckpoint(eager=True)
     return _train_on(subs, iters)
+
+
+def _sampled_subs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Checkpointed (vec_id, m, sub) sub-vectors of the seeded training
+    sample — materialized ONCE because the md5-rank selection is a
+    (skinny) corpus pass: every consumer (Lloyd iterations, the sampled
+    codebook query's final distributed update) reads the checkpoint
+    instead of re-running the selection."""
+    unit = _unit(spark, sf_dir)
+    sampled = unit.join(F.broadcast(_train_ids(unit, n)), "vec_id", "semi")
+    return _subs_df(sampled).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -470,11 +480,12 @@ def _sampled_codebook_oracle_sql() -> str:
 )
 def emb_pq_codebook_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-training twin of emb_pq_codebook: the final Lloyd
-    iteration runs distributed over the SAMPLED sub-vectors."""
-    cb_prev = pq_train(spark, sf_dir, iters=PQ_ITERS - 1, train_sample=N_TRAIN)
-    unit = _unit(spark, sf_dir)
-    unit_s = unit.join(F.broadcast(_train_ids(unit, N_TRAIN)), "vec_id", "semi")
-    return _final_lloyd_frame(spark, _subs_df(unit_s), cb_prev)
+    iteration runs distributed over the SAMPLED sub-vectors, read from
+    the same checkpoint the earlier iterations trained on (the sample
+    selection pass runs exactly once)."""
+    subs = _sampled_subs(spark, sf_dir, N_TRAIN)
+    cb_prev = _train_on(subs, PQ_ITERS - 1)
+    return _final_lloyd_frame(spark, subs, cb_prev)
 
 
 # per-candidate ADC score: PQ_M LUT lookups summed in fixed
@@ -1288,10 +1299,15 @@ def opq_trained_index(
     variance ranking, Lloyd) to the deterministic seeded sample; the
     learned rotation/permutation/codebook still apply corpus-wide."""
     fix = _opq_fixture(spark, sf_dir)
+    # checkpoint the sampled-id frame: three semi-joins (Givens stats,
+    # variance, Lloyd) re-reference it, and the md5-rank selection is a
+    # corpus pass that must run once, not three times
     ids = (
-        F.broadcast(_train_ids(fix, train_sample)) if train_sample is not None else None
+        _train_ids(fix, train_sample).localCheckpoint(eager=True)
+        if train_sample is not None
+        else None
     )
-    stats_src = fix if ids is None else fix.join(ids, "vec_id", "semi")
+    stats_src = fix if ids is None else fix.join(F.broadcast(ids), "vec_id", "semi")
     aggs = []
     for a, b in OPQT_PAIRS:
         ua, ub = F.element_at("u", a + 1), F.element_at("u", b + 1)
@@ -1323,7 +1339,7 @@ def opq_trained_index(
         fix.select("vec_id", F.array(*terms).alias("r")), "opq_composed_givens_rotation"
     )
 
-    var_src = r if ids is None else r.join(ids, "vec_id", "semi")
+    var_src = r if ids is None else r.join(F.broadcast(ids), "vec_id", "semi")
     stats = var_src.agg(
         F.count("*").alias("cnt"),
         *[_dec_sum(F.element_at("r", d + 1)).alias(f"sm{d}") for d in range(DIMS)],
@@ -1348,7 +1364,7 @@ def opq_trained_index(
         ),
         "opq_allocation_permute_round6",
     )
-    lloyd_src = rot if ids is None else rot.join(ids, "vec_id", "semi")
+    lloyd_src = rot if ids is None else rot.join(F.broadcast(ids), "vec_id", "semi")
     cb = _train_on(_subs_df(lloyd_src, col="ru"), PQ_ITERS)
     return fix, rot, perm, cb
 

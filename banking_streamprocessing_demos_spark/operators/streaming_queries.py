@@ -1905,19 +1905,13 @@ def _streaming_phash_oracle() -> str:
     from .multimodal import (
         PHASH_HAM_K,
         PHASH_VARIANT_OFFSET,
-        _VARIANT_SQL,
         _duck_phash_halves,
+        _phash_media_sql,
     )
 
     lo, hi = _duck_phash_halves("payload")
     return f"""
-    WITH media AS (
-        SELECT doc_id AS media_id, text AS payload FROM documents WHERE doc_id % 4 = 1
-        UNION ALL
-        SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
-               {_VARIANT_SQL.format(idiv="//")} AS payload
-        FROM documents WHERE doc_id % 8 = 1
-    ),
+    WITH media AS ({_phash_media_sql()}),
     ph AS MATERIALIZED (
         SELECT media_id, {lo} AS lo, {hi} AS hi FROM media
     ),
