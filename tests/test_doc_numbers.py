@@ -177,3 +177,41 @@ def test_recall_table_matches_artifact(doc_text):
             if want is None or f"{want:.2f}" != cell:
                 stale.append((key, tag, cell, want))
     assert not stale, f"recall cells diverge from BENCH_recall_scale.json: {stale}"
+
+
+def test_x100_table_cells_match_artifact(artifact, doc_text):
+    """Round-9 extension of the drift defense: every WALL cell of
+    SCALE.md's four-point table (the '| family | x1 | x10 | x30 |
+    x100 |' table) must equal the committed BENCH_scale4.json value,
+    and every per-output cell its ratio_100_30_per_output — the table
+    is generated from the artifact, so any hand edit or partial
+    refresh fails here."""
+    text = doc_text["SCALE.md"]
+    table_start = text.index("| family | x1 | x10 | x30 | x100 |")
+    rows = []
+    for line in text[table_start:].splitlines()[2:]:
+        if not line.startswith("|"):
+            break
+        rows.append([c.strip() for c in line.strip("|").split("|")])
+    assert rows, "x100 table not found"
+    fams = artifact["families"]
+    # label cell starts with the family key (labels add parenthetical notes)
+    stale = []
+    seen = set()
+    for cells in rows:
+        label = cells[0]
+        key = next((k for k in fams if label.startswith(k)), None)
+        assert key is not None, f"table row has no artifact family: {label}"
+        seen.add(key)
+        v = fams[key]
+        for i, pt in enumerate(("x1", "x10", "x30", "x100"), start=1):
+            if cells[i] != f"{v[pt]}s":
+                stale.append((key, pt, cells[i], v[pt]))
+        if cells[5] != str(v["ratio_100_30"]):
+            stale.append((key, "ratio_100_30", cells[5], v["ratio_100_30"]))
+        per = v.get("ratio_100_30_per_output")
+        if per is not None and f"**{per}**" != cells[7]:
+            stale.append((key, "per_output", cells[7], per))
+    assert not stale, f"x100 table cells diverge from BENCH_scale4.json: {stale}"
+    # the r9 families must be present in the table
+    assert {"mm_phash_dedup", "mm_chunk_dedup", "sim_ann_opq_trained"} <= seen
