@@ -27,6 +27,7 @@ from banking_streamprocessing_demos_spark.operators.pq import (
     PQ_K,
     PQ_M,
     PQ_SUBDIM,
+    TRAIN_SEED,
     _codebook_oracle_sql,
 )
 from banking_streamprocessing_demos_spark.operators.similarity import DIMS
@@ -56,7 +57,9 @@ def _dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _reference_codebook(vecs: list[list[float]]) -> dict[tuple[int, int, int], float]:
+def _reference_codebook(
+    vecs: list[list[float]], ids: set[int] | None = None
+) -> dict[tuple[int, int, int], float]:
     # unit-normalize
     units = []
     for v in vecs:
@@ -66,6 +69,7 @@ def _reference_codebook(vecs: list[list[float]]) -> dict[tuple[int, int, int], f
         (i, m): u[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
         for i, u in enumerate(units)
         for m in range(PQ_M)
+        if ids is None or i in ids
     }
     # seeded init: centroid k of subspace m = round6 sub-vector of vec k
     cb = {
@@ -213,3 +217,60 @@ def test_duckdb_numeric_literal_parse_is_not_correctly_rounded() -> None:
     ).fetchone()
     assert via_string == 0.9999999999999999  # correctly rounded
     assert numeric == 1.0  # the documented mis-parse
+
+
+# ---------------------------------------------------------------------------
+# Sampled-training selection parity (round 9): the tsel/ssubs CTEs of
+# _train_sample_sql must draw EXACTLY the md5-rank top-n UNION the
+# init seeds, and the k-means trajectory over that subset must match
+# the plain-Python reference restricted to the same ids.  Small n
+# forces true subsetting (the fixed-N_TRAIN registered query only
+# subsets at sf >= 0.01); n beyond the corpus pins the degenerate
+# sample == corpus case.
+# ---------------------------------------------------------------------------
+
+
+def _reference_sample_ids(n_vecs: int, n: int) -> set[int]:
+    import hashlib
+
+    ranked = sorted(
+        range(n_vecs),
+        key=lambda i: (hashlib.md5(f"{TRAIN_SEED}-{i}".encode()).hexdigest(), i),
+    )
+    return set(ranked[:n]) | set(range(min(PQ_K, n_vecs)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpora, st.sampled_from([4, PQ_K + 4, 10_000]))
+def test_sampled_codebook_oracle_matches_reference(
+    vecs: list[list[float]], n: int
+) -> None:
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        _pq_kmeans_sql,
+        _pq_vector_prelude_sql,
+        _train_sample_sql,
+    )
+
+    sql = (
+        _pq_vector_prelude_sql()
+        + _train_sample_sql(n)
+        + _pq_kmeans_sql(PQ_ITERS, "ssubs")
+        + f"""
+        SELECT CAST(m AS INT), CAST(k AS INT), CAST(dim AS BIGINT), comp
+        FROM c{PQ_ITERS}d
+        """
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", list(enumerate(vecs)))
+    got = {(r[0], r[1], r[2]): r[3] for r in con.execute(sql).fetchall()}
+    ids = _reference_sample_ids(len(vecs), n)
+    # the oracle's tsel CTE must equal the reference draw exactly
+    tsel = {
+        r[0]
+        for r in con.execute(
+            _pq_vector_prelude_sql() + _train_sample_sql(n) + " SELECT vec_id FROM tsel"
+        ).fetchall()
+    }
+    assert tsel == ids
+    assert got == _reference_codebook(vecs, ids=ids)
