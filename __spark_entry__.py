@@ -72,6 +72,9 @@ _ROUND_NEW: list[str] = [
     # round-9: SentencePiece-style batched merge learning (K/batch
     # driver round-trips instead of K — the 32k-merge scale shape)
     "pipe_bpe_merges_batched",
+    # round-9: int8 scalar-quantization search — the FAISS QT_8bit
+    # compression tier (training-free, per-vector scale + tinyint codes)
+    "sim_ann_sq8",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the

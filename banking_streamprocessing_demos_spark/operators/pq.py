@@ -1499,3 +1499,90 @@ def sim_ann_opq_trained(
     fix, rot, _perm, cb = index if index is not None else opq_trained_index(spark, sf_dir)
     scored = _adc_pq_scored(spark, sf_dir, fix, cb=cb, frame=rot, col="ru")
     return _shortlist_rerank(scored, fix, shortlist_depth=rerank)
+
+# ---------------------------------------------------------------------------
+# SQ8: int8 scalar quantization search — the remaining mainstream FAISS
+# compression tier (IndexScalarQuantizer QT_8bit shape) alongside flat
+# PQ, IVF-PQ, OPQ, and Matryoshka.  Each vector stores 64 one-byte codes
+# plus one float scale (65 B vs 512 B double / 256 B float32): a 4-8x
+# scan-IO compression with far higher fidelity than PQ's 4 B codes —
+# the tier a 100 TB serving layer picks when RAM allows ~1 byte/dim.
+# Training-free: the quantizer is the per-vector max-abs scale, so there
+# is no codebook stage to sample, ship, or retrain on drift.
+# ---------------------------------------------------------------------------
+
+# ADC shortlist depth before the exact rerank.  int8-per-dim keeps
+# relative rank error ~1e-3 (quantization step = max|u_i|/127 per
+# vector), so the true top-5 sit comfortably inside a 16-deep
+# shortlist; 16 = 3.2x headroom over TOPK, and recall@5 == 1.0 vs the
+# brute-force baseline is pinned in tests/test_pq.py at sf0.001/0.01.
+SQ_RERANK = 16
+
+
+def _sq8_oracle_sql() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM e),
+    sq AS (SELECT vec_id, u,
+                  list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale
+           FROM n),
+    codes AS (
+        SELECT vec_id AS neighbor_id, scale,
+               list_transform(u, x -> CAST(CAST(ROUND(x / scale) AS TINYINT) AS DOUBLE)) AS c
+        FROM sq
+    ),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, x.neighbor_id,
+               ROUND(x.scale * list_dot_product(q.qu, x.c), 6) AS adc_score
+        FROM codes x CROSS JOIN q
+        WHERE x.neighbor_id <> q.query_id
+    )""" + _rerank_tail_sql(SQ_RERANK)
+
+
+@REG.add(
+    "sim_ann_sq8",
+    _sq8_oracle_sql(),
+    doc=f"Int8 scalar-quantization (SQ8) asymmetric search with exact "
+    f"rerank, top-{TOPK}: each corpus vector is stored as {DIMS} one-byte "
+    "codes + one scale (max|u_i|/127 per vector, the symmetric int8 "
+    "convention of emb_quantize_int8) — a 4-8x scan-IO compression with "
+    "~1e-3 rank error, the FAISS QT_8bit tier between raw floats and PQ. "
+    "Scoring is asymmetric: the full-precision query dots the int8 codes "
+    "and one multiply by the stored scale recovers the approximate "
+    f"cosine; the top-{SQ_RERANK} shortlist is rescored exactly before "
+    "the final cut (the shared _shortlist_rerank funnel).  No training "
+    "stage AT ALL — the quantizer is derived in-row per vector, so "
+    "(unlike PQ/OPQ/IVF) nothing has to be sampled, broadcast, or "
+    "retrained on drift; encode is a zero-shuffle narrow map and the "
+    "scan reads codes only.  Codes round-trip through a real TINYINT "
+    "cast in BOTH engines so the byte-width claim is enforced, not "
+    "asserted.  Recall@5 == 1.0 vs sim_topk_bruteforce pinned in "
+    "tests/test_pq.py.",
+)
+def sim_ann_sq8(spark: SparkSession, sf_dir: str, rerank: int = SQ_RERANK) -> DataFrame:
+    unit = _unit(spark, sf_dir)
+    scored = _sq8_scored(unit)
+    return _shortlist_rerank(scored, unit, shortlist_depth=rerank)
+
+
+def _sq8_scored(unit: DataFrame) -> DataFrame:
+    """Encode + ADC-score the SQ8 candidates: (query_id, neighbor_id,
+    adc_score) ahead of the shared funnel (the _adc_pq_scored split,
+    so the bench can time encode+scan separately from the rerank)."""
+    sqc = unit.withColumn("scale", F.array_max(F.transform("u", lambda x: F.abs(x))) / 127.0)
+    codes = sqc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "scale",
+        F.transform(
+            "u", lambda x: F.round(x / F.col("scale")).cast("tinyint").cast("double")
+        ).alias("c"),
+    )
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    return codes.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "adc_score", F.round(F.col("scale") * _dot("qu", "c"), 6)
+    )

@@ -507,3 +507,67 @@ def test_sampled_ivfpq_and_opq_trained_indexes_search(spark):
     for r in got_o:
         by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
     assert by_q and all(v == TOPK for v in by_q.values()), by_q
+
+
+def test_sq8_recall_is_exact_on_committed_sfs(spark):
+    """Int8-per-dim quantization keeps relative rank error ~1e-3, so
+    the 16-deep funnel must recover the exact top-5 COMPLETELY on the
+    committed corpora (measured 1.0 at sf0.001 and sf0.01 at authoring
+    time; floor 0.9 leaves margin for per-round testdata regen)."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_sq8
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in sim_ann_sq8(spark, SF_SMALL).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_sq8_rerank_scores_are_exact_cosines(spark):
+    """Same exactness contract as PQ: quantization may only affect WHICH
+    pairs make the shortlist, never the reported cosine."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_sq8
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    for r in sim_ann_sq8(spark, SF_SMALL).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-9, (key, r["cosine"], exact[key])
+
+
+def test_sq8_codes_are_true_int8(spark):
+    """The byte-width claim is structural: every code survives the
+    TINYINT round-trip (|c| <= 127 by the max-abs scale construction)
+    and the extremal code +/-127 is attained in every vector (the
+    max-abs component quantizes to exactly 127 by construction)."""
+    from banking_streamprocessing_demos_spark.operators.pq import _sq8_scored, _unit
+
+    codes = (
+        _sq8_scored(_unit(spark, SF_SMALL))
+        .select("neighbor_id", "c")
+        .dropDuplicates(["neighbor_id"])
+        .collect()
+    )
+    assert codes
+    for r in codes:
+        arr = [int(x) for x in r["c"]]
+        assert all(-127 <= v <= 127 for v in arr), (r["neighbor_id"], min(arr), max(arr))
+        assert max(abs(v) for v in arr) == 127, r["neighbor_id"]
+
+
+def test_sq8_plan_shape(spark):
+    """Scale contract: training-free (no collect stage at all in the
+    lineage), query side broadcast, no cartesian product, and the
+    shuffle budget is the two ranking windows + local-only fan-out —
+    nothing that grows with corpus size beyond the compressed scan."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_sq8
+
+    df = sim_ann_sq8(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffles(df) <= 6, plan[:2000]
