@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from banking_streamprocessing_demos_spark.operators import merge_registries
 from banking_streamprocessing_demos_spark.operators.curate import REG as CURATE_REG
 from banking_streamprocessing_demos_spark.operators.dedup import REG as DEDUP_REG
+from banking_streamprocessing_demos_spark.operators.er import REG as ER_REG
 from banking_streamprocessing_demos_spark.operators.message_domain import REG as MESSAGE_REG
 from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_REG
 from banking_streamprocessing_demos_spark.operators.packing import REG as PACKING_REG
@@ -35,6 +36,7 @@ _REGISTRIES = [
     RELATIONAL_REG,
     MESSAGE_REG,
     DEDUP_REG,
+    ER_REG,
     SIM_REG,
     TEXT_REG,
     MM_REG,
@@ -75,6 +77,10 @@ _ROUND_NEW: list[str] = [
     # round-9: int8 scalar-quantization search — the FAISS QT_8bit
     # compression tier (training-free, per-vector scale + tinyint codes)
     "sim_ann_sq8",
+    # round-9: entity resolution / record linkage — blocked fuzzy match
+    # (two-pass blocking + levenshtein verify) and its quality report
+    "er_blocked_match",
+    "er_match_quality",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
