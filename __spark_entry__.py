@@ -81,6 +81,9 @@ _ROUND_NEW: list[str] = [
     # (two-pass blocking + levenshtein verify) and its quality report
     "er_blocked_match",
     "er_match_quality",
+    # round-9: ingest-time record-linkage twin (frozen clean-side
+    # block-key inventory, the streaming_chunk_dedup pattern)
+    "streaming_er_match",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the

@@ -2031,3 +2031,98 @@ def streaming_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouping column would be pushed past the watermark into the scan
     # and the flush would never happen (the round-8 pushdown trap)
     return out.filter(F.col("upload_id") < SENTINEL_ORD)
+
+
+def _streaming_er_oracle() -> str:
+    from .er import _ER_PRELUDE_SQL
+
+    return (
+        _ER_PRELUDE_SQL
+        + f"""
+    SELECT {INGEST_BASE_MS} + (src_id // 60) * 60000 AS window_start_ms,
+           dirty_id, clean_id, brand, matched_name, lev
+    FROM matched
+    """
+    )
+
+
+@REG.add(
+    "streaming_er_match",
+    _streaming_er_oracle(),
+    doc="INGEST-TIME record linkage run FOR REAL (er_blocked_match's "
+    "streaming twin — the 'which canonical entity is this?' lookup a "
+    "curation pipeline runs as dirty records ARRIVE): each arriving "
+    "record derives its two blocking keys in-row (name prefix-4 and "
+    "suffix-4), stream-static joins against the FROZEN broadcast "
+    "block-key inventory of the clean side, verifies candidates with "
+    "the JVM levenshtein built-in, and a windowed min-per-pair "
+    "aggregation dedups the two passes' overlap.  State: one row per "
+    "in-flight (window, dirty, clean) VERIFIED pair — bounded by "
+    "matches, not arrivals; a far-future sentinel whose keys collide "
+    "with nothing closes every window via the source watermark.  "
+    "Blocking keys and verify threshold match the batch operator "
+    "bit-for-bit, so the real streaming run hash-matches the batch SQL "
+    "oracle (batch==stream is additionally fuzz-pinned in "
+    "tests/test_streaming_twin_fuzz.py).",
+)
+def streaming_er_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .er import BKEY_LEN, DIRTY_OFFSET, MAX_LEV, _clean, _dirty, _with_block_keys
+
+    inv = _with_block_keys(_clean(spark, sf_dir)).select(
+        F.col("rec_id").alias("clean_id"), F.col("name").alias("cname"), "brand", "bkey"
+    )
+
+    replay = _dirty(spark, sf_dir).select(
+        F.col("rec_id").alias("dirty_id"), "src_id", F.col("name").alias("dname"), "brand"
+    )
+    sentinel = spark.createDataFrame(
+        [
+            Row(
+                dirty_id=DIRTY_OFFSET + SENTINEL_ORD,
+                src_id=SENTINEL_ORD,
+                dname="zzz~sentinel~matches~no~block",
+                brand="Brand#none",
+            )
+        ],
+        schema="dirty_id long, src_id long, dname string, brand string",
+    )
+    replay = replay.unionByName(sentinel).withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("src_id") * 1000)
+    )
+    path = _write_sorted_replay(replay, "ser-recs-", ["ingest_ts", "dirty_id"])
+    stream = (
+        spark.readStream.schema(
+            "dirty_id long, src_id long, dname string, brand string, ingest_ts timestamp"
+        )
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    keyed = stream.select(
+        "ingest_ts",
+        "dirty_id",
+        "dname",
+        "brand",
+        F.explode(
+            F.array(
+                F.substring("dname", 1, BKEY_LEN),
+                F.expr(f"substr(dname, length(dname) - {BKEY_LEN - 1})"),
+            )
+        ).alias("bkey"),
+    )
+    joined = keyed.join(F.broadcast(inv), ["brand", "bkey"]).withColumn(
+        "lev", F.levenshtein("dname", "cname").cast("int")
+    )
+    agg = (
+        joined.filter(F.col("lev") <= MAX_LEV)
+        .groupBy(F.window("ingest_ts", "1 minute"), "dirty_id", "clean_id", "brand")
+        .agg(F.min("cname").alias("matched_name"), F.min("lev").alias("lev"))
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "dirty_id",
+        "clean_id",
+        "brand",
+        "matched_name",
+        "lev",
+    )
+    return _run_available_now(out_stream, "streaming_er_match")

@@ -105,3 +105,48 @@ def test_streaming_keep_best_matches_batch_on_random_corpora(spark, corpus) -> N
         if r.doc_id < SENTINEL_ORD
     }
     assert streamed == batch
+
+
+NAME_WORDS = ["cold", "blue", "large", "small", "odd", "widget", "bolt", "rod", "nut", "gear"]
+
+parts = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(NAME_WORDS), min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=3),  # brand id
+    ),
+    min_size=4,
+    max_size=12,
+)
+
+
+def _write_parts(spark, corpus) -> str:
+    sf = tempfile.mkdtemp(prefix="stwin-er-")
+    spark.createDataFrame(
+        [(i, " ".join(ws), f"Brand#{b}") for i, (ws, b) in enumerate(corpus)],
+        "p_partkey long, p_name string, p_brand string",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "part.parquet"))
+    return sf
+
+
+@settings(max_examples=4, deadline=None)
+@given(parts)
+def test_streaming_er_match_matches_batch_on_random_corpora(spark, corpus) -> None:
+    """Record linkage batch==stream: the frozen block-key inventory +
+    windowed verify must reproduce er_blocked_match exactly on random
+    name corpora, INCLUDING names short enough to hit the blocking
+    blind spot and name classes that collide across records."""
+    from banking_streamprocessing_demos_spark.operators.er import er_blocked_match
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_er_match_q,
+    )
+
+    sf = _write_parts(spark, corpus)
+    streamed = {
+        (r.dirty_id, r.clean_id, r.brand, r.matched_name, r.lev)
+        for r in streaming_er_match_q(spark, sf).collect()
+    }
+    batch = {
+        (r.dirty_id, r.clean_id, r.brand, r.matched_name, r.lev)
+        for r in er_blocked_match(spark, sf).collect()
+    }
+    assert streamed == batch
