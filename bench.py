@@ -161,6 +161,25 @@ HEADLINE_V7 = [
     "mm_chunk_dedup",
 ]
 
+# Eighth series (round 9+): round-9 batch additions — own
+# round-over-round track.  (streaming_phash_dedup / streaming_er_match
+# are exercised by the driver correctness runs; streaming ops are not
+# re-timed here.)
+HEADLINE_V8 = [
+    # end-to-end PQ search with the bounded-sample-trained codebook
+    # (the train stage is constant in corpus size; encode/search scan
+    # as in sim_ann_pq) — the FAISS-convention scale shape
+    "sim_ann_pq_sampled",
+    # SentencePiece-style batched merge learning (driver round-trips
+    # K/batch instead of K)
+    "pipe_bpe_merges_batched",
+    # int8 scalar-quantization search (training-free compression tier)
+    "sim_ann_sq8",
+    # entity resolution: blocked fuzzy match + quality report
+    "er_blocked_match",
+    "er_match_quality",
+]
+
 
 def _loadavg() -> list[float]:
     """1/5/15-minute load averages — the box-contention evidence the
@@ -234,6 +253,7 @@ def main() -> None:
     names_v5 = [n for n in HEADLINE_V5 if n in qs]
     names_v6 = [n for n in HEADLINE_V6 if n in qs]
     names_v7 = [n for n in HEADLINE_V7 if n in qs]
+    names_v8 = [n for n in HEADLINE_V8 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -302,6 +322,7 @@ def main() -> None:
             "headline_v5_total": payload.get("headline_v5_total"),
             "headline_v6_total": payload.get("headline_v6_total"),
             "headline_v7_total": payload.get("headline_v7_total"),
+            "headline_v8_total": payload.get("headline_v8_total"),
             "pq_stage_split": payload.get("pq_stage_split"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
@@ -375,6 +396,11 @@ def main() -> None:
     timings_v7 = run_series(names_v7, passes=1)
     result["headline_v7_total"] = round(sum(timings_v7.values()), 3)
     result["queries_v7"] = timings_v7
+    emit(result)
+
+    timings_v8 = run_series(names_v8, passes=1)
+    result["headline_v8_total"] = round(sum(timings_v8.values()), 3)
+    result["queries_v8"] = timings_v8
     emit(result)
 
     # PQ-family stage split (round-6 VERDICT #4): the v5 walls above are

@@ -249,6 +249,14 @@ FAMILIES: dict[str, dict] = {
     # equi-join against the held inventory; output (matching pairs)
     # grows with cross-replica byte-near copies like phash's
     "mm_chunk_dedup": {},
+    # round-9: int8 scalar-quantization search — training-free, so the
+    # whole wall is the compressed scan + fixed rerank (should track
+    # sim_ann_matryoshka's slope)
+    "sim_ann_sq8": {},
+    # round-9: blocked fuzzy entity match — two hash-keyed block joins
+    # + in-block levenshtein; output (verified links) grows linearly
+    # with the replicated dirty side
+    "er_blocked_match": {},
     "sim_knn_graph": {"scale_kwargs": _knn_kwargs},
     # semantic near-dup clustering (round-4 plan: cosine scored inside
     # the bucket join) — bits sized by the production auto_lsh_bits rule
@@ -849,6 +857,52 @@ def ann_recall_scale(
     print(f"wrote {out}")
 
 
+def r9_point(out: str = "BENCH_scale_r9.json") -> None:
+    """Three scale points (x1/x10/x30) for the round-9 batch families:
+    the training-free SQ8 search (wall should be the compressed scan +
+    fixed rerank, tracking matryoshka's slope) and the blocked ER match
+    (two hash block joins + in-block levenshtein; output links grow
+    with the replicated dirty side, so the row carries a per-output
+    ratio).  Run: python tools/bench_scale.py --r9-point"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    spark = get_spark("bench-scale-r9")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    critical = ["sim_ann_sq8", "er_blocked_match", "er_match_quality"]
+    points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
+              ("x30", "scale_corpus/x30", 30)]
+    results: dict[str, dict] = {}
+    for name in critical:
+        fn = merged[name].fn
+        row: dict = {}
+        for label, path, _f in points:
+            sec, nrows = _time_query(spark, fn, path, {})
+            row[label] = sec
+            row[f"{label}_rows"] = nrows
+            print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
+        row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
+        row["ratio_30_10"] = round(row["x30"] / row["x10"], 2)
+        if name == "er_blocked_match" and row["x10_rows"] > 0:
+            growth = row["x30_rows"] / row["x10_rows"]
+            row["rows_growth_30_10"] = round(growth, 2)
+            row["ratio_30_10_per_output"] = round(row["ratio_30_10"] / growth, 3)
+        results[name] = row
+    payload = {
+        "metric": "scaling_curve_r9_3pt",
+        "points": [1, 10, 30],
+        "families": results,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: (v["ratio_10_1"], v["ratio_30_10"]) for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -863,5 +917,7 @@ if __name__ == "__main__":
         four_point()
     elif "--three-point" in sys.argv:
         three_point()
+    elif "--r9-point" in sys.argv:
+        r9_point()
     else:
         main()

@@ -132,10 +132,46 @@ def main() -> None:
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    # part replicates with replica-disjoint ER blocking keys: replica k
+    # rewrites every letter through a Caesar shift of k positions over a
+    # 30-symbol cycle (a-z plus 0-3; spaces fixed), so each replica's
+    # name set is vocabulary-disjoint from every other's while the
+    # PER-NAME diversity of the prefix-4 / suffix-4 block keys is
+    # preserved EXACTLY (the substitution is a bijection on characters).
+    # A tag-wrapping rule ('r{k}~' || name) was measured and rejected:
+    # for two-digit k the 4-char tag dominates both block keys, every
+    # replica collapses into ONE block per brand, and the x30 sweep
+    # measures the corpus artifact (9.9x wall on 3x data), not the
+    # operator.  Edit-distance workload within a replica is preserved:
+    # dirty variants derive from the substituted name itself.
+    max_part = con.execute(
+        f"SELECT MAX(p_partkey) FROM '{src}/part.parquet'"
+    ).fetchone()[0]
+    cycle = "abcdefghijklmnopqrstuvwxyz0123"
+    assert factor <= len(cycle), "Caesar cycle shorter than replica count"
+    branches = []
+    for k in range(factor):
+        rot = cycle[k:] + cycle[:k]
+        branches.append(
+            f"""SELECT p_partkey + {k} * {max_part + 1} AS p_partkey,
+                   translate(p_name, '{cycle}', '{rot}') AS p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM '{src}/part.parquet'"""
+        )
+    con.execute(
+        f"""
+        COPY ({' UNION ALL '.join(branches)})
+        TO '{out}/part.parquet' (FORMAT PARQUET)
+        """
+    )
     got_docs = con.execute(f"SELECT COUNT(*) FROM '{out}/documents.parquet'").fetchone()[0]
     got_vecs = con.execute(f"SELECT COUNT(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    got_parts = con.execute(f"SELECT COUNT(*) FROM '{out}/part.parquet'").fetchone()[0]
+    n_parts = con.execute(f"SELECT COUNT(*) FROM '{src}/part.parquet'").fetchone()[0]
     assert got_docs == n_docs * factor and got_vecs == n_vecs * factor
-    print(f"wrote {out}: {got_docs} docs, {got_vecs} embeddings ({factor}x {src})")
+    assert got_parts == n_parts * factor
+    print(f"wrote {out}: {got_docs} docs, {got_vecs} embeddings, "
+          f"{got_parts} parts ({factor}x {src})")
 
 
 if __name__ == "__main__":
