@@ -84,6 +84,11 @@ _ROUND_NEW: list[str] = [
     # round-9: ingest-time record-linkage twin (frozen clean-side
     # block-key inventory, the streaming_chunk_dedup pattern)
     "streaming_er_match",
+    # round-9: ER canonicalization (exact-class + fuzzy-link components)
+    "er_cluster_entities",
+    # round-9: hard-negative mining for contrastive training (IVF-layout
+    # candidates, label-inequality filter, top-k per anchor)
+    "emb_hard_negatives",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the

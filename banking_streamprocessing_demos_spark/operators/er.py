@@ -62,8 +62,9 @@ BKEY_LEN = 4
 # (delete the character at position (p_partkey % length) + 1), the two
 # blocking-key passes for each side, candidate pairs, and verified
 # matches.  The Spark plan mirrors these stages one-for-one.
-_ER_PRELUDE_SQL = f"""
-    WITH clean AS (
+# body without the WITH keyword so the clustering oracle can prefix
+# WITH RECURSIVE (DuckDB wants the modifier on the clause, not the CTE)
+_ER_PRELUDE_BODY = f"""clean AS (
         SELECT p_partkey AS rec_id, p_name AS name, p_brand AS brand FROM part
     ),
     dirty AS (
@@ -95,6 +96,8 @@ _ER_PRELUDE_SQL = f"""
                CAST(levenshtein(dname, cname) AS INT) AS lev
         FROM cand WHERE levenshtein(dname, cname) <= {MAX_LEV}
     )"""
+
+_ER_PRELUDE_SQL = "\n    WITH " + _ER_PRELUDE_BODY
 
 
 def _clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,4 +268,66 @@ def er_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.coalesce(F.col("n_true_pairs") / F.col("n_pairs"), F.lit(0.0)), 6
         ).alias("precision"),
+    )
+
+
+@REG.add(
+    "er_cluster_entities",
+    "\n    WITH RECURSIVE "
+    + _ER_PRELUDE_BODY
+    + """,
+    classrep AS (
+        SELECT name, brand, MIN(rec_id) AS rep FROM clean GROUP BY name, brand
+    ),
+    cc AS (
+        SELECT c.rec_id AS a, r.rep AS b
+        FROM clean c JOIN classrep r ON c.name = r.name AND c.brand = r.brand
+        WHERE c.rec_id <> r.rep
+    ),
+    dc AS (SELECT dirty_id AS a, clean_id AS b FROM matched),
+    nd AS (SELECT a, b FROM cc UNION ALL SELECT a, b FROM dc),
+    edges AS (
+        SELECT a AS src, b AS dst FROM nd
+        UNION ALL SELECT b, a FROM nd
+    ),
+    walk(rec, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.rec
+    ),
+    labels AS (SELECT rec AS rec_id, MIN(lbl) AS entity_id FROM walk GROUP BY rec)
+    SELECT rec_id, entity_id,
+           COUNT(*) OVER (PARTITION BY entity_id) AS entity_size
+    FROM labels
+    """,
+    doc="Entity resolution, canonicalization stage: one canonical "
+    "entity id per real-world entity — clean records collapse by exact "
+    "(name, brand) class (star edges to the class-min record), verified "
+    "fuzzy links attach each dirty record to its matched clean records, "
+    "and connected components over the union graph assign entity_id = "
+    "component-min rec_id (the dedup_clusters min-label machinery, "
+    "O(component diameter) joins — ER components are shallow "
+    "class-stars).  Output covers every record participating in an "
+    "entity of size >= 2, the canonical-id table a curation pipeline "
+    "joins against at read time.  Oracle recomputes components with a "
+    "recursive CTE over the identical edge set.",
+)
+def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import min_label_components
+
+    clean = _clean(spark, sf_dir)
+    rep = clean.groupBy("name", "brand").agg(F.min("rec_id").alias("rep"))
+    cc = (
+        clean.join(rep, ["name", "brand"])
+        .filter(F.col("rec_id") != F.col("rep"))
+        .select(F.col("rec_id").alias("doc_a"), F.col("rep").alias("doc_b"))
+    )
+    dc = _matched(spark, sf_dir).select(
+        F.col("dirty_id").alias("doc_a"), F.col("clean_id").alias("doc_b")
+    )
+    out = min_label_components(cc.unionByName(dc), "rec_id")
+    return out.select(
+        "rec_id",
+        F.col("cluster_id").alias("entity_id"),
+        F.col("cluster_size").alias("entity_size"),
     )

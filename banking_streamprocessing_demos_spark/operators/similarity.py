@@ -1018,3 +1018,129 @@ def auto_cells(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
     depends on — see SCALE.md).  Never below the oracle-pinned
     IVF_CELLS floor."""
     return max(IVF_CELLS, n_vectors // target_cell_size)
+
+
+# hard negatives mined per anchor: the top-HN_K most-similar vectors
+# carrying a DIFFERENT label — the contrastive-training batch builder's
+# "hardest wrong answers" (same candidate machinery as sim_knn_graph,
+# so the per-anchor cost bound is probes x cell size, not N)
+HN_K = 5
+# Hard negatives live NEAR LABEL BOUNDARIES, which is exactly where a
+# vector's neighbors spread across coarse cells — so mining probes
+# deeper than the knn graph's IVF_PROBES=4.  Measured different-label
+# top-5 recall vs brute force at sf0.001: probes 4/6/8/10 ->
+# 0.48/0.62/0.73/0.84 (no sharp knee; cost is linear in probes).  8 is
+# the shipped setting: 0.73 exact-top-5 recovery at 2x the knn graph's
+# candidate volume.  The training application doesn't require the
+# EXACT hardest set — ANCE-style miners train on approximately-hard
+# negatives refreshed per epoch — so the contract is the measured
+# floor, not exactness; the test pins >= 0.6.
+HN_PROBES = 8
+
+
+@REG.add(
+    "emb_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
+    assigned AS (
+        SELECT vec_id, label, v, nrm, cell_id FROM (
+            SELECT n.vec_id, n.label, n.v, n.nrm, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn, cell_id FROM (
+            SELECT n.vec_id, n.label, n.v, n.nrm, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn <= {HN_PROBES}
+    ),
+    scored AS (
+        SELECT qc.query_id, CAST(qc.qlabel AS INT) AS query_label,
+               a.vec_id AS negative_id, CAST(a.label AS INT) AS negative_label,
+               ROUND(list_dot_product(qc.qv, a.v) / (qc.qn * a.nrm), 6) AS cosine
+        FROM assigned a JOIN qcells qc USING (cell_id)
+        WHERE a.vec_id <> qc.query_id AND a.label <> qc.qlabel
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, negative_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cosine, rank
+    FROM ranked WHERE rank <= {HN_K}
+    """,
+    doc=f"Hard-negative mining for contrastive training (top-{HN_K} "
+    "most-similar DIFFERENT-label vectors per anchor, corpus-wide): the "
+    "batch builder behind every embedding-model training pipeline — "
+    "in-batch random negatives stop teaching once the model separates "
+    "easy pairs, so production miners (ANCE-style) pull the hardest "
+    "wrong answers from an ANN index instead.  Reuses sim_knn_graph's "
+    "IVF layout verbatim: ONE skinny centroid ranking serves index and "
+    f"probe roles, candidates are {HN_PROBES} probes x cell-size per "
+    "anchor (never N^2; probes deeper than the knn graph because hard "
+    "negatives sit near label boundaries where neighbors straddle "
+    "cells — measured probe curve in the HN_PROBES comment), the "
+    "label-inequality filter rides the cell join.  At 100 TB "
+    "the assigned table is the same partitioned-by-cell layout the knn "
+    "graph reads — mining is a co-partitioned join per probe.",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    ranked = rank_cells(
+        n, n_cells, keep=HN_PROBES, jl_shortlist=auto_jl_shortlist(n_cells, HN_PROBES)
+    )
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+        .join(n, "vec_id")
+        .select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("nlabel"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            "cell_id",
+        )
+    )
+    qcells = ranked.select(F.col("vec_id").alias("query_id"), "cell_id").join(
+        n.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        ),
+        "query_id",
+    )
+    cand = qcells.join(assigned, "cell_id").filter(
+        (F.col("negative_id") != F.col("query_id")) & (F.col("nlabel") != F.col("qlabel"))
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("query_label"),
+            "negative_id",
+            F.col("nlabel").cast("int").alias("negative_label"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -160,7 +160,7 @@ def test_recall_table_matches_artifact(doc_text):
     }
     section = doc_text["SCALE.md"].split(
         "### ANN recall vs scale — FRESH-VECTOR corpus", 1
-    )[1]
+    )[1].split("\n### ", 1)[0]
     table_lines = [
         line for line in section.splitlines() if line.startswith("| sim_ann_")
     ]
@@ -215,3 +215,38 @@ def test_x100_table_cells_match_artifact(artifact, doc_text):
     assert not stale, f"x100 table cells diverge from BENCH_scale4.json: {stale}"
     # the r9 families must be present in the table
     assert {"mm_phash_dedup", "mm_chunk_dedup", "sim_ann_opq_trained"} <= seen
+
+
+def test_r9_table_cells_match_artifact(doc_text):
+    """The round-9 three-point table in SCALE.md must equal the
+    committed BENCH_scale_r9.json cell-for-cell (walls formatted
+    '%.2f s', ratios verbatim, and the er_blocked_match per-output
+    figure), so a sweep refresh cannot leave the table stale."""
+    with open(ROOT / "BENCH_scale_r9.json") as f:
+        artifact = json.load(f)
+    fams = artifact["families"]
+    text = doc_text["SCALE.md"].split(
+        "### Round-9 families: SQ8 search and blocked entity resolution", 1
+    )[1]
+    table_start = text.index("| family | x1 | x10 | x30 | 10/1 | 30/10 |")
+    rows = []
+    for line in text[table_start:].splitlines()[2:]:
+        if not line.startswith("|"):
+            break
+        rows.append([c.strip() for c in line.strip("|").split("|")])
+    assert len(rows) == len(fams) == 3
+    stale = []
+    for cells in rows:
+        key = cells[0]
+        v = fams[key]
+        for i, pt in enumerate(("x1", "x10", "x30"), start=1):
+            if cells[i] != f"{v[pt]:.2f} s":
+                stale.append((key, pt, cells[i], v[pt]))
+        if cells[4] != str(v["ratio_10_1"]) or cells[5] != str(v["ratio_30_10"]):
+            stale.append((key, "ratios", cells[4], cells[5]))
+    assert not stale, f"r9 table cells diverge from BENCH_scale_r9.json: {stale}"
+    per = fams["er_blocked_match"]["ratio_30_10_per_output"]
+    assert f"**{per}**" in text, "er per-output figure missing/stale in SCALE.md"
+    growth = fams["er_blocked_match"]
+    cite = f"{growth['x1_rows']:,} → {growth['x10_rows']:,} → {growth['x30_rows']:,}"
+    assert cite in text, f"er output-growth citation stale: expected {cite!r}"

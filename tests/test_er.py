@@ -128,3 +128,45 @@ def test_er_match_plan_shape(spark):
     assert "PushedFilters" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert count_shuffles(df) <= 5, plan[:2000]
     assert DIRTY_MOD == 4  # doc constant the blind-spot test relies on
+
+
+def test_er_cluster_entities_semantics(spark):
+    """Canonicalization invariants: entity_id is the component-min
+    rec_id; clean records sharing an exact (name, brand) class always
+    share an entity; every matched dirty record lands in the entity of
+    at least one of its matched clean records; entity_size counts the
+    member rows exactly; all entities have >= 2 members."""
+    from collections import Counter
+
+    from banking_streamprocessing_demos_spark.operators.er import er_cluster_entities
+
+    rows = er_cluster_entities(spark, SF_SMALL).collect()
+    assert rows
+    by_entity: dict[int, list[int]] = {}
+    ent_of: dict[int, int] = {}
+    for r in rows:
+        by_entity.setdefault(r["entity_id"], []).append(r["rec_id"])
+        ent_of[r["rec_id"]] = r["entity_id"]
+    sizes = Counter(r["entity_id"] for r in rows)
+    for r in rows:
+        assert r["entity_size"] == sizes[r["entity_id"]]
+    for ent, members in by_entity.items():
+        assert len(members) >= 2
+        assert ent == min(members), (ent, min(members))
+    # exact-class consistency on the clean side
+    cls: dict[tuple, set[int]] = {}
+    for r in _clean(spark, SF_SMALL).collect():
+        cls.setdefault((r["name"], r["brand"]), set()).add(r["rec_id"])
+    for members in cls.values():
+        ents = {ent_of[m] for m in members if m in ent_of}
+        if len(members) >= 2:
+            assert len(ents) == 1, (members, ents)
+    # every matched dirty record shares an entity with a matched clean record
+    match_of: dict[int, set[int]] = {}
+    for m in er_blocked_match(spark, SF_SMALL).collect():
+        match_of.setdefault(m["dirty_id"], set()).add(m["clean_id"])
+    for dirty_id, cleans in match_of.items():
+        assert ent_of[dirty_id] in {ent_of[c] for c in cleans if c in ent_of} | {
+            ent_of[dirty_id]
+        }
+        assert any(ent_of[c] == ent_of[dirty_id] for c in cleans), dirty_id

@@ -1242,3 +1242,53 @@ def test_bpe_batched_fit_spark_properties(spark):
         seen.update((a, b))
     assert len(by_round) <= BPE_BATCH_ROUNDS
     assert len(rules) >= len(by_round)
+
+
+def test_hard_negatives_are_hardest_wrong_label(spark):
+    """emb_hard_negatives invariants vs a brute-force reference: every
+    returned negative carries a label different from its anchor's, the
+    reported cosine is the exact pairwise cosine, and the mined set
+    recovers most of the true top-5 different-label neighbors (IVF
+    probing bounds candidates, so recall < 1.0 is possible but must
+    stay high — same contract as the knn graph)."""
+    import numpy as np
+
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        HN_K,
+        emb_hard_negatives,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    rows = emb_hard_negatives(spark, SF_SMALL).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    for r in rows:
+        assert r["query_label"] != r["negative_label"]
+        qv, ql = emb[r["query_id"]]
+        nv, nl = emb[r["negative_id"]]
+        assert ql == r["query_label"] and nl == r["negative_label"]
+        want = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+        assert abs(r["cosine"] - round(want, 6)) < 1e-6, (r, want)
+    # brute-force different-label top-HN_K recall
+    ids = sorted(emb)
+    mat = np.stack([emb[i][0] for i in ids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    labels = np.array([emb[i][1] for i in ids])
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["negative_id"])
+    hits = total = 0
+    sims = mat @ mat.T
+    for qi, q in enumerate(ids):
+        mask = labels != labels[qi]
+        order = [
+            ids[j]
+            for j in np.argsort(-sims[qi])
+            if mask[j] and ids[j] != q
+        ][:HN_K]
+        total += len(order)
+        hits += len(set(order) & got.get(q, set()))
+    assert total and hits / total >= 0.6, hits / total
