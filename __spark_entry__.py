@@ -99,8 +99,9 @@ _FLAGSHIP_REFRESH = [
     # regenerated testdata, the six r8-rested r7 earners returning
     # (streaming_token_histogram, streaming_pack_sequences,
     # sketch_hll_distinct, pipe_epoch_plan, smp3_stratified_split,
-    # dedup_substring_spans), and a 13-query recall rotation of
-    # long-demoted families.  Six r8 earners rest in the tail this
+    # dedup_substring_spans), and a 7-query recall rotation of
+    # long-demoted families (13 planned; 6 ceded slots to the ten
+    # round-new queries).  Six r8 earners rest in the tail this
     # round (dedup_semantic_ivf, streaming_curriculum_histogram,
     # dedup_keep_best, pack_sequences, text_boilerplate_strip,
     # pipe_quality_gate); last round's 10 recalls returned to the tail.
@@ -146,12 +147,10 @@ _FLAGSHIP_REFRESH = [
     "pipe_curation",
     "mm_resize",
     "sketch_cms_heavy_hitters",
-    "emb_quantize_int8",
-    "gen_status_histogram",
-    "smp2_backpressure_topup",
-    "text_fingerprint",
-    "pipe_domain_mix",
-    "pipe_shard_assign",
+    # (emb_quantize_int8, gen_status_histogram, smp2_backpressure_topup,
+    # text_fingerprint, pipe_domain_mix and pipe_shard_assign ceded their
+    # recall slots to this round's six extra round-new queries — the
+    # window holds exactly 50; they return next round)
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -163,6 +162,13 @@ _ROUND_OVERFLOW: list[str] = []
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
 # round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # recall-rotation entries bumped from the r9 window by round-new volume
+    "emb_quantize_int8",
+    "gen_status_histogram",
+    "smp2_backpressure_topup",
+    "text_fingerprint",
+    "pipe_domain_mix",
+    "pipe_shard_assign",
     # demoted after earning r8 driver rows (r8 round-new + six rested
     # flagships + the r8 recall rotation)
     "mm_phash_dedup",

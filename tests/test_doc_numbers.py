@@ -226,7 +226,7 @@ def test_r9_table_cells_match_artifact(doc_text):
         artifact = json.load(f)
     fams = artifact["families"]
     text = doc_text["SCALE.md"].split(
-        "### Round-9 families: SQ8 search and blocked entity resolution", 1
+        "### Round-9 families: SQ8 search, blocked entity resolution, hard negatives", 1
     )[1]
     table_start = text.index("| family | x1 | x10 | x30 | 10/1 | 30/10 |")
     rows = []
@@ -234,7 +234,7 @@ def test_r9_table_cells_match_artifact(doc_text):
         if not line.startswith("|"):
             break
         rows.append([c.strip() for c in line.strip("|").split("|")])
-    assert len(rows) == len(fams) == 3
+    assert len(rows) == len(fams) == 4
     stale = []
     for cells in rows:
         key = cells[0]

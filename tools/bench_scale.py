@@ -873,7 +873,15 @@ def r9_point(out: str = "BENCH_scale_r9.json") -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    critical = ["sim_ann_sq8", "er_blocked_match", "er_match_quality"]
+    critical = [
+        "sim_ann_sq8",
+        "er_blocked_match",
+        "er_match_quality",
+        # hard-negative mining shares the knn graph's candidate bound
+        # (probes x cell size under auto_cells) — measured with the
+        # same production sizing rule active at every point
+        "emb_hard_negatives",
+    ]
     points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
               ("x30", "scale_corpus/x30", 30)]
     results: dict[str, dict] = {}
@@ -881,7 +889,8 @@ def r9_point(out: str = "BENCH_scale_r9.json") -> None:
         fn = merged[name].fn
         row: dict = {}
         for label, path, _f in points:
-            sec, nrows = _time_query(spark, fn, path, {})
+            kwargs = _knn_kwargs(spark, path) if name == "emb_hard_negatives" else {}
+            sec, nrows = _time_query(spark, fn, path, kwargs)
             row[label] = sec
             row[f"{label}_rows"] = nrows
             print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
