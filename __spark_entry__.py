@@ -25,6 +25,7 @@ from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_
 from banking_streamprocessing_demos_spark.operators.packing import REG as PACKING_REG
 from banking_streamprocessing_demos_spark.operators.pq import REG as PQ_REG
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
+from banking_streamprocessing_demos_spark.operators.retrieval import REG as RETRIEVAL_REG
 from banking_streamprocessing_demos_spark.operators.similarity import REG as SIM_REG
 from banking_streamprocessing_demos_spark.operators.sketches import REG as SKETCH_REG
 from banking_streamprocessing_demos_spark.operators.streaming_queries import (
@@ -39,6 +40,7 @@ _REGISTRIES = [
     ER_REG,
     SIM_REG,
     TEXT_REG,
+    RETRIEVAL_REG,
     MM_REG,
     PACKING_REG,
     SKETCH_REG,
@@ -156,7 +158,17 @@ _FLAGSHIP_REFRESH = [
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
-_ROUND_OVERFLOW: list[str] = []
+_ROUND_OVERFLOW: list[str] = [
+    # round-9 late additions (window already held 50 when they landed):
+    # 1-bit binary-quantization search — the FAISS IndexBinaryFlat tier
+    # (sign codes, XOR+popcount Hamming prescreen, exact rerank)
+    "sim_ann_binary",
+    # lexical retrieval: BM25 query-time ranking (Okapi/Lucene scorer)
+    # and reciprocal-rank fusion of two disagreeing lexical rankings —
+    # the keyword half of a hybrid RAG stack
+    "text_bm25_search",
+    "rank_fusion_rrf",
+]
 
 # Demoted tail: everything with green driver rows from prior rounds
 # (r1/r2 core ops, r3 promotions).  Still hash-verified locally every

@@ -1,0 +1,283 @@
+"""Lexical retrieval over the documents table: BM25 ranking and
+reciprocal-rank fusion — the keyword half of a hybrid RAG retrieval
+stack (the ANN half lives in similarity.py / pq.py).
+
+BM25 (Robertson et al., Okapi TREC-3; the Lucene/Elasticsearch default
+scorer) ranks documents for a query by summing per-term contributions
+
+    idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+with the Lucene idf = ln(1 + (N - df + 0.5) / (df + 0.5)), k1 = 1.2,
+b = 0.75.  Unlike TF-IDF (text_tfidf_topk, which extracts keywords
+PER DOCUMENT), BM25 is a query-time scorer: tf saturates (a term
+appearing 20x is not 20x more relevant) and long documents are
+penalized toward the corpus mean length — the properties that made it
+the lexical baseline nothing quite beats.
+
+Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) is
+the standard way production search merges heterogeneous rankings
+(Elasticsearch/OpenSearch/Vespa hybrid mode): each source contributes
+1 / (k + rank) with k = 60, summed per document — rank-only, so
+score scales never have to be calibrated across sources.
+
+Determinism contract (the repo's standing treatment for scored
+rankings): every per-term / per-source contribution is ROUND(x, 6)
+into DECIMAL(18,6) BEFORE summing, so the total is exact integer
+arithmetic and order-independent in both engines; final ordering
+tiebreaks on doc_id.
+
+Scale shape: tokenize -> per-(doc, term) tf filtered to the query's
+terms (the filter rides the explode, so the tf shuffle carries only
+query-term rows — |Q| * N_docs worst case, not the corpus token
+count); df and the length stats are two skinny aggregates broadcast
+back; ranking is one window.  Nothing quadratic, nothing collected.
+
+Reference parity: the reference engine has no text retrieval (SURVEY
+§2 north-star extension, same stance as similarity.py); this family
+follows its deterministic oracle-checked query surface philosophy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Registry
+
+REG = Registry()
+
+# Fixed query: common corpus terms (the synthetic vocabulary is a
+# closed set, so idf spread is mild and the discriminative signal is
+# tf saturation + length normalization — which is exactly what BM25
+# adds over TF-IDF).
+BM25_QUERY = ("hash", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 10
+
+RRF_K = 60
+RRF_DEPTH = 20  # fuse the top-20 of each source ranking
+RRF_TOPN = 10
+
+
+def _query_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+# Per-term BM25 contribution, rendered identically for both engines
+# (idf and the tf normalization are double math; the 6dp round into
+# DECIMAL(18,6) before the per-doc sum is what makes the total exact).
+def _bm25_term_sql(tf: str, dl: str) -> str:
+    return (
+        f"CAST(ROUND(LN(1 + (n - dfq + 0.5) / (dfq + 0.5)) * {tf} / "
+        f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * {dl} / avgdl)), 6) "
+        f"AS DECIMAL(18,6))"
+    )
+
+
+BM25_SQL = f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term IN ({_query_terms_sql()})
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id, {_bm25_term_sql("tf.tf", "dl.dl")} AS c
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {BM25_TOPN}
+"""
+
+
+def _global_topn(df: DataFrame, score_col: str, n: int) -> DataFrame:
+    """Deterministic global top-``n`` with a rank column, WITHOUT a
+    global-sort window over the corpus-sized input: orderBy().limit(n)
+    compiles to TakeOrderedAndProject (per-partition partial top-n,
+    merged once) — the plan that survives 100x scale — and the
+    row_number window then runs over the n-row result only (its
+    single-partition exchange is bounded by construction)."""
+    w = Window.orderBy(F.col(score_col).desc(), "doc_id")
+    return (
+        df.orderBy(F.col(score_col).desc(), "doc_id")
+        .limit(n)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25, n_terms) for every document matching >= 1 query
+    term — the full scored relation ahead of the top-N cut (shared
+    with the RRF fusion below)."""
+    doc = load_table(spark, sf_dir, "documents")
+    dl = doc.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfq"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c", F.expr(_bm25_term_sql("tf", "dl")))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("bm25"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+
+
+@REG.add(
+    "text_bm25_search",
+    BM25_SQL,
+    doc=f"BM25 query-time ranking (Okapi/Lucene scorer, k1={BM25_K1}, "
+    f"b={BM25_B}): top-{BM25_TOPN} documents for the fixed query "
+    f"{BM25_QUERY}, with tf saturation and length normalization toward "
+    "the corpus mean — the lexical retrieval baseline, complementing "
+    "the ANN family (this is the keyword half of a hybrid RAG stack).  "
+    "Per-term contributions are 6dp-rounded into DECIMAL before the "
+    "per-doc sum (exact, order-independent in both engines); ranking "
+    "tiebreaks on doc_id.  Scale shape: the term filter rides the "
+    "tokenize explode so the tf shuffle carries only query-term rows; "
+    "df and the length stats are skinny broadcast aggregates; one "
+    "ranking window.  Nothing quadratic, nothing collected.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    return _global_topn(scored, "bm25", BM25_TOPN).select("doc_id", "bm25", "n_terms", "rank")
+
+
+# The second source ranking for the fusion: sum of TF-IDF over the
+# query terms (text_tfidf_topk's smoothed idf = ln((N+1)/(df+1)),
+# reused as a query-time scorer) — deliberately a DIFFERENT lexical
+# model so the fusion demonstrably reconciles disagreeing rankings
+# (BM25 saturates tf and normalizes length; TF-IDF is linear in tf
+# and length-blind).
+TFIDF_RANK_SQL = f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term IN ({_query_terms_sql()})
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(tf.tf * LN((n + 1.0) / (dfq + 1.0)), 6)
+                    AS DECIMAL(18,6)) AS c
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS tfidf FROM contrib GROUP BY doc_id
+"""
+
+
+RRF_SQL = f"""
+    WITH bm25_full AS ({BM25_SQL.replace(f"WHERE rank <= {BM25_TOPN}", f"WHERE rank <= {RRF_DEPTH}")}),
+    tfidf_scored AS ({TFIDF_RANK_SQL}),
+    tfidf_full AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id) AS rank
+            FROM tfidf_scored
+        ) WHERE rank <= {RRF_DEPTH}
+    ),
+    contribs AS (
+        SELECT doc_id, CAST(ROUND(1.0 / ({RRF_K} + rank), 6) AS DECIMAL(18,6)) AS c,
+               rank, 'bm25' AS source
+        FROM bm25_full
+        UNION ALL
+        SELECT doc_id, CAST(ROUND(1.0 / ({RRF_K} + rank), 6) AS DECIMAL(18,6)) AS c,
+               rank, 'tfidf' AS source
+        FROM tfidf_full
+    ),
+    fused AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_sources, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOPN}
+"""
+
+
+@REG.add(
+    "rank_fusion_rrf",
+    RRF_SQL,
+    doc=f"Reciprocal-rank fusion (Cormack et al. 2009, k={RRF_K}) of two "
+    f"disagreeing lexical rankings for the query {BM25_QUERY}: BM25 "
+    "(saturating, length-normalized) and query-TF-IDF (linear, "
+    f"length-blind), each cut at depth {RRF_DEPTH}, fused as "
+    f"sum(1/({RRF_K}+rank)) per doc — the production hybrid-search "
+    "merge (Elasticsearch/OpenSearch/Vespa shape): rank-only, so "
+    "score scales never need calibrating across sources; an ANN "
+    "ranking drops into the same union unchanged.  Contributions are "
+    "6dp-rounded into DECIMAL before summing (exact, order-free); "
+    "all tiebreaks on doc_id.  Scale shape: each source ranking is "
+    "the family's own bounded plan; the fusion itself touches only "
+    f"2 x {RRF_DEPTH} rows.",
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both source rankings, cut at fusion depth
+    scored = _bm25_scored(spark, sf_dir)
+    bm25_full = _global_topn(scored, "bm25", RRF_DEPTH).select("doc_id", "rank")
+
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfq"))
+    n = doc.agg(F.count("*").cast("long").alias("n"))
+    tfidf = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "c",
+            F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("dfq") + 1.0)), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("tfidf"))
+    )
+    tfidf_full = _global_topn(tfidf, "tfidf", RRF_DEPTH).select("doc_id", "rank")
+
+    rrf_c = F.round(1.0 / (F.lit(RRF_K) + F.col("rank")), 6).cast("decimal(18,6)")
+    contribs = bm25_full.withColumn("c", rrf_c).unionByName(tfidf_full.withColumn("c", rrf_c))
+    fused = contribs.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("rrf_score"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return _global_topn(fused, "rrf_score", RRF_TOPN).select(
+        "doc_id", "rrf_score", "n_sources", "rank"
+    )

@@ -175,6 +175,14 @@ HEADLINE_V8 = [
     "pipe_bpe_merges_batched",
     # int8 scalar-quantization search (training-free compression tier)
     "sim_ann_sq8",
+    # 1-bit binary-quantization search (the coarsest compression tier:
+    # packed sign codes + asymmetric prescreen + deep exact rerank)
+    "sim_ann_binary",
+    # lexical retrieval: BM25 ranking + reciprocal-rank fusion (the
+    # keyword half of a hybrid RAG stack; global top-N rides
+    # TakeOrderedAndProject, never a corpus-wide sort window)
+    "text_bm25_search",
+    "rank_fusion_rrf",
     # entity resolution: blocked fuzzy match + quality report
     "er_blocked_match",
     "er_match_quality",

@@ -571,3 +571,110 @@ def test_sq8_plan_shape(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     assert count_shuffles(df) <= 6, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# BQ: 1-bit binary quantization (sim_ann_binary)
+# ---------------------------------------------------------------------------
+
+
+def test_bq_recall_floor(spark):
+    """Measured at authoring time (asymmetric scorer, 64-deep funnel):
+    recall@5 vs brute force = 0.96 at sf0.01 and 1.0 at sf0.001 (the
+    50-vector corpus sits entirely inside the funnel).  Floor 0.85
+    leaves margin for per-round testdata regen; 1 bit/dim is the
+    coarsest tier in the family, so unlike SQ8 the contract is a strong
+    shortlist, not exactness."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_binary
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in sim_ann_binary(spark, SF_SMALL).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.2f}"
+
+
+def test_bq_asymmetric_beats_symmetric_at_equal_depth(spark):
+    """The design choice is measured, not asserted: at the shipped
+    depth the asymmetric scorer's shortlist recovers at least as many
+    true top-5 pairs as symmetric Hamming (sf0.01 authoring-time
+    measurement: 0.96 vs 0.76 — the query's own quantization error is
+    the gap; see the pq.py section-header table)."""
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        BQ_RERANK,
+        _bq_hamming_scored,
+        _bq_scored,
+        _shortlist_rerank,
+        _unit,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    unit = _unit(spark, SF_SMALL)
+    asym = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _shortlist_rerank(_bq_scored(unit), unit, shortlist_depth=BQ_RERANK).collect()
+    }
+    sym = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _shortlist_rerank(
+            _bq_hamming_scored(unit), unit, shortlist_depth=BQ_RERANK
+        ).collect()
+    }
+    assert len(exact & asym) >= len(exact & sym), (len(exact & asym), len(exact & sym))
+
+
+def test_bq_pack_roundtrip_and_width(spark):
+    """Structural code contract: both words fit in 32 unsigned bits
+    (no BIGINT sign-bit edge case), and the popcount of each vector's
+    words equals its positive-component count — the packed code IS the
+    sign pattern, bit for bit."""
+    from banking_streamprocessing_demos_spark.operators.pq import _bq_codes, _unit
+
+    unit = _unit(spark, SF_SMALL)
+    rows = (
+        _bq_codes(unit)
+        .join(unit, "vec_id")
+        .select(
+            "vec_id",
+            "lo",
+            "hi",
+            F.size(F.filter("u", lambda x: x > 0)).alias("n_pos"),
+            (F.bit_count("lo") + F.bit_count("hi")).alias("n_bits"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["lo"] < 2**32 and 0 <= r["hi"] < 2**32, (r["vec_id"], r["lo"], r["hi"])
+        assert r["n_bits"] == r["n_pos"], (r["vec_id"], r["n_bits"], r["n_pos"])
+
+
+def test_bq_rerank_scores_are_exact_cosines(spark):
+    """Quantization may only affect WHICH pairs make the shortlist,
+    never the reported cosine (the family-wide exactness contract)."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_binary
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    for r in sim_ann_binary(spark, SF_SMALL).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-9, (key, r["cosine"], exact[key])
+
+
+def test_bq_plan_shape(spark):
+    """Scale contract, same as SQ8: training-free (no collect stage in
+    the lineage), query side broadcast, no cartesian product, shuffle
+    budget bounded by the two ranking windows + local-only fan-out."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_binary
+
+    df = sim_ann_binary(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffles(df) <= 6, plan[:2000]

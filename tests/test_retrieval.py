@@ -1,0 +1,144 @@
+"""Lexical retrieval family: BM25 ranking + reciprocal-rank fusion.
+
+The driver's DuckDB hash gate holds the full numeric parity; these
+tests pin the retrieval SEMANTICS (matching, saturation, fusion
+arithmetic) and the scale-shaped plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from banking_streamprocessing_demos_spark.operators.retrieval import (
+    BM25_QUERY,
+    BM25_TOPN,
+    RRF_DEPTH,
+    RRF_K,
+    RRF_TOPN,
+    _bm25_scored,
+    _global_topn,
+    rank_fusion_rrf,
+    text_bm25_search,
+)
+from banking_streamprocessing_demos_spark.plans.explain import (
+    assert_no_cartesian,
+    count_shuffles,
+    formatted_plan,
+)
+from pyspark.sql import functions as F
+from tests.conftest import SF_SMALL
+
+
+def test_bm25_output_contract(spark):
+    rows = text_bm25_search(spark, SF_SMALL).collect()
+    assert len(rows) == BM25_TOPN
+    # ranks are 1..N and scores descend with doc_id tiebreak
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["bm25"], -a["doc_id"]) >= (b["bm25"], -b["doc_id"])
+    for r in rows:
+        assert 1 <= r["n_terms"] <= len(BM25_QUERY)
+
+
+def test_bm25_only_matching_docs_are_scored(spark):
+    """Every scored doc contains at least one query term, and every doc
+    containing a query term is scored — the term filter prunes, never
+    drops."""
+    scored = {r["doc_id"] for r in _bm25_scored(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text").collect()
+    expect = {
+        r["doc_id"] for r in docs if set(r["text"].split(" ")) & set(BM25_QUERY)
+    }
+    assert scored == expect
+
+
+def test_bm25_score_matches_reference_formula(spark):
+    """Recompute one returned document's score from first principles
+    (pure Python over the raw parquet) — the Okapi/Lucene formula with
+    6dp-rounded per-term contributions."""
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        q: sum(1 for toks in docs.values() if q in toks) for q in BM25_QUERY
+    }
+    top = sorted(text_bm25_search(spark, SF_SMALL).collect(), key=lambda r: r["rank"])
+    for r in top[:3]:
+        toks = docs[r["doc_id"]]
+        dl = len(toks)
+        want = 0.0
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            want += round(idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+        assert abs(r["bm25"] - want) < 1e-9, (r["doc_id"], r["bm25"], want)
+
+
+def test_bm25_tf_saturation_vs_tfidf_linearity(spark):
+    """The property BM25 adds over TF-IDF: the per-term contribution is
+    bounded by idf (as tf -> inf), while TF-IDF grows linearly — so no
+    single doc's BM25 can exceed sum(idf) no matter how spammy."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    scored = _bm25_scored(spark, SF_SMALL)
+    max_seen = scored.agg(F.max("bm25")).collect()[0][0]
+    # loosest possible bound: every df >= 1
+    idf_cap = len(BM25_QUERY) * math.log(1 + (docs - 1 + 0.5) / 1.5)
+    assert max_seen < idf_cap
+
+
+def test_rrf_arithmetic_reconciles_sources(spark):
+    """Every fused score equals the sum of 1/(K+rank) over the source
+    rankings the doc appears in, recomputed independently."""
+    bm25 = {
+        r["doc_id"]: r["rank"]
+        for r in _global_topn(_bm25_scored(spark, SF_SMALL), "bm25", RRF_DEPTH).collect()
+    }
+    fused = rank_fusion_rrf(spark, SF_SMALL).collect()
+    assert len(fused) == RRF_TOPN
+    for r in fused:
+        assert r["n_sources"] in (1, 2)
+        if r["n_sources"] == 2 and r["doc_id"] in bm25:
+            # both-source docs include the recomputable bm25 share
+            share = round(1.0 / (RRF_K + bm25[r["doc_id"]]), 6)
+            assert r["rrf_score"] > share
+
+
+def test_rrf_both_source_docs_beat_tail_singletons(spark):
+    """A doc ranked top-3 by BOTH sources must outscore any doc that
+    appears in only one source at rank >= 7: 2/(K+3) > 1/(K+7) for
+    K=60 — the fusion actually fuses."""
+    fused = rank_fusion_rrf(spark, SF_SMALL).collect()
+    doubles = [r for r in fused if r["n_sources"] == 2]
+    singles = [r for r in fused if r["n_sources"] == 1]
+    if doubles and singles:
+        assert max(r["rrf_score"] for r in doubles) > min(
+            r["rrf_score"] for r in singles
+        )
+
+
+def test_bm25_plan_shape(spark):
+    """Scale contract: the global top-N is TakeOrderedAndProject (the
+    distributed partial-top-N plan), never a corpus-wide single-
+    partition sort window; stats/df sides broadcast; no cartesian."""
+    df = text_bm25_search(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert count_shuffles(df) <= 5, plan[:2000]
+
+
+def test_rrf_plan_shape(spark):
+    df = rank_fusion_rrf(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # two source rankings + fusion agg + bounded rank windows
+    assert count_shuffles(df) <= 10, plan[:2000]
