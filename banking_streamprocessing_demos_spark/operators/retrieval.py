@@ -129,21 +129,29 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     term — the full scored relation ahead of the top-N cut (shared
     with the RRF fusion below)."""
     doc = load_table(spark, sf_dir, "documents")
-    dl = doc.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
-    stats = dl.agg(
+    stats = doc.select(F.size(F.split("text", " ")).cast("long").alias("dl")).agg(
         F.count("*").cast("long").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
+    # dl rides the tokenize scan as a grouping key (functionally
+    # dependent on doc_id, so cardinality is unchanged) — the first cut
+    # joined a separate corpus-sized (doc_id, dl) relation back in, and
+    # the plan read showed Spark BROADCASTING it (fine at sf0.1, wrong
+    # at 100 TB); carrying it through the aggregation deletes that join
+    # and the second documents scan outright.
     tf = (
-        doc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        doc.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
         .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfq"))
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("c", F.expr(_bm25_term_sql("tf", "dl")))
     )

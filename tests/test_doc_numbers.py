@@ -250,3 +250,50 @@ def test_r9_table_cells_match_artifact(doc_text):
     growth = fams["er_blocked_match"]
     cite = f"{growth['x1_rows']:,} → {growth['x10_rows']:,} → {growth['x30_rows']:,}"
     assert cite in text, f"er output-growth citation stale: expected {cite!r}"
+
+
+def test_r9b_table_cells_match_artifact(doc_text):
+    """The round-9-late three-point table in SCALE.md must equal the
+    committed BENCH_scale_r9b.json cell-for-cell, and the BQ fresh-
+    vector recall table must equal the artifact's recall block — a
+    sweep refresh cannot leave either table stale."""
+    with open(ROOT / "BENCH_scale_r9b.json") as f:
+        artifact = json.load(f)
+    fams = artifact["families"]
+    text = doc_text["SCALE.md"].split(
+        "### Round-9 late families: binary quantization, BM25, rank fusion", 1
+    )[1]
+    table_start = text.index("| family | x1 | x10 | x30 | 10/1 | 30/10 |")
+    rows = []
+    for line in text[table_start:].splitlines()[2:]:
+        if not line.startswith("|"):
+            break
+        rows.append([c.strip() for c in line.strip("|").split("|")])
+    assert len(rows) == len(fams) == 3
+    stale = []
+    for cells in rows:
+        key = cells[0]
+        v = fams[key]
+        for i, pt in enumerate(("x1", "x10", "x30"), start=1):
+            if cells[i] != f"{v[pt]:.2f} s":
+                stale.append((key, pt, cells[i], v[pt]))
+        if cells[4] != str(v["ratio_10_1"]) or cells[5] != str(v["ratio_30_10"]):
+            stale.append((key, "ratios", cells[4], cells[5]))
+    assert not stale, f"r9b table cells diverge from BENCH_scale_r9b.json: {stale}"
+    # BQ recall table
+    rec = artifact["bq_fresh_vector_recall"]["points"]
+    rec_start = text.index("| point | frozen depth-64 recall@5 |")
+    rec_rows = []
+    for line in text[rec_start:].splitlines()[2:]:
+        if not line.startswith("|"):
+            break
+        rec_rows.append([c.strip() for c in line.strip("|").split("|")])
+    assert len(rec_rows) == 4
+    for cells in rec_rows:
+        pt = cells[0]
+        r = rec[pt]
+        assert cells[1] == str(r["frozen"]["recall_at_5"]), (pt, cells[1])
+        scaled = r.get("scaled")
+        if scaled:
+            assert cells[2] == str(scaled["recall_at_5"]), (pt, cells[2])
+            assert cells[3] == str(scaled["depth"]), (pt, cells[3])
