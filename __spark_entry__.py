@@ -168,6 +168,9 @@ _ROUND_OVERFLOW: list[str] = [
     # the keyword half of a hybrid RAG stack
     "text_bm25_search",
     "rank_fusion_rrf",
+    # ingest-time BM25 percolation (text_bm25_search's streaming twin:
+    # standing query, flowing docs, frozen corpus stats)
+    "streaming_bm25_match",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -2126,3 +2126,169 @@ def streaming_er_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lev",
     )
     return _run_available_now(out_stream, "streaming_er_match")
+
+
+# ---------------------------------------------------------------------------
+# streaming BM25 percolation (round 9: text_bm25_search's streaming twin
+# — the Elasticsearch-percolator shape: standing queries, flowing docs)
+# ---------------------------------------------------------------------------
+
+# Match threshold for the standing query: ~p90 of the base corpus's
+# BM25 score distribution at sf0.01 (measured min/med/p90/max =
+# 0.104 / 0.388 / 0.492 / 0.546), so "matched" routes roughly the top
+# decile — the alerting shape a percolator exists for.  Compared in
+# DECIMAL(18,6) against the exact 6dp contribution sum, so the
+# boundary is engine-exact.
+BM25_MATCH_TAU = "0.490000"
+
+
+def _streaming_bm25_oracle() -> str:
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY
+
+    term_cs = []
+    for i, t in enumerate(BM25_QUERY):
+        term_cs.append(f"""
+        CASE WHEN len(list_filter(words, x -> x = '{t}')) > 0
+             THEN CAST(ROUND(LN(1 + (n - df{i} + 0.5) / (df{i} + 0.5))
+                  * len(list_filter(words, x -> x = '{t}'))
+                  / (len(list_filter(words, x -> x = '{t}'))
+                     + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
+                  AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END""")
+    csum = " + ".join(f"c{i}" for i in range(len(BM25_QUERY)))
+    df_aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(string_split(text, ' '), '{t}') "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    c_cols = ", ".join(f"{c.strip()} AS c{i}" for i, c in enumerate(term_cs))
+    n_terms = " + ".join(
+        f"CASE WHEN len(list_filter(words, x -> x = '{t}')) > 0 THEN 1 ELSE 0 END"
+        for t in BM25_QUERY
+    )
+    return f"""
+    WITH {_REPLAY_DOCS_SQL},
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_aggs}
+        FROM documents
+    ),
+    arrivals AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM replay
+    ),
+    contrib AS (
+        SELECT doc_id, dl, {c_cols}, CAST({n_terms} AS BIGINT) AS n_terms
+        FROM arrivals CROSS JOIN stats
+    )
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           doc_id,
+           CAST({csum} AS DOUBLE) AS bm25,
+           n_terms,
+           ({csum}) >= CAST({BM25_MATCH_TAU} AS DECIMAL(18,6)) AS matched
+    FROM contrib
+    WHERE n_terms > 0
+    """
+
+
+@REG.add(
+    "streaming_bm25_match",
+    _streaming_bm25_oracle(),
+    doc="BM25 PERCOLATION at ingest run FOR REAL (text_bm25_search's "
+    "streaming twin — the Elasticsearch-percolator shape: the query "
+    "stands, the documents flow): every arriving document is scored "
+    "IN-ROW against the standing query under FROZEN corpus statistics "
+    "(N, avgdl, per-term df — a one-row broadcast derived offline from "
+    "the base corpus, the production shape: retrieval stats refresh out "
+    "of band, not per arrival), per-term tf via array-filter on the "
+    "already-split words so scoring needs NO explode, NO shuffle and "
+    "NO state at all; a windowed per-doc aggregation flushes scored "
+    "arrivals per ingest minute with matched = score >= the standing "
+    "threshold (engine-exact: the 6dp DECIMAL contribution sum is "
+    "compared in DECIMAL).  Late re-ingests are scored like any "
+    "arrival — a percolator routes every document it sees.  State: "
+    "one row per in-flight (window, doc); the no-query-term sentinel "
+    "dies at the pre-agg row filter while the source watermark still "
+    "closes every window.  Hash-matches the full SQL oracle.",
+)
+def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY
+
+    base = load_table(spark, sf_dir, "documents")
+    words_b = F.split("text", " ")
+    stats = base.select(
+        F.size(words_b).cast("long").alias("dl"),
+        *[
+            F.array_contains(words_b, t).cast("long").alias(f"has{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[F.sum(f"has{i}").cast("long").alias(f"df{i}") for i in range(len(BM25_QUERY))],
+    )
+
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    )
+    replay = _replay_corpus(spark, sf_dir).unionByName(
+        sentinel.withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+    path = _write_sorted_replay(replay, "sbm25-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+
+    words = F.split("text", " ")
+
+    # NB: the term must be bound via a closure-returning helper — a
+    # two-parameter lambda (even `lambda x, t=t`) makes PySpark pass
+    # (element, index) and the term silently becomes the array index
+    def _tf(term):
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    scored = stream.select(
+        "doc_id",
+        "ingest_ts",
+        F.size(words).cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)],
+    ).crossJoin(F.broadcast(stats))
+    zero = F.lit("0").cast("decimal(18,6)")
+    cs = []
+    for i in range(len(BM25_QUERY)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        norm = tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        cs.append(
+            F.when(tf > 0, F.round(idf * tf / norm, 6).cast("decimal(18,6)")).otherwise(zero)
+        )
+    csum = cs[0] + cs[1] + cs[2]
+    n_terms = sum(
+        (F.col(f"tf{i}") > 0).cast("long") for i in range(len(BM25_QUERY))
+    )
+    rowed = scored.select(
+        "doc_id",
+        "ingest_ts",
+        csum.alias("csum"),
+        n_terms.alias("n_terms"),
+    ).filter(F.col("n_terms") > 0)
+    agg = rowed.groupBy(
+        F.window("ingest_ts", "1 minute"), "doc_id", "csum", "n_terms"
+    ).agg(F.count("*").alias("_k"))
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        F.col("csum").cast("double").alias("bm25"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        (F.col("csum") >= F.lit(BM25_MATCH_TAU).cast("decimal(18,6)")).alias("matched"),
+    )
+    return _run_available_now(out_stream, "streaming_bm25_match")

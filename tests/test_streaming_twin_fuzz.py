@@ -150,3 +150,43 @@ def test_streaming_er_match_matches_batch_on_random_corpora(spark, corpus) -> No
         for r in er_blocked_match(spark, sf).collect()
     }
     assert streamed == batch
+
+
+# BM25 percolation twin: tokens include the standing query's terms so
+# scored arrivals exercise every branch (0..3 matching terms, repeated
+# terms for tf saturation, length spread for the dl normalization).
+BM25_TOKENS = ["hash", "join", "window", "g", "x7", "a.b"]
+
+bm25_docs = st.lists(
+    st.lists(st.sampled_from(BM25_TOKENS), min_size=1, max_size=12),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(bm25_docs)
+def test_streaming_bm25_matches_batch_on_random_corpora(spark, corpus) -> None:
+    """Streamed per-arrival scores equal the batch scorer's on the
+    SAME frozen stats: originals match _bm25_scored row-for-row, and
+    every late re-ingest copy scores exactly like its original (a
+    percolator is stateless per arrival by construction)."""
+    from banking_streamprocessing_demos_spark.operators.retrieval import _bm25_scored
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        streaming_bm25_match_q,
+    )
+
+    sf = _write_docs(spark, corpus)
+    streamed = {
+        r.doc_id: (r.bm25, r.n_terms)
+        for r in streaming_bm25_match_q(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.bm25, r.n_terms) for r in _bm25_scored(spark, sf).collect()
+    }
+    originals = {k: v for k, v in streamed.items() if k < DUP_OFFSET}
+    assert originals == batch
+    for k, v in streamed.items():
+        if k >= DUP_OFFSET:
+            assert streamed[k - DUP_OFFSET] == v, (k, v)
