@@ -171,6 +171,9 @@ _ROUND_OVERFLOW: list[str] = [
     # ingest-time BM25 percolation (text_bm25_search's streaming twin:
     # standing query, flowing docs, frozen corpus stats)
     "streaming_bm25_match",
+    # MMR diversity re-rank of the BM25 pool (exact-decimal greedy over
+    # the bounded candidate set; unrolled-CTE oracle)
+    "rank_mmr_diversify",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

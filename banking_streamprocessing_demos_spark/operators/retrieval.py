@@ -289,3 +289,155 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_topn(fused, "rrf_score", RRF_TOPN).select(
         "doc_id", "rrf_score", "n_sources", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (Carbonell & Goldstein, SIGIR 1998): the standard
+# diversity re-rank between retrieval and presentation — greedily pick
+# the candidate maximizing lambda*relevance - (1-lambda)*max-similarity-
+# to-already-picked.  Inherently sequential, but over a candidate pool
+# BOUNDED BY CONSTRUCTION (the BM25 top-RRF_DEPTH), so the greedy runs
+# driver-side over a collected <=20-row pool + <=C(20,2) pair table —
+# the same bounded-collect shape as the BPE merge fold and the IVF
+# probe-cell list.  All arithmetic is exact DECIMAL(18,6): relevance is
+# the BM25 decimal sum, pair similarity is 6dp-rounded token Jaccard,
+# and each pick's score is one decimal round of an exact expression —
+# so the Python greedy and the DuckDB unrolled-CTE oracle agree
+# digit-for-digit (ties broken by doc_id in both).
+# ---------------------------------------------------------------------------
+
+MMR_K = 10
+MMR_LAMBDA = "0.7"  # decimal string: exact in DECIMAL(2,1) in both engines
+
+
+def _mmr_pool_sql() -> str:
+    """cand/toks/pairs CTE block shared by the oracle's greedy steps.
+    MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+    10 unrolled greedy steps each reference pairs/toks several times —
+    inlined, the whole BM25 pipeline re-evaluates per reference and
+    the oracle dies on file-handle exhaustion before it gets slow."""
+    bm25_pool = BM25_SQL.replace(f"WHERE rank <= {BM25_TOPN}", f"WHERE rank <= {RRF_DEPTH}")
+    return f"""
+    bm25_full AS MATERIALIZED ({bm25_pool}),
+    toks AS MATERIALIZED (
+        SELECT c.doc_id, CAST(c.bm25 AS DECIMAL(18,6)) AS rel,
+               list_distinct(string_split(d.text, ' ')) AS tk
+        FROM bm25_full c JOIN documents d USING (doc_id)
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                          / len(list_distinct(a.tk || b.tk)), 6)
+                    AS DECIMAL(18,6)) AS jac
+        FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+    )"""
+
+
+def _mmr_oracle_sql() -> str:
+    lam = f"CAST({MMR_LAMBDA} AS DECIMAL(2,1))"
+    pen = f"CAST({1 - float(MMR_LAMBDA):.1f} AS DECIMAL(2,1))"
+    parts = [_mmr_pool_sql()]
+    parts.append(f""",
+    s1 AS (
+        SELECT doc_id, rel, CAST(0 AS DECIMAL(18,6)) AS max_sim,
+               CAST(ROUND({lam} * rel, 6) AS DECIMAL(18,6)) AS mmr,
+               CAST(1 AS BIGINT) AS mmr_rank
+        FROM toks
+        ORDER BY CAST(ROUND({lam} * rel, 6) AS DECIMAL(18,6)) DESC, doc_id
+        LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM s1)""")
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        parts.append(f""",
+    s{t} AS (
+        SELECT doc_id, rel, max_sim,
+               CAST(ROUND({lam} * rel - {pen} * max_sim, 6) AS DECIMAL(18,6)) AS mmr,
+               CAST({t} AS BIGINT) AS mmr_rank
+        FROM (
+            SELECT t.doc_id, t.rel,
+                   COALESCE((SELECT CAST(MAX(p.jac) AS DECIMAL(18,6)) FROM pairs p
+                             WHERE p.da = t.doc_id
+                               AND p.db IN (SELECT doc_id FROM sel{p})),
+                            CAST(0 AS DECIMAL(18,6))) AS max_sim
+            FROM toks t
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM sel{p})
+        )
+        ORDER BY CAST(ROUND({lam} * rel - {pen} * max_sim, 6) AS DECIMAL(18,6)) DESC, doc_id
+        LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (SELECT doc_id FROM sel{p} UNION ALL SELECT doc_id FROM s{t})""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, MMR_K + 1))
+    parts.append(f"""
+    SELECT mmr_rank, doc_id, CAST(rel AS DOUBLE) AS bm25,
+           CAST(max_sim AS DOUBLE) AS max_sim_prior,
+           CAST(mmr AS DOUBLE) AS mmr_score
+    FROM ({union})""")
+    return "WITH " + "".join(parts)
+
+
+@REG.add(
+    "rank_mmr_diversify",
+    _mmr_oracle_sql(),
+    doc=f"Maximal-marginal-relevance diversification (Carbonell & "
+    f"Goldstein 1998, lambda={MMR_LAMBDA}) of the BM25 top-{RRF_DEPTH}: "
+    f"greedily emit {MMR_K} results, each maximizing lambda*bm25 - "
+    "(1-lambda)*max token-Jaccard to the already-picked — the re-rank "
+    "stage between retrieval and presentation that stops near-duplicate "
+    "results crowding the page (every production search ships one).  "
+    "The pool and the pairwise-Jaccard table are computed distributed "
+    "(broadcast pool join, array_intersect/union in-JVM) and are "
+    "bounded by construction, so the inherently-sequential greedy runs "
+    "driver-side over <=20 rows (the BPE-merge bounded-collect "
+    "precedent); all scoring is exact DECIMAL(18,6) with doc_id "
+    "tiebreaks, so the Python greedy and the oracle's unrolled "
+    f"{MMR_K}-step CTE chain agree digit-for-digit.",
+)
+def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pool = _global_topn(_bm25_scored(spark, sf_dir), "bm25", RRF_DEPTH).select(
+        "doc_id", "bm25"
+    )
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.join(F.broadcast(pool), "doc_id").select(
+        "doc_id", "bm25", F.array_distinct(F.split("text", " ")).alias("tk")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.round(
+            F.size(F.array_intersect("a.tk", "b.tk")).cast("double")
+            / F.size(F.array_union("a.tk", "b.tk")),
+            6,
+        ).alias("jac"),
+    )
+    # bounded collects: <= RRF_DEPTH candidates, <= C(RRF_DEPTH, 2) pairs
+    rel = {r["doc_id"]: Decimal(str(r["bm25"])) for r in toks.select("doc_id", "bm25").collect()}
+    jac: dict[tuple[int, int], Decimal] = {}
+    for r in pairs.collect():
+        v = Decimal(str(r["jac"]))
+        jac[(r["da"], r["db"])] = v
+        jac[(r["db"], r["da"])] = v
+
+    six = Decimal("0.000001")
+    lam = Decimal(MMR_LAMBDA)
+    pen = Decimal(1) - lam
+    zero = Decimal(0)
+    selected: list[int] = []
+    out = []
+    while rel and len(selected) < MMR_K:
+        best = None
+        for d in sorted(rel):  # doc_id tiebreak via deterministic scan order
+            ms = max((jac.get((d, s), zero) for s in selected), default=zero)
+            score = (lam * rel[d] - pen * ms).quantize(six, rounding=ROUND_HALF_UP)
+            if best is None or score > best[0]:
+                best = (score, d, ms)
+        score, d, ms = best
+        selected.append(d)
+        out.append((len(selected), d, float(rel.pop(d)), float(ms), float(score)))
+    return spark.createDataFrame(
+        out,
+        "mmr_rank long, doc_id long, bm25 double, max_sim_prior double, mmr_score double",
+    )

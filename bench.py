@@ -183,6 +183,9 @@ HEADLINE_V8 = [
     # TakeOrderedAndProject, never a corpus-wide sort window)
     "text_bm25_search",
     "rank_fusion_rrf",
+    # MMR diversity re-rank (bounded driver-side greedy; wall is the
+    # distributed pool + pair computation)
+    "rank_mmr_diversify",
     # entity resolution: blocked fuzzy match + quality report
     "er_blocked_match",
     "er_match_quality",
