@@ -24,6 +24,7 @@ from banking_streamprocessing_demos_spark.operators.message_domain import REG as
 from banking_streamprocessing_demos_spark.operators.multimodal import REG as MM_REG
 from banking_streamprocessing_demos_spark.operators.packing import REG as PACKING_REG
 from banking_streamprocessing_demos_spark.operators.pq import REG as PQ_REG
+from banking_streamprocessing_demos_spark.operators.privacy import REG as PRIVACY_REG
 from banking_streamprocessing_demos_spark.operators.relational import REG as RELATIONAL_REG
 from banking_streamprocessing_demos_spark.operators.retrieval import REG as RETRIEVAL_REG
 from banking_streamprocessing_demos_spark.operators.similarity import REG as SIM_REG
@@ -41,6 +42,7 @@ _REGISTRIES = [
     SIM_REG,
     TEXT_REG,
     RETRIEVAL_REG,
+    PRIVACY_REG,
     MM_REG,
     PACKING_REG,
     SKETCH_REG,
@@ -174,6 +176,10 @@ _ROUND_OVERFLOW: list[str] = [
     # MMR diversity re-rank of the BM25 pool (exact-decimal greedy over
     # the bounded candidate set; unrolled-CTE oracle)
     "rank_mmr_diversify",
+    # per-language tokenizer fertility audit under the fitted BPE rules
+    "pipe_tokenizer_fertility",
+    # k-anonymity audit over customer quasi-identifiers (governance)
+    "priv_k_anonymity",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -1,0 +1,105 @@
+"""Privacy / governance operators: k-anonymity auditing over the
+customer table (Sweeney 2002, "k-anonymity: a model for protecting
+privacy") — the re-identification audit a data-governance pass runs
+before customer-derived records are released to a training pipeline.
+
+A record is k-anonymous when at least k records share its
+quasi-identifier tuple (here: nation, market segment, account-balance
+bucket — the released attributes that a linkage attack joins on).
+The audit computes, per record, the equivalence-class size at each
+GENERALIZATION level of the standard suppression ladder:
+
+    level 0: (nation, segment, balance bucket)   — full detail
+    level 1: (nation, segment)                   — bucket suppressed
+    level 2: (nation)                            — segment suppressed
+
+and reports the first level whose class reaches K_ANON — i.e. how
+much detail must be dropped before this record can be released.  This
+is the decision table a release job consumes directly.
+
+Scale shape: three window COUNTs over nested partition keys — each is
+one hash-keyed shuffle on a skinny tuple, map-side combinable, no
+joins, no collects.  (At cluster scale the three windows share the
+coarsest shuffle via partial aggregation; none is corpus-quadratic.)
+
+Reference parity: the reference engine has no governance surface
+(SURVEY §2 north-star extension); deterministic oracle-checked query
+surface philosophy as everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Registry
+
+REG = Registry()
+
+K_ANON = 5
+BAL_BUCKET = 2000  # account-balance bucket width (range ~ -1k..10k -> ~6 buckets)
+
+
+@REG.add(
+    "priv_k_anonymity",
+    f"""
+    WITH q AS (
+        SELECT c_custkey,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / {BAL_BUCKET}) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    sized AS (
+        SELECT c_custkey, nation, segment, bal_bucket,
+               COUNT(*) OVER (PARTITION BY nation, segment, bal_bucket) AS size_l0,
+               COUNT(*) OVER (PARTITION BY nation, segment) AS size_l1,
+               COUNT(*) OVER (PARTITION BY nation) AS size_l2
+        FROM q
+    )
+    SELECT c_custkey, nation, segment, bal_bucket,
+           CAST(size_l0 AS BIGINT) AS size_l0,
+           CAST(size_l1 AS BIGINT) AS size_l1,
+           CAST(size_l2 AS BIGINT) AS size_l2,
+           CAST(CASE WHEN size_l0 >= {K_ANON} THEN 0
+                     WHEN size_l1 >= {K_ANON} THEN 1
+                     WHEN size_l2 >= {K_ANON} THEN 2
+                     ELSE 3 END AS BIGINT) AS gen_level
+    FROM sized
+    """,
+    doc=f"k-anonymity audit (k={K_ANON}) over the customer quasi-"
+    "identifiers (nation, market segment, balance bucket): per record, "
+    "the equivalence-class size at each level of the suppression ladder "
+    "and the first generalization level that reaches k — the decision "
+    "table a governance release job consumes (level 0 = releasable at "
+    "full detail, 3 = suppress entirely).  Three nested-key window "
+    "counts, each one skinny hash shuffle; no joins, nothing collected.",
+)
+def priv_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("long").alias("bal_bucket"),
+    )
+    w0 = Window.partitionBy("nation", "segment", "bal_bucket")
+    w1 = Window.partitionBy("nation", "segment")
+    w2 = Window.partitionBy("nation")
+    sized = q.select(
+        "c_custkey",
+        "nation",
+        "segment",
+        "bal_bucket",
+        F.count("*").over(w0).cast("long").alias("size_l0"),
+        F.count("*").over(w1).cast("long").alias("size_l1"),
+        F.count("*").over(w2).cast("long").alias("size_l2"),
+    )
+    level = (
+        F.when(F.col("size_l0") >= K_ANON, 0)
+        .when(F.col("size_l1") >= K_ANON, 1)
+        .when(F.col("size_l2") >= K_ANON, 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return sized.withColumn("gen_level", level)

@@ -1358,3 +1358,83 @@ def pipe_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & lm_ok
         ).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (round 9): the per-language efficiency audit a
+# multilingual training pipeline runs on every tokenizer candidate —
+# fertility (subword tokens per word) is THE standard metric for how
+# fairly a vocab serves each language (a high-fertility language pays
+# more sequence budget per word and trains on effectively less text).
+# ---------------------------------------------------------------------------
+
+
+def _fert6_sql(tokens: str, words: str) -> str:
+    """round6(tokens / words) for BIGINT inputs as exact integer
+    half-away arithmetic (the _avg6_sql recipe without the decimal
+    detour — both operands are already integers)."""
+    return (
+        f"CAST((2 * {tokens} * 1000000 + {words}) // (2 * {words}) AS DOUBLE) "
+        f"/ 1000000.0"
+    )
+
+
+def _fertility_oracle() -> str:
+    ctes, fitted = _bpe_cte_chain()
+    return f"""{ctes}
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(len(string_split(t.toks, ' '))) AS BIGINT) AS n_tokens,
+           {_fert6_sql("SUM(len(string_split(t.toks, ' ')))", "COUNT(*)")} AS fertility,
+           {_fert6_sql("SUM(CASE WHEN len(string_split(t.toks, ' ')) = 1 THEN 1 ELSE 0 END)",
+                       "COUNT(*)")} AS single_token_frac
+    FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents) d
+    JOIN {fitted} t USING (word)
+    WHERE length(d.word) > 0
+    GROUP BY d.lang
+    """
+
+
+@REG.add(
+    "pipe_tokenizer_fertility",
+    _fertility_oracle(),
+    doc="Per-language tokenizer FERTILITY audit under the fitted BPE "
+    "rules: token-per-word ratio and single-token word-occurrence "
+    "fraction per lang — the standard multilingual-tokenizer fairness "
+    "metric (a high-fertility language pays more context budget per "
+    "word, trains on effectively less text, and its users pay more per "
+    "query; production vocab builds gate on exactly this table).  "
+    "Same dataflow as pipe_bpe_encode: one corpus re-scan joined to "
+    "the broadcast-sized fitted vocab mapping, one lang groupBy; the "
+    "ratios use the exact-integer round6 recipe (no double detour), "
+    "and the oracle extends the fit's shared generated CTE chain so "
+    "fit and audit cannot drift.",
+)
+def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, vocab = _bpe_fit(spark, sf_dir)
+    mapping = vocab.select(
+        "word", F.size(F.split("toks", " ")).cast("long").alias("word_toks")
+    )
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    agg = (
+        occ.join(F.broadcast(mapping), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_word_occurrences"),
+            F.sum("word_toks").cast("long").alias("n_tokens"),
+            F.sum((F.col("word_toks") == 1).cast("long")).cast("long").alias("n_single"),
+        )
+    )
+    fert = F.expr(_fert6_sql("n_tokens", "n_word_occurrences").replace("//", "div"))
+    single = F.expr(_fert6_sql("n_single", "n_word_occurrences").replace("//", "div"))
+    return agg.select(
+        "lang",
+        "n_word_occurrences",
+        "n_tokens",
+        fert.alias("fertility"),
+        single.alias("single_token_frac"),
+    )

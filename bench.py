@@ -186,6 +186,10 @@ HEADLINE_V8 = [
     # MMR diversity re-rank (bounded driver-side greedy; wall is the
     # distributed pool + pair computation)
     "rank_mmr_diversify",
+    # per-language tokenizer fertility audit (times its own BPE fit)
+    "pipe_tokenizer_fertility",
+    # k-anonymity release-decision table (three nested window counts)
+    "priv_k_anonymity",
     # entity resolution: blocked fuzzy match + quality report
     "er_blocked_match",
     "er_match_quality",

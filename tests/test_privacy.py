@@ -1,0 +1,68 @@
+"""Governance operators: k-anonymity audit + tokenizer fertility.
+
+The DuckDB hash gate holds numeric parity; these pin the SEMANTICS
+(suppression-ladder monotonicity, level decision rule, fertility
+identities against the encode twin).
+"""
+
+from __future__ import annotations
+
+from banking_streamprocessing_demos_spark.operators.privacy import (
+    K_ANON,
+    priv_k_anonymity,
+)
+from pyspark.sql import functions as F
+from tests.conftest import SF_SMALL
+
+
+def test_k_anonymity_ladder_monotone_and_level_rule(spark):
+    rows = priv_k_anonymity(spark, SF_SMALL).collect()
+    n = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    assert len(rows) == n  # one decision per record
+    for r in rows:
+        # generalizing can only grow the equivalence class
+        assert r["size_l0"] <= r["size_l1"] <= r["size_l2"]
+        # gen_level is the FIRST ladder level reaching k
+        sizes = (r["size_l0"], r["size_l1"], r["size_l2"])
+        want = next((i for i, s in enumerate(sizes) if s >= K_ANON), 3)
+        assert r["gen_level"] == want, (r["c_custkey"], sizes, r["gen_level"])
+
+
+def test_k_anonymity_class_sizes_are_actual_counts(spark):
+    """size_l0 must equal the real multiplicity of the record's
+    quasi-identifier tuple, recomputed independently."""
+    rows = priv_k_anonymity(spark, SF_SMALL).collect()
+    from collections import Counter
+
+    counts = Counter((r["nation"], r["segment"], r["bal_bucket"]) for r in rows)
+    for r in rows:
+        assert r["size_l0"] == counts[(r["nation"], r["segment"], r["bal_bucket"])]
+
+
+def test_k_anonymity_audit_is_discriminative(spark):
+    """The fixture corpus must exercise more than one ladder level —
+    an audit that puts every record at one level tests nothing."""
+    levels = {r["gen_level"] for r in priv_k_anonymity(spark, SF_SMALL).collect()}
+    assert len(levels) >= 2, levels
+
+
+def test_fertility_identities_against_encode(spark):
+    """Per-lang totals must reconcile with pipe_bpe_encode's per-doc
+    totals (same fitted vocab, same corpus): token and word sums agree,
+    fertility >= 1 (a word is at least one subword), single-token
+    fraction in [0, 1]."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_bpe_encode,
+        pipe_tokenizer_fertility,
+    )
+
+    fert = pipe_tokenizer_fertility(spark, SF_SMALL).collect()
+    enc = pipe_bpe_encode(spark, SF_SMALL).agg(
+        F.sum("n_words").alias("w"), F.sum("n_tokens_bpe_fit").alias("t")
+    ).collect()[0]
+    assert sum(r["n_word_occurrences"] for r in fert) == enc["w"]
+    assert sum(r["n_tokens"] for r in fert) == enc["t"]
+    for r in fert:
+        assert r["fertility"] >= 1.0, r
+        assert 0.0 <= r["single_token_frac"] <= 1.0, r
+        assert r["n_tokens"] >= r["n_word_occurrences"], r
