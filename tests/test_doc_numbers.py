@@ -261,7 +261,7 @@ def test_r9b_table_cells_match_artifact(doc_text):
         artifact = json.load(f)
     fams = artifact["families"]
     text = doc_text["SCALE.md"].split(
-        "### Round-9 late families: binary quantization, BM25, rank fusion", 1
+        "### Round-9 late families: binary quantization, retrieval stack, governance", 1
     )[1]
     table_start = text.index("| family | x1 | x10 | x30 | 10/1 | 30/10 |")
     rows = []
@@ -269,7 +269,7 @@ def test_r9b_table_cells_match_artifact(doc_text):
         if not line.startswith("|"):
             break
         rows.append([c.strip() for c in line.strip("|").split("|")])
-    assert len(rows) == len(fams) == 3
+    assert len(rows) == len(fams) >= 3
     stale = []
     for cells in rows:
         key = cells[0]
