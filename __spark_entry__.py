@@ -180,6 +180,8 @@ _ROUND_OVERFLOW: list[str] = [
     "pipe_tokenizer_fertility",
     # k-anonymity audit over customer quasi-identifiers (governance)
     "priv_k_anonymity",
+    # temperature (alpha) sampling: corpus-derived mixture weights
+    "pipe_temperature_mix",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

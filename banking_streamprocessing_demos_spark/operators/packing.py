@@ -514,3 +514,147 @@ def pipe_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_seq.alias("end_seq"),
         (end_seq - start_seq + 1).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature (alpha) sampling (round 9): the OTHER mixing policy — where
+# pipe_domain_mix applies FIXED per-domain weights, alpha-sampling
+# DERIVES them from the empirical distribution: q_i ∝ p_i^alpha
+# (XLM-R / mT5 multilingual convention, alpha = 0.3), so rare domains
+# are up-sampled toward uniform and dominant ones down-sampled, with
+# the total expected sample budget preserved (sum n_i * w_i = N).
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = "0.3"
+
+
+def _tmix_weights_sql() -> str:
+    """Per-domain alpha-sampling weight CTEs: p_i = token share,
+    s_i = round6(p_i^alpha) (the one libm call, 6dp-rounded into
+    DECIMAL — the repo's LN treatment), z = exact decimal sum,
+    w_i = round6((s_i / z) * N / n_i) — the up/down-sampling factor."""
+    return f"""
+    stats AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_i
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot FROM stats),
+    s AS (
+        SELECT lang, n_i,
+               CAST(ROUND(POWER(CAST(n_i AS DOUBLE) / n_tot, {MIX_ALPHA}), 6)
+                    AS DECIMAL(18,6)) AS s_i
+        FROM stats CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(s_i) AS z FROM s),
+    w AS (
+        SELECT lang, n_i,
+               CAST(ROUND(CAST(s_i AS DOUBLE) / CAST(z.z AS DOUBLE)
+                          * n_tot / n_i, 6) AS DECIMAL(18,6)) AS w_i
+        FROM s CROSS JOIN z CROSS JOIN tot
+    )"""
+
+
+@REG.add(
+    "pipe_temperature_mix",
+    f"""
+    WITH {_tmix_weights_sql()},
+    hashed AS (
+        SELECT doc_id, lang, md5('tmix-' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    u AS (SELECT doc_id, lang, {_hex4_sql('hx')} AS u16 FROM hashed),
+    m AS (
+        SELECT u.doc_id, u.lang, w.w_i,
+               CAST(FLOOR(w.w_i) AS INT)
+               + CASE WHEN u.u16 < CAST(FLOOR((w.w_i - FLOOR(w.w_i)) * 65536) AS INT)
+                      THEN 1 ELSE 0 END AS mult
+        FROM u JOIN w ON u.lang = w.lang
+    )
+    SELECT doc_id, lang AS domain, CAST(w_i AS DOUBLE) AS weight,
+           CAST(replica AS BIGINT) AS replica,
+           md5('tmixrep-' || CAST(doc_id AS VARCHAR) || '-' || CAST(replica AS VARCHAR))
+               AS sample_id
+    FROM m, UNNEST(range(1, mult + 1)) AS t(replica)
+    """,
+    doc=f"Temperature (alpha={MIX_ALPHA}) mixture rebalancing — the "
+    "policy that DERIVES the per-domain weights from the corpus itself "
+    "(q_i proportional to p_i^alpha over token shares, the XLM-R/mT5 "
+    "multilingual convention): rare domains up-sample toward uniform, "
+    "dominant ones down-sample, expected total samples preserved "
+    "(sum n_i*w_i = N).  The weight table is a 5-row broadcast derived "
+    "from one skinny per-domain token aggregate; replica counts use "
+    "pipe_domain_mix's exact mechanics (floor(w) + md5-u16 Bernoulli "
+    "against an INTEGER threshold derived in-engine from the DECIMAL "
+    "weight — no float compares), so remixing is one narrow pass at "
+    "any corpus size.  The one libm call (p^alpha) is 6dp-rounded into "
+    "DECIMAL before the exact normalization sum, the repo's standing "
+    "LN treatment.",
+)
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = docs.groupBy("lang").agg(F.sum("dl").cast("long").alias("n_i"))
+    tot = stats.agg(F.sum("n_i").cast("long").alias("n_tot"))
+    s = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_i",
+        "n_tot",
+        F.round(F.pow(F.col("n_i").cast("double") / F.col("n_tot"), float(MIX_ALPHA)), 6)
+        .cast("decimal(18,6)")
+        .alias("s_i"),
+    )
+    z = s.agg(F.sum("s_i").alias("z"))
+    w = s.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.round(
+            F.col("s_i").cast("double")
+            / F.col("z").cast("double")
+            * F.col("n_tot")
+            / F.col("n_i"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w_i"),
+    )
+    u = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("u16", hex4_to_int(det_hash_hex("doc_id", seed="tmix")))
+    )
+    thr = F.floor((F.col("w_i") - F.floor("w_i")) * 65536).cast("int")
+    m = u.join(F.broadcast(w), "lang").select(
+        "doc_id",
+        "lang",
+        "w_i",
+        (
+            F.floor("w_i").cast("int")
+            + F.when(F.col("u16") < thr, 1).otherwise(0)
+        ).alias("mult"),
+    )
+    replicas = m.select(
+        "doc_id",
+        F.col("lang").alias("domain"),
+        F.col("w_i").cast("double").alias("weight"),
+        F.explode(
+            F.when(F.col("mult") >= 1, F.sequence(F.lit(1), F.col("mult"))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("replica"),
+    )
+    return replicas.select(
+        "doc_id",
+        "domain",
+        "weight",
+        F.col("replica").cast("long").alias("replica"),
+        F.md5(
+            F.concat(
+                F.lit("tmixrep-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.col("replica").cast("string"),
+            )
+        ).alias("sample_id"),
+    )

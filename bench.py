@@ -190,6 +190,8 @@ HEADLINE_V8 = [
     "pipe_tokenizer_fertility",
     # k-anonymity release-decision table (three nested window counts)
     "priv_k_anonymity",
+    # temperature (alpha) sampling: corpus-derived mixture weights
+    "pipe_temperature_mix",
     # entity resolution: blocked fuzzy match + quality report
     "er_blocked_match",
     "er_match_quality",

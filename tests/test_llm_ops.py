@@ -1292,3 +1292,71 @@ def test_hard_negatives_are_hardest_wrong_label(spark):
         total += len(order)
         hits += len(set(order) & got.get(q, set()))
     assert total and hits / total >= 0.6, hits / total
+
+
+def test_temperature_mix_weights_flatten_toward_uniform(spark):
+    """The alpha<1 property: after reweighting, effective domain token
+    shares sit strictly BETWEEN the empirical shares and uniform —
+    rare domains up-weighted (w>1 for below-average domains), dominant
+    ones down-weighted — and the expected token budget is preserved
+    (sum n_i * w_i == N within 6dp-weight rounding)."""
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        pipe_temperature_mix,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("lang", F.size(F.split("text", " ")).alias("dl"))
+        .groupBy("lang")
+        .agg(F.sum("dl").alias("n"))
+        .collect()
+    )
+    n_tok = {r["lang"]: r["n"] for r in docs}
+    total = sum(n_tok.values())
+    weights = {
+        r["domain"]: r["weight"]
+        for r in pipe_temperature_mix(spark, SF_SMALL)
+        .select("domain", "weight")
+        .dropDuplicates(["domain"])
+        .collect()
+    }
+    assert set(weights) == set(n_tok)
+    mean_share = 1 / len(n_tok)
+    for lang, w in weights.items():
+        share = n_tok[lang] / total
+        if share < mean_share:
+            assert w > 1.0, (lang, share, w)
+        elif share > mean_share:
+            assert w < 1.0, (lang, share, w)
+    budget = sum(n_tok[lang] * w for lang, w in weights.items())
+    assert abs(budget - total) / total < 0.01, (budget, total)
+
+
+def test_temperature_mix_replica_counts_follow_weights(spark):
+    """Per-domain replica counts land within the deterministic
+    Bernoulli construction's bounds: for per-doc multiplier w, the
+    count over n docs is between n*floor(w) and n*ceil(w)."""
+    import math
+
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        pipe_temperature_mix,
+    )
+
+    out = pipe_temperature_mix(spark, SF_SMALL)
+    per_dom = {
+        r["domain"]: (r["n_rep"], r["w"])
+        for r in out.groupBy("domain")
+        .agg(F.count("*").alias("n_rep"), F.first("weight").alias("w"))
+        .collect()
+    }
+    n_docs = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for dom, (n_rep, w) in per_dom.items():
+        lo = n_docs[dom] * math.floor(w)
+        hi = n_docs[dom] * math.ceil(w)
+        assert lo <= n_rep <= hi, (dom, n_rep, w, lo, hi)
