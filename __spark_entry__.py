@@ -182,6 +182,8 @@ _ROUND_OVERFLOW: list[str] = [
     "priv_k_anonymity",
     # temperature (alpha) sampling: corpus-derived mixture weights
     "pipe_temperature_mix",
+    # l-diversity audit (homogeneity-attack check pairing k-anonymity)
+    "priv_l_diversity",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

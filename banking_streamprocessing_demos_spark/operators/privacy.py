@@ -103,3 +103,52 @@ def priv_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     return sized.withColumn("gen_level", level)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (Machanavajjhala et al. 2007): k-anonymity's necessary
+# complement — a class can be k-large yet leak the sensitive attribute
+# outright if every member shares it (the homogeneity attack).  Here
+# the sensitive attribute is the market segment and the released
+# quasi-identifiers are (nation, balance bucket).
+# ---------------------------------------------------------------------------
+
+L_DIVERSE = 3
+
+
+@REG.add(
+    "priv_l_diversity",
+    f"""
+    WITH q AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(FLOOR(c_acctbal / {BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+               c_mktsegment AS segment
+        FROM customer
+    )
+    SELECT nation, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT segment) AS BIGINT) AS distinct_segments,
+           COUNT(DISTINCT segment) >= {L_DIVERSE} AS l_ok
+    FROM q
+    GROUP BY nation, bal_bucket
+    """,
+    doc=f"l-diversity audit (l={L_DIVERSE}) over the (nation, balance "
+    "bucket) quasi-identifier classes with market segment as the "
+    "sensitive attribute — the homogeneity-attack check k-anonymity "
+    "alone misses: a class of any size whose members all share one "
+    "segment still discloses it.  One grouped count-distinct per "
+    "class (map-side-combinable partial aggregation, one hash "
+    "shuffle); pairs with priv_k_anonymity as the release gate's "
+    "second condition.",
+)
+def priv_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("long").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return q.groupBy("nation", "bal_bucket").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("segment").cast("long").alias("distinct_segments"),
+        (F.countDistinct("segment") >= L_DIVERSE).alias("l_ok"),
+    )

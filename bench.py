@@ -192,6 +192,8 @@ HEADLINE_V8 = [
     "priv_k_anonymity",
     # temperature (alpha) sampling: corpus-derived mixture weights
     "pipe_temperature_mix",
+    # l-diversity homogeneity audit (one grouped count-distinct)
+    "priv_l_diversity",
     # entity resolution: blocked fuzzy match + quality report
     "er_blocked_match",
     "er_match_quality",

@@ -66,3 +66,36 @@ def test_fertility_identities_against_encode(spark):
         assert r["fertility"] >= 1.0, r
         assert 0.0 <= r["single_token_frac"] <= 1.0, r
         assert r["n_tokens"] >= r["n_word_occurrences"], r
+
+
+def test_l_diversity_counts_and_homogeneity_flag(spark):
+    """distinct_segments recomputed independently per class; l_ok is
+    exactly the >= L rule; and the audit is discriminative (the
+    fixture has both homogeneous-ish and diverse classes)."""
+    from collections import defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.privacy import (
+        BAL_BUCKET,
+        L_DIVERSE,
+        priv_l_diversity,
+    )
+
+    import math
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    classes = defaultdict(set)
+    sizes = defaultdict(int)
+    for r in cust:
+        key = (r["c_nationkey"], math.floor(r["c_acctbal"] / BAL_BUCKET))
+        classes[key].add(r["c_mktsegment"])
+        sizes[key] += 1
+    rows = priv_l_diversity(spark, SF_SMALL).collect()
+    assert len(rows) == len(classes)
+    flags = set()
+    for r in rows:
+        key = (r["nation"], r["bal_bucket"])
+        assert r["class_size"] == sizes[key]
+        assert r["distinct_segments"] == len(classes[key])
+        assert r["l_ok"] == (len(classes[key]) >= L_DIVERSE)
+        flags.add(r["l_ok"])
+    assert flags == {True, False}, flags
