@@ -529,10 +529,18 @@ MIX_ALPHA = "0.3"
 
 
 def _tmix_weights_sql() -> str:
-    """Per-domain alpha-sampling weight CTEs: p_i = token share,
-    s_i = round6(p_i^alpha) (the one libm call, 6dp-rounded into
-    DECIMAL — the repo's LN treatment), z = exact decimal sum,
-    w_i = round6((s_i / z) * N / n_i) — the up/down-sampling factor."""
+    """Per-domain alpha-sampling weight CTEs, INTEGER MICRO-UNITS end
+    to end: s_int = round6(p_i^alpha)*1e6 (the one libm call,
+    6dp-rounded into DECIMAL then scaled exactly), z_int = exact
+    integer sum, and the weight w_i = (s_i/z)*N/n_i is carried as
+    w_micro — the half-away-rounded integer
+    (2*s_int*N*1e6 + z_int*n_i) // (2*z_int*n_i), never a
+    ROUND-of-DOUBLE.  The first cut rounded the rational w_i through
+    double ROUND in both engines — the exact cross-engine 6dp-tie
+    disagreement class the repo's _avg6_sql docstring records as
+    fuzz-found REAL (round-9 self-review finding).  The wide products
+    ride HUGEINT here and DECIMAL(38,0) on the Spark side (bound:
+    2e12 * n_tot, i.e. safe past 1e25 corpus tokens)."""
     return f"""
     stats AS (
         SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_i
@@ -541,15 +549,16 @@ def _tmix_weights_sql() -> str:
     tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot FROM stats),
     s AS (
         SELECT lang, n_i,
-               CAST(ROUND(POWER(CAST(n_i AS DOUBLE) / n_tot, {MIX_ALPHA}), 6)
-                    AS DECIMAL(18,6)) AS s_i
+               CAST(CAST(ROUND(POWER(CAST(n_i AS DOUBLE) / n_tot, {MIX_ALPHA}), 6)
+                         AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s_int
         FROM stats CROSS JOIN tot
     ),
-    z AS (SELECT SUM(s_i) AS z FROM s),
+    z AS (SELECT CAST(SUM(s_int) AS BIGINT) AS z_int FROM s),
     w AS (
         SELECT lang, n_i,
-               CAST(ROUND(CAST(s_i AS DOUBLE) / CAST(z.z AS DOUBLE)
-                          * n_tot / n_i, 6) AS DECIMAL(18,6)) AS w_i
+               CAST((2 * CAST(s_int AS HUGEINT) * n_tot * 1000000
+                     + CAST(z_int AS HUGEINT) * n_i)
+                    // (2 * CAST(z_int AS HUGEINT) * n_i) AS BIGINT) AS w_micro
         FROM s CROSS JOIN z CROSS JOIN tot
     )"""
 
@@ -564,13 +573,14 @@ def _tmix_weights_sql() -> str:
     ),
     u AS (SELECT doc_id, lang, {_hex4_sql('hx')} AS u16 FROM hashed),
     m AS (
-        SELECT u.doc_id, u.lang, w.w_i,
-               CAST(FLOOR(w.w_i) AS INT)
-               + CASE WHEN u.u16 < CAST(FLOOR((w.w_i - FLOOR(w.w_i)) * 65536) AS INT)
+        SELECT u.doc_id, u.lang, w.w_micro,
+               CAST(w.w_micro // 1000000 AS INT)
+               + CASE WHEN u.u16 < ((w.w_micro % 1000000) * 65536) // 1000000
                       THEN 1 ELSE 0 END AS mult
         FROM u JOIN w ON u.lang = w.lang
     )
-    SELECT doc_id, lang AS domain, CAST(w_i AS DOUBLE) AS weight,
+    SELECT doc_id, lang AS domain,
+           CAST(w_micro AS DOUBLE) / 1000000 AS weight,
            CAST(replica AS BIGINT) AS replica,
            md5('tmixrep-' || CAST(doc_id AS VARCHAR) || '-' || CAST(replica AS VARCHAR))
                AS sample_id
@@ -602,42 +612,42 @@ def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_i",
         "n_tot",
-        F.round(F.pow(F.col("n_i").cast("double") / F.col("n_tot"), float(MIX_ALPHA)), 6)
-        .cast("decimal(18,6)")
-        .alias("s_i"),
-    )
-    z = s.agg(F.sum("s_i").alias("z"))
-    w = s.crossJoin(F.broadcast(z)).select(
-        "lang",
-        F.round(
-            F.col("s_i").cast("double")
-            / F.col("z").cast("double")
-            * F.col("n_tot")
-            / F.col("n_i"),
-            6,
+        (
+            F.round(F.pow(F.col("n_i").cast("double") / F.col("n_tot"), float(MIX_ALPHA)), 6)
+            .cast("decimal(18,6)")
+            * 1000000
         )
-        .cast("decimal(18,6)")
-        .alias("w_i"),
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    z = s.agg(F.sum("s_int").cast("bigint").alias("z_int"))
+    # half-away-rounded integer micro-weight, wide products in
+    # DECIMAL(38,0) (DuckDB twin rides HUGEINT) — see _tmix_weights_sql
+    w = s.crossJoin(F.broadcast(z)).selectExpr(
+        "lang",
+        "CAST((2 * CAST(s_int AS DECIMAL(38,0)) * n_tot * 1000000"
+        "      + CAST(z_int AS DECIMAL(38,0)) * n_i)"
+        "     div (2 * CAST(z_int AS DECIMAL(38,0)) * n_i) AS BIGINT) AS w_micro",
     )
     u = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang")
         .withColumn("u16", hex4_to_int(det_hash_hex("doc_id", seed="tmix")))
     )
-    thr = F.floor((F.col("w_i") - F.floor("w_i")) * 65536).cast("int")
+    thr = F.expr("((w_micro % 1000000) * 65536) div 1000000")
     m = u.join(F.broadcast(w), "lang").select(
         "doc_id",
         "lang",
-        "w_i",
+        "w_micro",
         (
-            F.floor("w_i").cast("int")
+            F.expr("w_micro div 1000000").cast("int")
             + F.when(F.col("u16") < thr, 1).otherwise(0)
         ).alias("mult"),
     )
     replicas = m.select(
         "doc_id",
         F.col("lang").alias("domain"),
-        F.col("w_i").cast("double").alias("weight"),
+        (F.col("w_micro").cast("double") / 1000000).alias("weight"),
         F.explode(
             F.when(F.col("mult") >= 1, F.sequence(F.lit(1), F.col("mult"))).otherwise(
                 F.array().cast("array<int>")

@@ -1717,7 +1717,25 @@ def _bq_scored(unit: DataFrame) -> DataFrame:
 def _bq_oracle_sql() -> str:
     # dim i (1-based over the 64-long query vector): i <= 32 -> bit
     # (32 - i) of lo; i > 32 -> bit (64 - i) of hi — the same MSB-first
-    # convention as _bq_pack / _BQ_MASKS.
+    # convention as _bq_pack / _BQ_MASKS.  The 64 signed terms are
+    # emitted as an EXPLICIT left-associative + chain, not
+    # list_sum(list_transform(...)): per the standing rule for new
+    # oracles dotting raw doubles (module header / pq.py:144-147,
+    # round-9 self-review), DuckDB's list aggregation is not guaranteed
+    # bit-identical to Spark's left fold, and a 1-ULP divergence
+    # crossing the ROUND(x,6) boundary would flip the depth-64
+    # shortlist cut.
+    terms = []
+    for i in range(1, 2 * BQ_WORD + 1):
+        if i <= BQ_WORD:
+            word, bit = "lo", BQ_WORD - i
+        else:
+            word, bit = "hi", 2 * BQ_WORD - i
+        terms.append(
+            f"(CASE WHEN (c.{word} & (1::BIGINT << {bit})) != 0"
+            f" THEN q.qu[{i}] ELSE -q.qu[{i}] END)"
+        )
+    chain = " + ".join(terms)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id,
@@ -1736,13 +1754,7 @@ def _bq_oracle_sql() -> str:
     q AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               ROUND(list_sum(list_transform(q.qu, (x, i) ->
-                   CASE WHEN i <= {BQ_WORD}
-                        THEN CASE WHEN (c.lo & (1::BIGINT << ({BQ_WORD} - i))) != 0
-                                  THEN x ELSE -x END
-                        ELSE CASE WHEN (c.hi & (1::BIGINT << ({2 * BQ_WORD} - i))) != 0
-                                  THEN x ELSE -x END
-                   END)), 6) AS adc_score
+               ROUND({chain}, 6) AS adc_score
         FROM codes c CROSS JOIN q
         WHERE c.vec_id <> q.query_id
     )""" + _rerank_tail_sql(BQ_RERANK)

@@ -400,8 +400,15 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bm25"
     )
     doc = load_table(spark, sf_dir, "documents")
-    toks = doc.join(F.broadcast(pool), "doc_id").select(
-        "doc_id", "bm25", F.array_distinct(F.split("text", " ")).alias("tk")
+    # eager checkpoint the <=20-row pool+tokens table: toks feeds THREE
+    # consumers (both sides of the pair self-join and its own collect),
+    # and uncheckpointed lineage re-ran the corpus-sized BM25 scan per
+    # consumer (round-9 self-review finding) — the standard skinny-
+    # boundary treatment, bounded by RRF_DEPTH by construction
+    toks = (
+        doc.join(F.broadcast(pool), "doc_id")
+        .select("doc_id", "bm25", F.array_distinct(F.split("text", " ")).alias("tk"))
+        .localCheckpoint(eager=True)
     )
     a, b = toks.alias("a"), toks.alias("b")
     pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(

@@ -2271,7 +2271,12 @@ def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.append(
             F.when(tf > 0, F.round(idf * tf / norm, 6).cast("decimal(18,6)")).otherwise(zero)
         )
-    csum = cs[0] + cs[1] + cs[2]
+    # left fold over however many terms the query has — a hardcoded
+    # 3-term sum would silently drop contributions if BM25_QUERY grew
+    # while the generated oracle kept all of them (self-review finding)
+    from functools import reduce
+
+    csum = reduce(lambda a, b: a + b, cs)
     n_terms = sum(
         (F.col(f"tf{i}") > 0).cast("long") for i in range(len(BM25_QUERY))
     )

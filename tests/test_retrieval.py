@@ -95,20 +95,59 @@ def test_bm25_tf_saturation_vs_tfidf_linearity(spark):
 
 
 def test_rrf_arithmetic_reconciles_sources(spark):
-    """Every fused score equals the sum of 1/(K+rank) over the source
-    rankings the doc appears in, recomputed independently."""
-    bm25 = {
+    """Every fused score equals the sum of round6(1/(K+rank)) over the
+    source rankings the doc appears in — BOTH sources recomputed
+    independently from the raw parquet, full equality per row (the
+    first cut only lower-bounded both-source docs against the bm25
+    share, which a doubled contribution would have passed)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    bm25_rank = {
         r["doc_id"]: r["rank"]
         for r in _global_topn(_bm25_scored(spark, SF_SMALL), "bm25", RRF_DEPTH).collect()
     }
+    # independent tfidf ranking: linear tf * smoothed idf over query terms
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    df = {q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY}
+    tfidf = {}
+    for d, toks in docs.items():
+        s = Decimal(0)
+        matched = False
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            if tf:
+                matched = True
+                s += Decimal(
+                    str(round(tf * math.log((n + 1.0) / (df[q] + 1.0)), 6))
+                )
+        if matched:
+            tfidf[d] = s
+    tfidf_rank = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(tfidf, key=lambda d: (-tfidf[d], d))[:RRF_DEPTH]
+        )
+    }
+    six = Decimal("0.000001")
     fused = rank_fusion_rrf(spark, SF_SMALL).collect()
     assert len(fused) == RRF_TOPN
     for r in fused:
-        assert r["n_sources"] in (1, 2)
-        if r["n_sources"] == 2 and r["doc_id"] in bm25:
-            # both-source docs include the recomputable bm25 share
-            share = round(1.0 / (RRF_K + bm25[r["doc_id"]]), 6)
-            assert r["rrf_score"] > share
+        want = Decimal(0)
+        n_src = 0
+        for src in (bm25_rank, tfidf_rank):
+            if r["doc_id"] in src:
+                n_src += 1
+                want += (Decimal(1) / (RRF_K + src[r["doc_id"]])).quantize(
+                    six, rounding=ROUND_HALF_UP
+                )
+        assert r["n_sources"] == n_src, (r["doc_id"], r["n_sources"], n_src)
+        assert Decimal(str(r["rrf_score"])) == want, (r["doc_id"], r["rrf_score"], want)
 
 
 def test_rrf_both_source_docs_beat_tail_singletons(spark):
