@@ -184,6 +184,9 @@ _ROUND_OVERFLOW: list[str] = [
     "pipe_temperature_mix",
     # l-diversity audit (homogeneity-attack check pairing k-anonymity)
     "priv_l_diversity",
+    # ingest-time k-anonymity cohort-release gate (priv_k_anonymity's
+    # streaming twin)
+    "streaming_k_anonymity",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

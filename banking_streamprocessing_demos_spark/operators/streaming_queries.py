@@ -2297,3 +2297,91 @@ def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("csum") >= F.lit(BM25_MATCH_TAU).cast("decimal(18,6)")).alias("matched"),
     )
     return _run_available_now(out_stream, "streaming_bm25_match")
+
+
+# ---------------------------------------------------------------------------
+# streaming k-anonymity cohort gate (round 9: priv_k_anonymity's
+# streaming twin — the governance audit applied the way a streaming
+# release pipeline actually applies it: per ingest cohort)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_kanon_oracle() -> str:
+    from .privacy import BAL_BUCKET, K_ANON
+
+    return f"""
+    WITH q AS (
+        SELECT c_custkey,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / {BAL_BUCKET}) AS BIGINT) AS bal_bucket
+        FROM customer
+    )
+    SELECT {INGEST_BASE_MS} + (c_custkey // 60) * 60000 AS window_start_ms,
+           nation, segment, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= {K_ANON} AS releasable
+    FROM q
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@REG.add(
+    "streaming_k_anonymity",
+    _streaming_kanon_oracle(),
+    doc="k-anonymity COHORT-RELEASE gate at ingest run FOR REAL "
+    "(priv_k_anonymity's streaming twin): arriving customer records "
+    "derive their quasi-identifier tuple in-row (nation, segment, "
+    "balance bucket), and a windowed per-cohort class count flags "
+    "which classes reach k WITHIN the release cohort — the form a "
+    "streaming release pipeline actually enforces (records in "
+    "sub-k classes are held back or generalized before the cohort "
+    "ships; the batch table is the corpus-wide audit, this is the "
+    "per-batch gate).  One stateful windowed aggregation; state = "
+    "in-flight (window, class) cells, bounded by the class-space "
+    "cardinality per watermark horizon, independent of arrival "
+    "volume.  A far-future sentinel with an out-of-domain nation "
+    "closes every real window; it is filtered from the MATERIALIZED "
+    "result (a pre-agg filter on a grouping column would be pushed "
+    "past the watermark — the round-8 pushdown trap).  Integer "
+    "counts, closed-form windows: hash-matches the SQL oracle.",
+)
+def streaming_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .privacy import BAL_BUCKET, K_ANON
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("long").alias("bal_bucket"),
+    )
+    sentinel = spark.createDataFrame(
+        [Row(c_custkey=SENTINEL_ORD, nation=-1, segment="SENTINEL", bal_bucket=-1)],
+        schema="c_custkey long, nation long, segment string, bal_bucket long",
+    )
+    replay = cust.unionByName(sentinel).withColumn(
+        "ingest_ts",
+        F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("c_custkey") * 1000),
+    )
+    path = _write_sorted_replay(replay, "skanon-cust-", ["ingest_ts", "c_custkey"])
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, nation long, segment string, bal_bucket long, "
+            "ingest_ts timestamp"
+        )
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    agg = stream.groupBy(
+        F.window("ingest_ts", "1 minute"), "nation", "segment", "bal_bucket"
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "nation",
+        "segment",
+        "bal_bucket",
+        "class_size",
+        (F.col("class_size") >= K_ANON).alias("releasable"),
+    )
+    out = _run_available_now(out_stream, "streaming_k_anonymity")
+    return out.filter(F.col("nation") >= 0)

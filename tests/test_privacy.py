@@ -99,3 +99,27 @@ def test_l_diversity_counts_and_homogeneity_flag(spark):
         assert r["l_ok"] == (len(classes[key]) >= L_DIVERSE)
         flags.add(r["l_ok"])
     assert flags == {True, False}, flags
+
+
+def test_streaming_kanon_cohorts_reconcile_with_batch_audit(spark):
+    """Summing a class's per-cohort counts across all windows must
+    recover the batch audit's corpus-wide class size (size_l0), and
+    every 'releasable' flag is exactly the within-cohort >= K rule."""
+    from collections import defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.privacy import K_ANON
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        streaming_k_anonymity_q,
+    )
+
+    rows = streaming_k_anonymity_q(spark, SF_SMALL).collect()
+    per_class = defaultdict(int)
+    for r in rows:
+        assert r["releasable"] == (r["class_size"] >= K_ANON)
+        per_class[(r["nation"], r["segment"], r["bal_bucket"])] += r["class_size"]
+    from banking_streamprocessing_demos_spark.operators.privacy import priv_k_anonymity
+
+    batch = {}
+    for r in priv_k_anonymity(spark, SF_SMALL).collect():
+        batch[(r["nation"], r["segment"], r["bal_bucket"])] = r["size_l0"]
+    assert per_class == batch
