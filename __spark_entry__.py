@@ -187,6 +187,9 @@ _ROUND_OVERFLOW: list[str] = [
     # ingest-time k-anonymity cohort-release gate (priv_k_anonymity's
     # streaming twin)
     "streaming_k_anonymity",
+    # IVF-pruned binary search (FAISS BinaryIVF shape): coarse cells x
+    # sign codes — the compression x pruning matrix completed
+    "sim_ann_ivf_binary",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

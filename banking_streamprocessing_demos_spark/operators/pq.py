@@ -1683,48 +1683,52 @@ def _bq_hamming_scored(unit: DataFrame) -> DataFrame:
     )
 
 
+def _bq_asym_score(qu: str = "qu", lo: str = "lo", hi: str = "hi"):
+    """round6(qu · s): the asymmetric prescreen expression — s is the
+    candidate's ±1 sign vector reconstructed IN-ROW from the two packed
+    words by bit-tests against plan-literal masks.  Shared by the flat
+    scan (_bq_scored) and the IVF-pruned variant (sim_ann_ivf_binary);
+    the left-associative fold matches the oracle's explicit + chain."""
+    masks = F.array(*[F.lit(m) for m in _BQ_MASKS])
+    s_lo = F.zip_with(
+        F.slice(qu, 1, BQ_WORD),
+        masks,
+        lambda x, m: F.when(F.col(lo).bitwiseAND(m) != 0, x).otherwise(-x),
+    )
+    s_hi = F.zip_with(
+        F.slice(qu, BQ_WORD + 1, BQ_WORD),
+        masks,
+        lambda x, m: F.when(F.col(hi).bitwiseAND(m) != 0, x).otherwise(-x),
+    )
+    return F.round(F.aggregate(F.concat(s_lo, s_hi), F.lit(0.0), lambda a, x: a + x), 6)
+
+
 def _bq_scored(unit: DataFrame) -> DataFrame:
-    """ASYMMETRIC prescreen scores: adc_score = round6(qu · s) where s
-    is the candidate's ±1 sign vector reconstructed IN-ROW from the two
-    packed words (bit-test against plan-literal masks — the scan still
-    reads exactly two BIGINTs per vector; the 32x scan-IO reduction is
+    """ASYMMETRIC prescreen scores over the full code scan: the scan
+    reads exactly two BIGINTs per vector — the 32x scan-IO reduction is
     the operator's value and column pruning keeps the float vectors on
-    disk until rerank).  The query side stays full-precision, which is
+    disk until rerank.  The query side stays full-precision, which is
     what beats symmetric Hamming (section header table)."""
     codes = _bq_codes(unit)
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
     )
-    masks = F.array(*[F.lit(m) for m in _BQ_MASKS])
-    s_lo = F.zip_with(
-        F.slice("qu", 1, BQ_WORD),
-        masks,
-        lambda x, m: F.when(F.col("lo").bitwiseAND(m) != 0, x).otherwise(-x),
-    )
-    s_hi = F.zip_with(
-        F.slice("qu", BQ_WORD + 1, BQ_WORD),
-        masks,
-        lambda x, m: F.when(F.col("hi").bitwiseAND(m) != 0, x).otherwise(-x),
-    )
-    score = F.aggregate(F.concat(s_lo, s_hi), F.lit(0.0), lambda a, x: a + x)
     return (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_score", F.round(score, 6))
+        .withColumn("adc_score", _bq_asym_score())
     )
 
 
-def _bq_oracle_sql() -> str:
-    # dim i (1-based over the 64-long query vector): i <= 32 -> bit
-    # (32 - i) of lo; i > 32 -> bit (64 - i) of hi — the same MSB-first
-    # convention as _bq_pack / _BQ_MASKS.  The 64 signed terms are
-    # emitted as an EXPLICIT left-associative + chain, not
-    # list_sum(list_transform(...)): per the standing rule for new
-    # oracles dotting raw doubles (module header / pq.py:144-147,
-    # round-9 self-review), DuckDB's list aggregation is not guaranteed
-    # bit-identical to Spark's left fold, and a 1-ULP divergence
-    # crossing the ROUND(x,6) boundary would flip the depth-64
-    # shortlist cut.
+def _bq_chain_sql(code_alias: str = "c", qu_alias: str = "q") -> str:
+    """The 64 signed asymmetric terms as an EXPLICIT left-associative
+    + chain, not list_sum(list_transform(...)): per the standing rule
+    for new oracles dotting raw doubles (module header / pq.py:144-147,
+    round-9 self-review), DuckDB's list aggregation is not guaranteed
+    bit-identical to Spark's left fold, and a 1-ULP divergence crossing
+    the ROUND(x,6) boundary would flip the shortlist cut.  dim i
+    (1-based): i <= 32 -> bit (32 - i) of lo; i > 32 -> bit (64 - i)
+    of hi — the same MSB-first convention as _bq_pack / _BQ_MASKS."""
     terms = []
     for i in range(1, 2 * BQ_WORD + 1):
         if i <= BQ_WORD:
@@ -1732,10 +1736,14 @@ def _bq_oracle_sql() -> str:
         else:
             word, bit = "hi", 2 * BQ_WORD - i
         terms.append(
-            f"(CASE WHEN (c.{word} & (1::BIGINT << {bit})) != 0"
-            f" THEN q.qu[{i}] ELSE -q.qu[{i}] END)"
+            f"(CASE WHEN ({code_alias}.{word} & (1::BIGINT << {bit})) != 0"
+            f" THEN {qu_alias}.qu[{i}] ELSE -{qu_alias}.qu[{i}] END)"
         )
-    chain = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _bq_oracle_sql() -> str:
+    chain = _bq_chain_sql()
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id,
@@ -1783,4 +1791,145 @@ def _bq_oracle_sql() -> str:
 def sim_ann_binary(spark: SparkSession, sf_dir: str, rerank: int = BQ_RERANK) -> DataFrame:
     unit = _unit(spark, sf_dir)
     scored = _bq_scored(unit)
+    return _shortlist_rerank(scored, unit, shortlist_depth=rerank)
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ: binary codes under coarse IVF pruning (FAISS IndexBinaryIVF
+# shape) — completes the compression x coarse-pruning matrix the family
+# already spans for PQ (sim_ann_ivfpq): the coarse quantizer prunes the
+# corpus to `probes` cells exactly as sim_ann_ivf does, and WITHIN the
+# probed cells candidates are prescreened from their packed sign codes
+# (8 B/vector) instead of full floats.  At cluster scale the layout is
+# the IVF partitioning with a codes column: the probe prunes
+# partitions, the scan reads two BIGINTs per surviving row, and only
+# the shortlist touches float vectors.  Unlike IVF-PQ there is no
+# residual encoding — sign bits are position-independent, so the raw
+# code works verbatim per cell (which is exactly why FAISS ships
+# BinaryIVF without a residual stage).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_bq_oracle_sql() -> str:
+    from .similarity import IVF_CELLS, IVF_PROBES
+
+    chain = _bq_chain_sql("a", "qc")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM e),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM nv
+              WHERE vec_id < {IVF_CELLS}),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT nv.vec_id, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+                       ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM nv CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(u[1:{BQ_WORD}],
+                    (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << ({BQ_WORD} - i))
+                              ELSE 0 END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(u[{BQ_WORD + 1}:{2 * BQ_WORD}],
+                    (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << ({BQ_WORD} - i))
+                              ELSE 0 END)) AS BIGINT) AS hi
+        FROM n
+    ),
+    acodes AS (
+        SELECT a.vec_id, a.cell_id, c.lo, c.hi
+        FROM assigned a JOIN codes c USING (vec_id)
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qn FROM nv
+           WHERE vec_id < {N_QUERIES}),
+    qcells0 AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qvv, c.cv) / (q.qn * c.cn) DESC,
+                                c.cell_id) AS rn
+            FROM qv q CROSS JOIN cents c
+        ) WHERE rn <= {IVF_PROBES}
+    ),
+    qcells AS (
+        SELECT q0.query_id, q0.cell_id, qu.u AS qu
+        FROM qcells0 q0 JOIN n qu ON qu.vec_id = q0.query_id
+    ),
+    scored AS (
+        SELECT qc.query_id, a.vec_id AS neighbor_id,
+               ROUND({chain}, 6) AS adc_score
+        FROM acodes a JOIN qcells qc USING (cell_id)
+        WHERE a.vec_id <> qc.query_id
+    )""" + _rerank_tail_sql(BQ_RERANK)
+
+
+@REG.add(
+    "sim_ann_ivf_binary",
+    _ivf_bq_oracle_sql(),
+    doc=f"IVF-pruned binary-quantization search (FAISS IndexBinaryIVF "
+    f"shape), top-{TOPK}: the coarse quantizer prunes to the "
+    "IVF_PROBES nearest cells exactly as sim_ann_ivf (same centroids, "
+    "same probe ranking — at cluster scale this is partition pruning "
+    "over the cell-partitioned layout), and within the probed cells "
+    "candidates are prescreened ASYMMETRICALLY from their packed "
+    "64-bit sign codes (two BIGINTs per row, the sim_ann_binary "
+    "scorer) before the shared exact-rerank funnel.  No residual "
+    "stage — sign bits are position-independent, which is why "
+    "BinaryIVF ships without one (vs IVF-PQ's residual codes).  "
+    "Composes three already-hash-checked fragments (IVF assignment/"
+    "probing, BQ packing/scoring, the rerank tail); cell-pruned "
+    "candidate volume x code-width compression multiply.  Recall "
+    "floor vs brute force pinned in tests/test_pq.py.",
+)
+def sim_ann_ivf_binary(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+    probes: int | None = None,
+    rerank: int = BQ_RERANK,
+) -> DataFrame:
+    from .similarity import IVF_CELLS, IVF_PROBES, _centroids, _normed, assign_cells
+
+    n_cells = IVF_CELLS if n_cells is None else n_cells
+    probes = IVF_PROBES if probes is None else probes
+    n = _normed(spark, sf_dir)
+    # derive the unit vectors from the SAME normed frame instead of a
+    # second _unit() load — shares the scan + local-only repartition
+    # across the assignment and code/rerank paths
+    unit = n.select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    codes = _bq_codes(unit)
+    assigned = assign_cells(n, n_cells).select("vec_id", "cell_id").join(codes, "vec_id")
+    cents = _centroids(n, n_cells)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcells = (
+        q.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cell_cos").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= probes)
+        .select("query_id", "cell_id")
+        .join(
+            unit.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu")),
+            "query_id",
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(qcells), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_score", _bq_asym_score())
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_score")
+    )
     return _shortlist_rerank(scored, unit, shortlist_depth=rerank)

@@ -194,6 +194,8 @@ HEADLINE_V8 = [
     "pipe_temperature_mix",
     # l-diversity homogeneity audit (one grouped count-distinct)
     "priv_l_diversity",
+    # IVF-pruned binary search (coarse cells x sign codes)
+    "sim_ann_ivf_binary",
     # entity resolution: blocked fuzzy match + quality report
     "er_blocked_match",
     "er_match_quality",

@@ -678,3 +678,61 @@ def test_bq_plan_shape(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     assert count_shuffles(df) <= 6, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ: binary codes under coarse IVF pruning (sim_ann_ivf_binary)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_bq_recall_floor_and_composition(spark):
+    """Measured at authoring time: recall@5 = 0.92 at sf0.001 AND
+    sf0.01 — exactly equal to plain sim_ann_ivf, i.e. the binary
+    prescreen at the 64-deep funnel adds ZERO loss on top of coarse
+    pruning (every miss is an IVF probe miss).  Pin both the absolute
+    floor and the composition property (binary may trail exact
+    in-cell scoring by at most one pair per regen)."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivf_binary
+    from banking_streamprocessing_demos_spark.operators.similarity import sim_ann_ivf
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf_binary(spark, SF_SMALL).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf(spark, SF_SMALL).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+    assert len(exact & got) >= len(exact & ivf) - 1, (len(exact & got), len(exact & ivf))
+
+
+def test_ivf_bq_rerank_scores_are_exact_cosines(spark):
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivf_binary
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim_topk(spark, SF_SMALL).collect()
+    }
+    for r in sim_ann_ivf_binary(spark, SF_SMALL).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-9, (key, r["cosine"], exact[key])
+
+
+def test_ivf_bq_plan_shape(spark):
+    """Scale contract: query/cell sides broadcast, no cartesian over
+    the corpus.  The shuffle budget is higher than flat BQ's 6 because
+    the composition inherits the IVF assignment pipeline (rank_cells
+    windows + the corpus-keyed assigned-x-codes vec_id join, which at
+    cluster scale is the cell-partitioned write) — all skinny rows;
+    measured 13 at authoring time."""
+    from banking_streamprocessing_demos_spark.operators.pq import sim_ann_ivf_binary
+
+    df = sim_ann_ivf_binary(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert count_shuffles(df) <= 14, plan[:2000]
