@@ -1742,10 +1742,14 @@ def _bq_chain_sql(code_alias: str = "c", qu_alias: str = "q") -> str:
     return " + ".join(terms)
 
 
-def _bq_oracle_sql() -> str:
+def _bq_prelude_sql() -> str:
+    """The WITH-body through the ``scored`` CTE (unit vectors, packed
+    codes, asymmetric prescreen scores) — shared by the full oracle and
+    tests/test_pq_fuzz.py's plain-Python parity fuzz (which checks the
+    exactly-specified stages without the rerank's list_dot_product)."""
     chain = _bq_chain_sql()
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
           FROM e),
@@ -1765,7 +1769,11 @@ def _bq_oracle_sql() -> str:
                ROUND({chain}, 6) AS adc_score
         FROM codes c CROSS JOIN q
         WHERE c.vec_id <> q.query_id
-    )""" + _rerank_tail_sql(BQ_RERANK)
+    )"""
+
+
+def _bq_oracle_sql() -> str:
+    return "WITH " + _bq_prelude_sql() + _rerank_tail_sql(BQ_RERANK)
 
 
 @REG.add(
@@ -1892,8 +1900,9 @@ def sim_ann_ivf_binary(
     n_cells: int | None = None,
     probes: int | None = None,
     rerank: int = BQ_RERANK,
+    jl_shortlist: int | None = None,
 ) -> DataFrame:
-    from .similarity import IVF_CELLS, IVF_PROBES, _centroids, _normed, assign_cells
+    from .similarity import IVF_CELLS, IVF_PROBES, _centroids, _normed, rank_cells
 
     n_cells = IVF_CELLS if n_cells is None else n_cells
     probes = IVF_PROBES if probes is None else probes
@@ -1903,7 +1912,15 @@ def sim_ann_ivf_binary(
     # across the assignment and code/rerank paths
     unit = n.select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
     codes = _bq_codes(unit)
-    assigned = assign_cells(n, n_cells).select("vec_id", "cell_id").join(codes, "vec_id")
+    # rank_cells directly (not assign_cells): the float vectors never
+    # need joining back — the codes ARE the cell payload.
+    # ``jl_shortlist`` activates the standing N x n_cells assignment
+    # remedy for auto_cells scale runs (the first sweep measured the
+    # x30 step at 3.64 vs the 3.33 bar with the flat assignment; the
+    # JL prescreen is exactly the knob sim_knn_graph ships for this).
+    assigned = rank_cells(n, n_cells, keep=1, jl_shortlist=jl_shortlist).select(
+        "vec_id", "cell_id"
+    ).join(codes, "vec_id")
     cents = _centroids(n, n_cells)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")

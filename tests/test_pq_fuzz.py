@@ -274,3 +274,93 @@ def test_sampled_codebook_oracle_matches_reference(
     }
     assert tsel == ids
     assert got == _reference_codebook(vecs, ids=ids)
+
+
+# ---------------------------------------------------------------------------
+# BQ parity fuzz (round 9): the binary-quantization oracle's
+# exactly-specified stages — unit normalization (IEEE sqrt/div are
+# correctly rounded, so bit-deterministic), MSB-first sign packing,
+# and the asymmetric prescreen's explicit left-associative ±u chain —
+# must match a from-scratch plain-Python reference on random corpora.
+# The rerank tail is EXCLUDED on purpose: it rides list_dot_product,
+# whose 1-ULP fold divergence is the documented accepted risk class
+# (test_list_dot_product_divergence_is_bounded); the stages checked
+# here are the ones with no such caveat.
+# ---------------------------------------------------------------------------
+
+bq_corpora = st.lists(
+    st.lists(
+        # dyadic components (k/4, some zero/negative) keep dots exact
+        # while signs and magnitudes vary; sqrt/div of exact dots are
+        # IEEE-correctly-rounded, hence bit-identical across engines
+        st.integers(min_value=-4, max_value=4).map(lambda i: i / 4),
+        min_size=DIMS,
+        max_size=DIMS,
+    ).filter(lambda v: any(x != 0 for x in v)),
+    min_size=6,
+    max_size=12,
+)
+
+
+def _bq_reference(vecs: list[list[float]]):
+    import math
+
+    from banking_streamprocessing_demos_spark.operators.pq import BQ_WORD
+    from banking_streamprocessing_demos_spark.operators.similarity import N_QUERIES
+
+    units = []
+    for v in vecs:
+        nrm = math.sqrt(_dot(v, v))
+        units.append([x / nrm for x in v])
+
+    def pack(sl: list[float]) -> int:
+        acc = 0
+        for x in sl:
+            acc = acc * 2 + (1 if x > 0 else 0)
+        return acc
+
+    codes = {
+        i: (pack(u[:BQ_WORD]), pack(u[BQ_WORD:])) for i, u in enumerate(units)
+    }
+    scored = {}
+    for qid in range(min(N_QUERIES, len(vecs))):
+        qu = units[qid]
+        for nid, (lo, hi) in codes.items():
+            if nid == qid:
+                continue
+            acc = 0.0
+            for d in range(2 * BQ_WORD):
+                word, bit = (lo, BQ_WORD - 1 - d) if d < BQ_WORD else (
+                    hi,
+                    2 * BQ_WORD - 1 - d,
+                )
+                s = qu[d] if (word >> bit) & 1 else -qu[d]
+                acc = acc + s
+            scored[(qid, nid)] = _round6(acc)
+    return codes, scored
+
+
+@settings(max_examples=40, deadline=None)
+@given(bq_corpora)
+def test_bq_codes_and_asym_scores_match_reference(vecs: list[list[float]]) -> None:
+    from banking_streamprocessing_demos_spark.operators.pq import _bq_prelude_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", list(enumerate(vecs)))
+    ref_codes, ref_scored = _bq_reference(vecs)
+    got_codes = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "WITH " + _bq_prelude_sql() + " SELECT vec_id, lo, hi FROM codes"
+        ).fetchall()
+    }
+    assert got_codes == ref_codes
+    got_scored = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "WITH " + _bq_prelude_sql()
+            + " SELECT query_id, neighbor_id, adc_score FROM scored"
+        ).fetchall()
+    }
+    assert got_scored == ref_scored
