@@ -264,3 +264,68 @@ def test_mmr_actually_diversifies_on_planted_neardups(spark, tmp_path):
     assert mmr[0]["doc_id"] == 0
     assert mmr[1]["doc_id"] != 1  # the clone is pushed down by its Jaccard-1 penalty
     assert mmr[1]["max_sim_prior"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# BM25 oracle parity fuzz (round 9, DuckDB-only like test_pq_fuzz):
+# the generated BM25_SQL must agree with a from-scratch plain-Python
+# scorer on random adversarial corpora — tf repetition, 0..3 matching
+# terms, length spread, and rank ties broken by doc_id.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_oracle_matches_python_reference_on_random_corpora():
+    import duckdb
+    from decimal import ROUND_HALF_UP, Decimal
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from banking_streamprocessing_demos_spark.operators.retrieval import BM25_SQL
+
+    tokens = ["hash", "join", "window", "g", "x7", "a.b"]
+    corpora = st.lists(
+        st.lists(st.sampled_from(tokens), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+
+    six = Decimal("0.000001")
+
+    @settings(max_examples=40, deadline=None)
+    @given(corpora)
+    def run(corpus):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)",
+            [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        )
+        got = {
+            r[0]: (r[1], r[2], r[3]) for r in con.execute(BM25_SQL).fetchall()
+        }
+        # reference
+        n = len(corpus)
+        avgdl = sum(len(ws) for ws in corpus) / n
+        df = {
+            q: sum(1 for ws in corpus if q in ws)
+            for q in ("hash", "join", "window")
+        }
+        scored = {}
+        for d, ws in enumerate(corpus):
+            total, n_terms = Decimal(0), 0
+            for q in ("hash", "join", "window"):
+                tf = ws.count(q)
+                if tf:
+                    n_terms += 1
+                    idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                    c = idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ws) / avgdl))
+                    total += Decimal(repr(c)).quantize(six, rounding=ROUND_HALF_UP)
+            if n_terms:
+                scored[d] = (float(total), n_terms)
+        top = sorted(scored, key=lambda d: (-scored[d][0], d))[:10]
+        expected = {
+            d: (scored[d][0], scored[d][1], i + 1) for i, d in enumerate(top)
+        }
+        assert got == expected, (got, expected)
+
+    run()
