@@ -190,6 +190,9 @@ _ROUND_OVERFLOW: list[str] = [
     # IVF-pruned binary search (FAISS BinaryIVF shape): coarse cells x
     # sign codes — the compression x pruning matrix completed
     "sim_ann_ivf_binary",
+    # ingest-time temperature-mix drift monitor (frozen alpha policy
+    # vs live arrival mix; the mixing family's streaming twin)
+    "streaming_temperature_mix",
 ]
 
 # Demoted tail: everything with green driver rows from prior rounds

@@ -563,6 +563,39 @@ def _tmix_weights_sql() -> str:
     )"""
 
 
+def tmix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, w_micro): the alpha-sampling weight table derived from the
+    BASE corpus — shared by the batch materialization below and the
+    streaming drift monitor (streaming_queries.streaming_temperature_mix),
+    which broadcasts it as the FROZEN policy side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = docs.groupBy("lang").agg(F.sum("dl").cast("long").alias("n_i"))
+    tot = stats.agg(F.sum("n_i").cast("long").alias("n_tot"))
+    s = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_i",
+        "n_tot",
+        (
+            F.round(F.pow(F.col("n_i").cast("double") / F.col("n_tot"), float(MIX_ALPHA)), 6)
+            .cast("decimal(18,6)")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    z = s.agg(F.sum("s_int").cast("bigint").alias("z_int"))
+    # half-away-rounded integer micro-weight, wide products in
+    # DECIMAL(38,0) (DuckDB twin rides HUGEINT) — see _tmix_weights_sql
+    return s.crossJoin(F.broadcast(z)).selectExpr(
+        "lang",
+        "CAST((2 * CAST(s_int AS DECIMAL(38,0)) * n_tot * 1000000"
+        "      + CAST(z_int AS DECIMAL(38,0)) * n_i)"
+        "     div (2 * CAST(z_int AS DECIMAL(38,0)) * n_i) AS BIGINT) AS w_micro",
+    )
+
+
 @REG.add(
     "pipe_temperature_mix",
     f"""
@@ -603,32 +636,7 @@ def _tmix_weights_sql() -> str:
 def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.expressions import det_hash_hex, hex4_to_int
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("dl")
-    )
-    stats = docs.groupBy("lang").agg(F.sum("dl").cast("long").alias("n_i"))
-    tot = stats.agg(F.sum("n_i").cast("long").alias("n_tot"))
-    s = stats.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_i",
-        "n_tot",
-        (
-            F.round(F.pow(F.col("n_i").cast("double") / F.col("n_tot"), float(MIX_ALPHA)), 6)
-            .cast("decimal(18,6)")
-            * 1000000
-        )
-        .cast("bigint")
-        .alias("s_int"),
-    )
-    z = s.agg(F.sum("s_int").cast("bigint").alias("z_int"))
-    # half-away-rounded integer micro-weight, wide products in
-    # DECIMAL(38,0) (DuckDB twin rides HUGEINT) — see _tmix_weights_sql
-    w = s.crossJoin(F.broadcast(z)).selectExpr(
-        "lang",
-        "CAST((2 * CAST(s_int AS DECIMAL(38,0)) * n_tot * 1000000"
-        "      + CAST(z_int AS DECIMAL(38,0)) * n_i)"
-        "     div (2 * CAST(z_int AS DECIMAL(38,0)) * n_i) AS BIGINT) AS w_micro",
-    )
+    w = tmix_weights(spark, sf_dir)
     u = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang")

@@ -2385,3 +2385,119 @@ def streaming_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_available_now(out_stream, "streaming_k_anonymity")
     return out.filter(F.col("nation") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming temperature-mix drift monitor (round 9: the mixing family's
+# twin — frozen alpha-derived policy vs the live arrival mix)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_tmix_oracle() -> str:
+    from .packing import _hex4_sql, _tmix_weights_sql
+
+    return f"""
+    WITH {_REPLAY_DOCS_SQL.replace("SELECT doc_id, text", "SELECT doc_id, lang, text").replace("SELECT doc_id + ", "SELECT doc_id + ").replace("AS doc_id, text FROM documents", "AS doc_id, lang, text FROM documents")},
+    {_tmix_weights_sql().lstrip()},
+    u AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               {_hex4_sql("md5('tmix-' || CAST(doc_id AS VARCHAR))")} AS u16
+        FROM replay
+    ),
+    m AS (
+        SELECT u.doc_id, u.lang, u.dl,
+               CAST(w.w_micro // 1000000 AS BIGINT)
+               + CASE WHEN u.u16 < ((w.w_micro % 1000000) * 65536) // 1000000
+                      THEN 1 ELSE 0 END AS mult
+        FROM u JOIN w ON u.lang = w.lang
+    )
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           lang AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mult) AS BIGINT) AS n_replicas,
+           CAST(SUM(dl) AS BIGINT) AS n_tokens
+    FROM m
+    GROUP BY 1, 2
+    """
+
+
+@REG.add(
+    "streaming_temperature_mix",
+    _streaming_tmix_oracle(),
+    doc="Temperature-mix DRIFT monitoring at ingest run FOR REAL "
+    "(pipe_temperature_mix's streaming twin): the alpha-derived weight "
+    "table is FROZEN from the base corpus (a 5-row broadcast — the "
+    "production shape: the mixing policy retrains out of band, not per "
+    "arrival), every arriving document derives its replica multiplier "
+    "in-row (same md5-u16 integer-threshold Bernoulli as the batch "
+    "materialization, same seed — multipliers are bit-identical), and "
+    "a windowed per-(minute, domain) aggregation tracks arriving docs, "
+    "their token volume, and the effective replica count — the live "
+    "mix a curation pipeline would actually ship vs the policy it "
+    "planned, visible the minute arrival shares drift.  One stateful "
+    "windowed agg; state = n_domains cells per in-flight window "
+    "regardless of arrival volume.  Hash-matches the full SQL oracle; "
+    "original-doc multipliers reconcile with the batch replica table "
+    "(pytest-pinned).",
+)
+def streaming_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+    from .packing import tmix_weights
+
+    w = tmix_weights(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, lang="SENTINEL", text="sentinel flush")],
+        schema="doc_id long, lang string, text string",
+    )
+    replay = (
+        docs.unionByName(dups)
+        .unionByName(sentinel)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+    path = _write_sorted_replay(replay, "stmix-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    keyed = stream.select(
+        "doc_id",
+        "lang",
+        "ingest_ts",
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+        hex4_to_int(det_hash_hex("doc_id", seed="tmix")).alias("u16"),
+    )
+    thr = F.expr("((w_micro % 1000000) * 65536) div 1000000")
+    mult = F.expr("w_micro div 1000000").cast("long") + F.when(
+        F.col("u16") < thr, 1
+    ).otherwise(0)
+    joined = keyed.join(F.broadcast(w), "lang").select(
+        "doc_id", "lang", "ingest_ts", "dl", mult.alias("mult")
+    )
+    agg = joined.groupBy(F.window("ingest_ts", "1 minute"), "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("mult").cast("long").alias("n_replicas"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        F.col("lang").alias("domain"),
+        "n_docs",
+        "n_replicas",
+        "n_tokens",
+    )
+    out = _run_available_now(out_stream, "streaming_temperature_mix")
+    # sentinel's domain filtered on the MATERIALIZED result (grouping-
+    # column pre-agg filters get pushed past the watermark — the
+    # round-8 trap); its lang joins no weight row anyway, but the
+    # explicit filter keeps the contract visible
+    return out.filter(F.col("domain") != "SENTINEL")

@@ -1360,3 +1360,31 @@ def test_temperature_mix_replica_counts_follow_weights(spark):
         lo = n_docs[dom] * math.floor(w)
         hi = n_docs[dom] * math.ceil(w)
         assert lo <= n_rep <= hi, (dom, n_rep, w, lo, hi)
+
+
+def test_streaming_tmix_multipliers_reconcile_with_batch(spark):
+    """The streamed per-(window, domain) replica totals, summed over
+    windows for ORIGINAL docs only, must equal the batch
+    materialization's per-domain replica counts — same frozen weights,
+    same seed, bit-identical multipliers."""
+    from collections import defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        pipe_temperature_mix,
+    )
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        INGEST_BASE_MS,
+        streaming_temperature_mix_q,
+    )
+
+    batch = defaultdict(int)
+    for r in pipe_temperature_mix(spark, SF_SMALL).collect():
+        batch[r["domain"]] += 1
+    # original docs occupy windows strictly below the dup-offset window
+    cutoff = INGEST_BASE_MS + (DUP_OFFSET // 60) * 60000
+    streamed = defaultdict(int)
+    for r in streaming_temperature_mix_q(spark, SF_SMALL).collect():
+        if r["window_start_ms"] < cutoff:
+            streamed[r["domain"]] += r["n_replicas"]
+    assert dict(streamed) == dict(batch)
