@@ -1742,12 +1742,12 @@ def _bq_chain_sql(code_alias: str = "c", qu_alias: str = "q") -> str:
     return " + ".join(terms)
 
 
-def _bq_prelude_sql() -> str:
-    """The WITH-body through the ``scored`` CTE (unit vectors, packed
-    codes, asymmetric prescreen scores) — shared by the full oracle and
-    tests/test_pq_fuzz.py's plain-Python parity fuzz (which checks the
-    exactly-specified stages without the rerank's list_dot_product)."""
-    chain = _bq_chain_sql()
+def _bq_codes_cte_sql() -> str:
+    """e/n/codes CTE block (raw vectors, unit vectors, MSB-first packed
+    sign words) — the ONE textual source of the packing convention,
+    shared by the flat-BQ prelude and the IVF-BQ oracle (round-9 second
+    self-review: the IVF-BQ oracle initially duplicated these CTEs
+    verbatim, so a packing change could have desynced the two)."""
     return f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id,
@@ -1762,7 +1762,16 @@ def _bq_prelude_sql() -> str:
                     (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << ({BQ_WORD} - i))
                               ELSE 0 END)) AS BIGINT) AS hi
         FROM n
-    ),
+    )"""
+
+
+def _bq_prelude_sql() -> str:
+    """The WITH-body through the ``scored`` CTE (unit vectors, packed
+    codes, asymmetric prescreen scores) — shared by the full oracle and
+    tests/test_pq_fuzz.py's plain-Python parity fuzz (which checks the
+    exactly-specified stages without the rerank's list_dot_product)."""
+    chain = _bq_chain_sql()
+    return f"""{_bq_codes_cte_sql()},
     q AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -1823,11 +1832,8 @@ def _ivf_bq_oracle_sql() -> str:
 
     chain = _bq_chain_sql("a", "qc")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH {_bq_codes_cte_sql().lstrip()},
     nv AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
-    n AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-          FROM e),
     cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM nv
               WHERE vec_id < {IVF_CELLS}),
     assigned AS (
@@ -1838,16 +1844,6 @@ def _ivf_bq_oracle_sql() -> str:
                                 c.cell_id) AS rn
             FROM nv CROSS JOIN cents c
         ) WHERE rn = 1
-    ),
-    codes AS (
-        SELECT vec_id,
-               CAST(list_sum(list_transform(u[1:{BQ_WORD}],
-                    (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << ({BQ_WORD} - i))
-                              ELSE 0 END)) AS BIGINT) AS lo,
-               CAST(list_sum(list_transform(u[{BQ_WORD + 1}:{2 * BQ_WORD}],
-                    (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << ({BQ_WORD} - i))
-                              ELSE 0 END)) AS BIGINT) AS hi
-        FROM n
     ),
     acodes AS (
         SELECT a.vec_id, a.cell_id, c.lo, c.hi
@@ -1902,7 +1898,14 @@ def sim_ann_ivf_binary(
     rerank: int = BQ_RERANK,
     jl_shortlist: int | None = None,
 ) -> DataFrame:
-    from .similarity import IVF_CELLS, IVF_PROBES, _centroids, _normed, rank_cells
+    from .similarity import (
+        IVF_CELLS,
+        IVF_PROBES,
+        _centroids,
+        _normed,
+        probe_cells,
+        rank_cells,
+    )
 
     n_cells = IVF_CELLS if n_cells is None else n_cells
     probes = IVF_PROBES if probes is None else probes
@@ -1926,17 +1929,7 @@ def sim_ann_ivf_binary(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     qcells = (
-        q.join(F.broadcast(cents), F.lit(True))
-        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cell_cos").desc(), F.col("cell_id")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= probes)
+        probe_cells(q, cents, probes)
         .select("query_id", "cell_id")
         .join(
             unit.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu")),

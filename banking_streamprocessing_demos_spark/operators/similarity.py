@@ -354,18 +354,7 @@ def ivf_search(spark: SparkSession, index_dir: str, sf_dir: str, probes: int = I
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    qcells = (
-        q.join(F.broadcast(cents), F.lit(True))
-        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
-            ),
-        )
-        .filter(F.col("rn") <= probes)
-        .select("query_id", "qv", "qn", "cell_id")
-    )
+    qcells = probe_cells(q, cents, probes).select("query_id", "qv", "qn", "cell_id")
     index = spark.read.parquet(index_dir)
     cands = index.join(qcells.hint("broadcast"), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
@@ -376,6 +365,29 @@ def ivf_search(spark: SparkSession, index_dir: str, sf_dir: str, probes: int = I
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def probe_cells(q: DataFrame, cents: DataFrame, probes: int) -> DataFrame:
+    """Deterministic top-``probes`` centroid ranking per query (cosine
+    desc, cell_id tiebreak) over a broadcast centroid table — the ONE
+    home of the probe convention, shared by sim_ann_ivf here and
+    pq.sim_ann_ivf_binary (round-9 second self-review: the IVF-BQ
+    query initially hand-copied this block, so a tiebreak fix in one
+    could silently leave the other diverging).  ``q`` must carry
+    (query_id, qv, qn); all input columns pass through plus cell_id."""
+    return (
+        q.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cell_cos").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= probes)
     )
 
 
@@ -442,18 +454,7 @@ def sim_ann_ivf(
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    qcells = (
-        q.join(F.broadcast(cents), F.lit(True))
-        .withColumn("cell_cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
-            ),
-        )
-        .filter(F.col("rn") <= probes)
-        .select("query_id", "qv", "qn", "cell_id")
-    )
+    qcells = probe_cells(q, cents, probes).select("query_id", "qv", "qn", "cell_id")
     cands = assigned.join(qcells, "cell_id").filter(F.col("vec_id") != F.col("query_id"))
     scored = cands.withColumn("cosine", F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))

@@ -93,14 +93,24 @@ def _replay_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPLAY_DOCS_SQL = f"""
+def _replay_docs_sql(extra_cols: str = "") -> str:
+    """The replay CTE (originals + late re-ingests of every 10th doc),
+    parameterized by any extra document columns a consumer needs —
+    single textual source instead of per-consumer string surgery
+    (round-9 second self-review: the tmix oracle patched the shared
+    constant with a chain of .replace() calls, one of them a no-op)."""
+    cols = f", {extra_cols}" if extra_cols else ""
+    return f"""
     replay AS (
-        SELECT doc_id, text FROM documents
+        SELECT doc_id{cols}, text FROM documents
         UNION ALL
-        SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+        SELECT doc_id + {DUP_OFFSET} AS doc_id{cols}, text FROM documents
         WHERE doc_id % 10 = 0
     )
 """
+
+
+_REPLAY_DOCS_SQL = _replay_docs_sql()
 
 
 def _write_sorted_replay(df: DataFrame, prefix: str, order_cols: list[str]) -> str:
@@ -2397,7 +2407,7 @@ def _streaming_tmix_oracle() -> str:
     from .packing import _hex4_sql, _tmix_weights_sql
 
     return f"""
-    WITH {_REPLAY_DOCS_SQL.replace("SELECT doc_id, text", "SELECT doc_id, lang, text").replace("SELECT doc_id + ", "SELECT doc_id + ").replace("AS doc_id, text FROM documents", "AS doc_id, lang, text FROM documents")},
+    WITH {_replay_docs_sql("lang")},
     {_tmix_weights_sql().lstrip()},
     u AS (
         SELECT doc_id, lang,
