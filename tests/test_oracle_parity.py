@@ -155,3 +155,17 @@ def test_oracle_schema_spark_representable(duck, name):
         f"{name}: nested (driver-unhashable) output columns: {nested} — "
         "explode to scalar rows or name per-element columns"
     )
+
+
+def test_queries_md_documents_every_registered_query():
+    """QUERIES.md <-> registry 1:1 (round-9 close-out pin): every
+    registered query has a `## name [✓]` section and no section
+    documents a query that no longer exists — additions can't silently
+    skip the docs and removals can't leave stale sections."""
+    import re
+
+    doc = set(
+        re.findall(r"^## (\S+) \[", open("QUERIES.md").read(), re.M)
+    )
+    assert set(QUERIES) - doc == set(), f"undocumented: {sorted(set(QUERIES) - doc)}"
+    assert doc - set(QUERIES) == set(), f"stale sections: {sorted(doc - set(QUERIES))}"
