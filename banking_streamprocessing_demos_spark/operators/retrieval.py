@@ -76,7 +76,14 @@ def _bm25_term_sql(tf: str, dl: str) -> str:
     )
 
 
-BM25_SQL = f"""
+def _bm25_sql(topn: int) -> str:
+    """Full BM25 ranking SQL cut at ``topn`` — the single generator every
+    consumer (the registered query, the RRF fusion pool, the MMR pool)
+    builds from, so pool depths are parameters rather than textual
+    surgery on a shared literal (a ``.replace`` on ``BM25_SQL`` silently
+    no-ops on any reformat or a BM25_TOPN==depth collision — round-9
+    ADVICE)."""
+    return f"""
     WITH dl AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
         FROM documents
@@ -105,8 +112,11 @@ BM25_SQL = f"""
     SELECT doc_id, bm25, n_terms, rank FROM (
         SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
         FROM scored
-    ) WHERE rank <= {BM25_TOPN}
+    ) WHERE rank <= {topn}
 """
+
+
+BM25_SQL = _bm25_sql(BM25_TOPN)
 
 
 def _global_topn(df: DataFrame, score_col: str, n: int) -> DataFrame:
@@ -207,7 +217,7 @@ TFIDF_RANK_SQL = f"""
 
 
 RRF_SQL = f"""
-    WITH bm25_full AS ({BM25_SQL.replace(f"WHERE rank <= {BM25_TOPN}", f"WHERE rank <= {RRF_DEPTH}")}),
+    WITH bm25_full AS ({_bm25_sql(RRF_DEPTH)}),
     tfidf_scored AS ({TFIDF_RANK_SQL}),
     tfidf_full AS (
         SELECT doc_id, rank FROM (
@@ -316,9 +326,8 @@ def _mmr_pool_sql() -> str:
     10 unrolled greedy steps each reference pairs/toks several times —
     inlined, the whole BM25 pipeline re-evaluates per reference and
     the oracle dies on file-handle exhaustion before it gets slow."""
-    bm25_pool = BM25_SQL.replace(f"WHERE rank <= {BM25_TOPN}", f"WHERE rank <= {RRF_DEPTH}")
     return f"""
-    bm25_full AS MATERIALIZED ({bm25_pool}),
+    bm25_full AS MATERIALIZED ({_bm25_sql(RRF_DEPTH)}),
     toks AS MATERIALIZED (
         SELECT c.doc_id, CAST(c.bm25 AS DECIMAL(18,6)) AS rel,
                list_distinct(string_split(d.text, ' ')) AS tk

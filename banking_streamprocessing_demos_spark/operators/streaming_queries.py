@@ -2219,9 +2219,12 @@ def _streaming_bm25_oracle() -> str:
     "threshold (engine-exact: the 6dp DECIMAL contribution sum is "
     "compared in DECIMAL).  Late re-ingests are scored like any "
     "arrival — a percolator routes every document it sees.  State: "
-    "one row per in-flight (window, doc); the no-query-term sentinel "
-    "dies at the pre-agg row filter while the source watermark still "
-    "closes every window.  Hash-matches the full SQL oracle.",
+    "one row per in-flight (window, doc).  The no-query-term sentinel "
+    "is explicitly EXEMPTED from the pre-agg row filter (the predicate "
+    "is pushed below the EventTimeWatermark node, so a filtered "
+    "sentinel would never reach the watermark stats and the final "
+    "windows would never close); it is excluded from the materialized "
+    "result by doc_id instead.  Hash-matches the full SQL oracle.",
 )
 def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .retrieval import BM25_B, BM25_K1, BM25_QUERY
@@ -2240,9 +2243,16 @@ def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"has{i}").cast("long").alias(f"df{i}") for i in range(len(BM25_QUERY))],
     )
 
-    sentinel = spark.createDataFrame(
-        [Row(doc_id=SENTINEL_ORD, text="sentinel flush document beyond every window")]
+    # The sentinel text must contain NO BM25_QUERY term, so it truly dies
+    # at the pre-agg n_terms>0 row filter (round-9 ADVICE: the previous
+    # text contained the query term 'window', so the sentinel reached the
+    # stateful agg and was only absent from the output because its own
+    # window never closes under append mode — a fragile dependency).
+    sentinel_text = "sentinel flush marker past the final minute"
+    assert not set(BM25_QUERY) & set(sentinel_text.split()), (
+        "sentinel must contain no query term"
     )
+    sentinel = spark.createDataFrame([Row(doc_id=SENTINEL_ORD, text=sentinel_text)])
     replay = _replay_corpus(spark, sf_dir).unionByName(
         sentinel.withColumn(
             "ingest_ts",
@@ -2290,12 +2300,20 @@ def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_terms = sum(
         (F.col(f"tf{i}") > 0).cast("long") for i in range(len(BM25_QUERY))
     )
+    # The sentinel is EXPLICITLY exempted from the row filter: Catalyst
+    # pushes this (non-event-time) predicate through the
+    # EventTimeWatermark node, so a filtered-out sentinel would be
+    # dropped BEFORE the watermark stats see it and the final real
+    # windows would never close (measured: 516 vs 534 oracle rows).
+    # The exempted sentinel row carries 1 row of state whose far-future
+    # window never closes under append mode, and the materialized-result
+    # doc_id filter below excludes it from the output either way.
     rowed = scored.select(
         "doc_id",
         "ingest_ts",
         csum.alias("csum"),
         n_terms.alias("n_terms"),
-    ).filter(F.col("n_terms") > 0)
+    ).filter((F.col("n_terms") > 0) | (F.col("doc_id") == SENTINEL_ORD))
     agg = rowed.groupBy(
         F.window("ingest_ts", "1 minute"), "doc_id", "csum", "n_terms"
     ).agg(F.count("*").alias("_k"))
@@ -2306,7 +2324,11 @@ def streaming_bm25_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("long").alias("n_terms"),
         (F.col("csum") >= F.lit(BM25_MATCH_TAU).cast("decimal(18,6)")).alias("matched"),
     )
-    return _run_available_now(out_stream, "streaming_bm25_match")
+    out = _run_available_now(out_stream, "streaming_bm25_match")
+    # defense-in-depth like the other twins: even if the sentinel text
+    # ever regained a query term, it is filtered from the materialized
+    # result (a post-sink filter, so no watermark-pushdown hazard)
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)
 
 
 # ---------------------------------------------------------------------------

@@ -163,9 +163,9 @@ def test_queries_md_documents_every_registered_query():
     documents a query that no longer exists — additions can't silently
     skip the docs and removals can't leave stale sections."""
     import re
+    from pathlib import Path
 
-    doc = set(
-        re.findall(r"^## (\S+) \[", open("QUERIES.md").read(), re.M)
-    )
+    queries_md = Path(__file__).resolve().parent.parent / "QUERIES.md"
+    doc = set(re.findall(r"^## (\S+) \[", queries_md.read_text(), re.M))
     assert set(QUERIES) - doc == set(), f"undocumented: {sorted(set(QUERIES) - doc)}"
     assert doc - set(QUERIES) == set(), f"stale sections: {sorted(doc - set(QUERIES))}"
