@@ -69,173 +69,108 @@ _PROMOTED_NEVER_CHECKED: list[str] = [
 
 # New this round — zero prior driver evidence by construction.
 _ROUND_NEW: list[str] = [
-    # round-9: bounded seeded-sample quantizer training (FAISS-shape
-    # scale path) — codebook trajectory + end-to-end sampled search
-    "emb_pq_codebook_sampled",
-    "sim_ann_pq_sampled",
-    # round-9: ingest-time perceptual near-dup gate (mm_phash_dedup twin)
-    "streaming_phash_dedup",
-    # round-9: SentencePiece-style batched merge learning (K/batch
-    # driver round-trips instead of K — the 32k-merge scale shape)
-    "pipe_bpe_merges_batched",
-    # round-9: int8 scalar-quantization search — the FAISS QT_8bit
-    # compression tier (training-free, per-vector scale + tinyint codes)
-    "sim_ann_sq8",
-    # round-9: entity resolution / record linkage — blocked fuzzy match
-    # (two-pass blocking + levenshtein verify) and its quality report
-    "er_blocked_match",
-    "er_match_quality",
-    # round-9: ingest-time record-linkage twin (frozen clean-side
-    # block-key inventory, the streaming_chunk_dedup pattern)
-    "streaming_er_match",
-    # round-9: ER canonicalization (exact-class + fuzzy-link components)
-    "er_cluster_entities",
-    # round-9: hard-negative mining for contrastive training (IVF-layout
-    # candidates, label-inequality filter, top-k per anchor)
-    "emb_hard_negatives",
+    # round-10: the two remaining sampled-training twins (round-9
+    # VERDICT #2) — bounded seeded-sample training composed with the
+    # IVF x PQ index and the trained-OPQ rotation pipeline
+    "sim_ann_ivfpq_sampled",
+    "sim_ann_opq_trained_sampled",
+    # round-10: hybrid rank fusion — BM25 + an ANN ranking through the
+    # identical 1/(k+rank) union (round-9 VERDICT #6: proves the RRF
+    # docstring's 'an ANN ranking drops in unchanged' claim)
+    "rank_fusion_hybrid",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # Round-9 window: core flagships re-earning rows on this round's
-    # regenerated testdata, the six r8-rested r7 earners returning
-    # (streaming_token_histogram, streaming_pack_sequences,
-    # sketch_hll_distinct, pipe_epoch_plan, smp3_stratified_split,
-    # dedup_substring_spans), and a 7-query recall rotation of
-    # long-demoted families (13 planned; 6 ceded slots to the ten
-    # round-new queries).  Six r8 earners rest in the tail this
-    # round (dedup_semantic_ivf, streaming_curriculum_histogram,
-    # dedup_keep_best, pack_sequences, text_boilerplate_strip,
-    # pipe_quality_gate); last round's 10 recalls returned to the tail.
-    "streaming_quality_gate",
-    "pipe_curriculum_pack",
-    "streaming_doc_dedup",
-    "streaming_minhash_dedup",
-    "st1_streaming_detector",
-    "st1_join_variant",
-    "gen_messages_snapshot",
-    "j1_join_filter_groupby",
-    "j5_timeout_pairing",
-    "j6_asof_join",
-    "j7_range_join",
-    "j8_salted_skew_join",
-    "a3_join_agg_revenue",
-    "a7_pricing_summary",
-    "a11_grouping_sets",
-    "w1_hourly_event_counts",
-    "w5_session_window",
-    "u3_snapshot_last_event_wins",
-    "u6_merge_upsert",
-    "f_expressions",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_semantic_clusters",
-    "text_containment",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh",
-    "sim_knn_graph",
-    # rested-in-r8 earners returning
-    "streaming_token_histogram",
-    "streaming_pack_sequences",
-    "sketch_hll_distinct",
-    "pipe_epoch_plan",
-    "smp3_stratified_split",
-    "dedup_substring_spans",
-    # recall rotation (returning from the demoted tail)
-    "a8_rollup_counts",
-    "w10_anomaly_zscore",
-    "j9_full_outer_reconcile",
-    "text_token_counts",
-    "pipe_curation",
-    "mm_resize",
-    "sketch_cms_heavy_hitters",
-    # (emb_quantize_int8, gen_status_histogram, smp2_backpressure_topup,
-    # text_fingerprint, pipe_domain_mix and pipe_shard_assign ceded their
-    # recall slots to this round's six extra round-new queries — the
-    # window holds exactly 50; they return next round)
-]
-
-# Round-new overflow (window full): registered and hash-verified via
-# tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
-# driver window next round per the standing policy.
-_ROUND_OVERFLOW: list[str] = [
-    # round-9 late additions (window already held 50 when they landed):
-    # 1-bit binary-quantization search — the FAISS IndexBinaryFlat tier
-    # (sign codes, XOR+popcount Hamming prescreen, exact rerank)
+    # Round-10 window: the eleven r9-overflow queries promoted per the
+    # standing policy (registered + hash-verified in r9, first driver
+    # rows now), the six recalls that ceded their r9 slots returning,
+    # the six r9-rested r8 earners returning, and flagship refreshes
+    # spanning every capability family.  The r9 round-new earners
+    # (emb_pq_codebook_sampled .. emb_hard_negatives) rest in the tail.
+    # --- r9 overflow promotions (window was full when they landed) ---
     "sim_ann_binary",
-    # lexical retrieval: BM25 query-time ranking (Okapi/Lucene scorer)
-    # and reciprocal-rank fusion of two disagreeing lexical rankings —
-    # the keyword half of a hybrid RAG stack
     "text_bm25_search",
     "rank_fusion_rrf",
-    # ingest-time BM25 percolation (text_bm25_search's streaming twin:
-    # standing query, flowing docs, frozen corpus stats)
     "streaming_bm25_match",
-    # MMR diversity re-rank of the BM25 pool (exact-decimal greedy over
-    # the bounded candidate set; unrolled-CTE oracle)
     "rank_mmr_diversify",
-    # per-language tokenizer fertility audit under the fitted BPE rules
     "pipe_tokenizer_fertility",
-    # k-anonymity audit over customer quasi-identifiers (governance)
     "priv_k_anonymity",
-    # temperature (alpha) sampling: corpus-derived mixture weights
     "pipe_temperature_mix",
-    # l-diversity audit (homogeneity-attack check pairing k-anonymity)
     "priv_l_diversity",
-    # ingest-time k-anonymity cohort-release gate (priv_k_anonymity's
-    # streaming twin)
     "streaming_k_anonymity",
-    # IVF-pruned binary search (FAISS BinaryIVF shape): coarse cells x
-    # sign codes — the compression x pruning matrix completed
     "sim_ann_ivf_binary",
-    # ingest-time temperature-mix drift monitor (frozen alpha policy
-    # vs live arrival mix; the mixing family's streaming twin)
     "streaming_temperature_mix",
-]
-
-# Demoted tail: everything with green driver rows from prior rounds
-# (r1/r2 core ops, r3 promotions).  Still hash-verified locally every
-# round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
-_DEMOTED_TAIL = [
-    # recall-rotation entries bumped from the r9 window by round-new volume
+    # --- r9-ceded recalls returning ---
     "emb_quantize_int8",
     "gen_status_histogram",
     "smp2_backpressure_topup",
     "text_fingerprint",
     "pipe_domain_mix",
     "pipe_shard_assign",
-    # demoted after earning r8 driver rows (r8 round-new + six rested
-    # flagships + the r8 recall rotation)
-    "mm_phash_dedup",
-    "streaming_mrl_assign",
-    "sim_ann_opq_trained",
-    "pipe_curate_end_to_end",
-    "mm_phash_clusters",
-    "mm_chunk_dedup",
-    "streaming_chunk_dedup",
+    # --- r9-rested r8 earners returning ---
     "dedup_semantic_ivf",
     "streaming_curriculum_histogram",
     "dedup_keep_best",
     "pack_sequences",
     "text_boilerplate_strip",
     "pipe_quality_gate",
+    # --- flagship refreshes (every §2 + LLM-pipeline family) ---
+    "st1_streaming_detector",
+    "st1_join_variant",
+    "gen_messages_snapshot",
+    "j1_join_filter_groupby",
+    "a3_join_agg_revenue",
+    "a7_pricing_summary",
+    "w1_hourly_event_counts",
+    "u3_snapshot_last_event_wins",
+    "f_expressions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_ann_ivf",
+    "text_langid",
+    "text_tfidf_topk",
+    "pipe_bpe_merges",
+    "pipe_curate_end_to_end",
+    "sketch_hll_distinct",
+    "mm_phash_dedup",
+    "streaming_doc_dedup",
+    "er_blocked_match",
+    # recall rotation (returning from the long-demoted tail)
+    "w2_latency_quantiles",
+    "j3_anti_join",
+    # (window holds exactly 50: 3 round-new + 47 here)
+]
+
+# Round-new overflow (window full): registered and hash-verified via
+# tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
+# driver window next round per the standing policy.
+_ROUND_OVERFLOW: list[str] = []
+
+# Demoted tail: every query with green driver rows from prior rounds
+# (regenerated round-10: r9 round-new earners + r9 flagship earners
+# joined; window promotions left).  Still hash-verified locally every
+# round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
+_DEMOTED_TAIL = [
+    "streaming_mrl_assign",
+    "sim_ann_opq_trained",
+    "mm_phash_clusters",
+    "mm_chunk_dedup",
+    "streaming_chunk_dedup",
     "a9_distinct_aggs",
     "w7_funnel",
     "gen_timeout_alerts",
-    "text_langid",
     "dedup_clusters",
     "smp1_deterministic_sample",
     "p2_filter_inequality",
     "u1_insert_or_ignore",
     "streaming_ivf_assign",
     "f12_json_props",
-    # demoted after earning r7 driver rows (PQ-family promotions +
-    # round-7 news + six rested flagships)
     "streaming_sessionization",
     "contamination_check",
-    "dedup_exact",
     "emb_pq_codebook",
     "sim_ann_pq",
     "streaming_pq_assign",
@@ -243,9 +178,7 @@ _DEMOTED_TAIL = [
     "sim_ann_matryoshka",
     "streaming_keep_best",
     "sim_ann_opq",
-    # demoted after earning r6 driver rows
     "streaming_boilerplate_strip",
-    "pipe_bpe_merges",
     "pipe_bpe_encode",
     "streaming_bpe_encode",
     "streaming_epoch_plan",
@@ -253,9 +186,7 @@ _DEMOTED_TAIL = [
     "w4_sessionization",
     "dedup_ngram_jaccard",
     "smp4_group_split",
-    "sim_ann_ivf",
     "emb_random_project",
-    # demoted after earning r5 driver rows
     "w9_scd2_intervals",
     "s8_set_operations",
     "emb_label_centroids",
@@ -264,9 +195,6 @@ _DEMOTED_TAIL = [
     "smp5_weighted_sample",
     "streaming_reservoir_sample",
     "streaming_heavy_hitters",
-    # demoted after earning r4 driver rows
-    "text_tfidf_topk",
-    "w2_latency_quantiles",
     "a12_exact_group_median",
     "f13_morton_code",
     "w6_retention_cohorts",
@@ -280,7 +208,6 @@ _DEMOTED_TAIL = [
     "p7_null_as_status",
     "p8_membership_sets",
     "j2_scalar_correlated_subquery",
-    "j3_anti_join",
     "j4_semi_join",
     "a1_count_global",
     "a2_groupby_count",
@@ -307,6 +234,42 @@ _DEMOTED_TAIL = [
     "pipe_quality_prune",
     "sketch_bloom_prefilter",
     "text_stats_quality",
+    "dedup_simhash",
+    "dedup_semantic_clusters",
+    "dedup_substring_spans",
+    "text_containment",
+    "er_match_quality",
+    "er_cluster_entities",
+    "mm_resize",
+    "pipe_epoch_plan",
+    "pipe_curriculum_pack",
+    "emb_pq_codebook_sampled",
+    "sim_ann_pq_sampled",
+    "sim_ann_sq8",
+    "j5_timeout_pairing",
+    "j8_salted_skew_join",
+    "smp3_stratified_split",
+    "a8_rollup_counts",
+    "a11_grouping_sets",
+    "j6_asof_join",
+    "j7_range_join",
+    "w5_session_window",
+    "w10_anomaly_zscore",
+    "j9_full_outer_reconcile",
+    "u6_merge_upsert",
+    "sim_ann_lsh",
+    "sim_knn_graph",
+    "emb_hard_negatives",
+    "sketch_cms_heavy_hitters",
+    "streaming_minhash_dedup",
+    "streaming_token_histogram",
+    "streaming_pack_sequences",
+    "streaming_quality_gate",
+    "streaming_phash_dedup",
+    "streaming_er_match",
+    "text_token_counts",
+    "pipe_curation",
+    "pipe_bpe_merges_batched",
 ]
 
 _DRIVER_PRIORITY = (

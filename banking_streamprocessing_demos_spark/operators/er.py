@@ -20,24 +20,28 @@ and ground truth is known for the quality query.
 
 Scale shape (SCALE.md ground rules):
 
-- blocking is two hash-keyed passes — (brand, name-prefix4) and
-  (brand, name-suffix4) — so a single character deletion anywhere in a
-  name of length >= 8 preserves at least one key; candidates are the
-  UNION of block collisions, never an all-pairs product (measured at
-  sf0.01: 6,045 candidates vs 1,000,000 all-pairs, a 165x reduction
-  that GROWS with corpus size since block count scales with the name
-  vocabulary);
+- blocking is three hash-keyed passes — (brand, name-prefix4),
+  (brand, name-suffix4), and (brand, sorted-token key) — so a single
+  character deletion anywhere preserves at least one key: deletions in
+  names >= 8 chars keep a substring key, and the one residual class
+  (the separator deleted from a short 'xxx yyy' name, which breaks
+  both substring keys at once — the only misses at sf0.01) is caught
+  by the sorted-token key, which strips separators before comparing;
+  candidates are the UNION of block collisions, never an all-pairs
+  product (measured at sf0.01: ~3x the name-class collision volume vs
+  1,000,000 all-pairs, a reduction that GROWS with corpus size since
+  block count scales with the name vocabulary);
 - the expensive ``levenshtein`` verify runs only on block collisions;
   both engines ship the classic O(|a|*|b|) DP built-in (JVM-side in
   Spark — no Python in the loop);
 - block skew is bounded by the name vocabulary (the heaviest
   (brand, key) block holds one name class's records), and the final
-  dedup of the two passes' overlap is a narrow DISTINCT on ids;
-- honest-recall accounting: names shorter than 8 characters have a
-  one-position blocking blind spot (deletion at position 4 breaks both
-  keys); er_match_quality REPORTS the miss instead of hiding it
-  (measured 497/500 dirty records matched at sf0.01) — production
-  practice is adding a third pass (sorted-token key) for short names.
+  dedup of the three passes' overlap is a narrow DISTINCT on ids;
+- honest-recall accounting: er_match_quality reports record-level
+  recall per brand.  Under the round-9 two-pass blocking it measured
+  497/500 at sf0.01 (the space-deletion blind spot above); the round-10
+  sorted-token third pass lifts planted recall to 500/500, pinned in
+  tests/test_er.py.
 """
 
 from __future__ import annotations
@@ -59,7 +63,7 @@ MAX_LEV = 1
 BKEY_LEN = 4
 
 # Shared SQL prelude: clean records, deterministic dirty variants
-# (delete the character at position (p_partkey % length) + 1), the two
+# (delete the character at position (p_partkey % length) + 1), the three
 # blocking-key passes for each side, candidate pairs, and verified
 # matches.  The Spark plan mirrors these stages one-for-one.
 # body without the WITH keyword so the clustering oracle can prefix
@@ -79,11 +83,19 @@ _ER_PRELUDE_BODY = f"""clean AS (
         UNION ALL
         SELECT rec_id, name, brand, substr(name, length(name) - {BKEY_LEN - 1}) AS bkey
         FROM clean
+        UNION ALL
+        SELECT rec_id, name, brand,
+               array_to_string(list_sort(string_split(name, ' ')), '') AS bkey
+        FROM clean
     ),
     dkeys AS (
         SELECT rec_id, src_id, name, brand, substr(name, 1, {BKEY_LEN}) AS bkey FROM dirty
         UNION ALL
         SELECT rec_id, src_id, name, brand, substr(name, length(name) - {BKEY_LEN - 1}) AS bkey
+        FROM dirty
+        UNION ALL
+        SELECT rec_id, src_id, name, brand,
+               array_to_string(list_sort(string_split(name, ' ')), '') AS bkey
         FROM dirty
     ),
     cand AS (
@@ -126,18 +138,26 @@ def _dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_block_keys(df: DataFrame) -> DataFrame:
-    """The two blocking passes (prefix-4 and suffix-4 of the name),
-    unioned — each record appears under at most two hash keys."""
+    """The three blocking passes — prefix-4, suffix-4, and the
+    SORTED-TOKEN key (tokens sorted, joined without separator) —
+    unioned: each record appears under at most three hash keys.  The
+    sorted-token pass (round-10, closing the short-name blind spot the
+    round-9 quality report surfaced) is invariant to separator noise
+    and token reordering: every missed record at sf0.01 was a 7-char
+    'xxx yyy' name whose DELETED character was the space — breaking
+    both substring keys at once — and the sorted-token keys of
+    'red rod' and 'redrod' are identical."""
     pre = df.withColumn("bkey", F.substring("name", 1, BKEY_LEN))
     suf = df.withColumn(
         "bkey", F.expr(f"substr(name, length(name) - {BKEY_LEN - 1})")
     )
-    return pre.unionByName(suf)
+    tok = df.withColumn("bkey", F.array_join(F.array_sort(F.split("name", " ")), ""))
+    return pre.unionByName(suf).unionByName(tok)
 
 
 def _matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked candidates -> levenshtein verify (the expensive stage
-    runs only on block collisions).  The two passes' overlap is
+    runs only on block collisions).  The three passes' overlap is
     deduped on BARE (dirty_id, clean_id) pairs and the names are
     joined back afterwards (the repo's skinny-rejoin pattern): letting
     dropDuplicates carry both name strings puts them through the dedup
@@ -173,16 +193,20 @@ def _matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dirty_id, clean_id, brand, matched_name, lev
     FROM matched
     """,
-    doc=f"Entity resolution, match stage: two-pass blocking "
-    f"((brand, name-prefix{BKEY_LEN}) UNION (brand, name-suffix{BKEY_LEN})) "
-    "bounds candidates to block collisions — 165x below all-pairs at "
-    "sf0.01, a gap that widens with corpus size — then the classic "
-    f"levenshtein DP verifies each candidate (threshold {MAX_LEV}, "
-    "JVM built-in in Spark, same algorithm in DuckDB).  Output is every "
+    doc=f"Entity resolution, match stage: three-pass blocking "
+    f"((brand, name-prefix{BKEY_LEN}) UNION (brand, name-suffix{BKEY_LEN}) "
+    "UNION (brand, sorted-token key)) bounds candidates to block "
+    "collisions — orders of magnitude below all-pairs, a gap that "
+    "widens with corpus size — then the classic levenshtein DP "
+    f"verifies each candidate (threshold {MAX_LEV}, JVM built-in in "
+    "Spark, same algorithm in DuckDB).  The sorted-token pass "
+    "(production practice for short/reordered names) closes the "
+    "space-deletion blind spot the round-9 quality report surfaced: "
+    "planted recall is now 500/500 at sf0.01.  Output is every "
     "verified (dirty record, clean record) link with the matched "
     "canonical name.  The standard Fellegi-Sunter two-stage shape: at "
-    "100 TB both blocking passes are hash-partitioned joins on skinny "
-    "(brand, 4-char key) keys, skew bounded by the name vocabulary, and "
+    "100 TB all blocking passes are hash-partitioned joins on skinny "
+    "(brand, short key) keys, skew bounded by the name vocabulary, and "
     "the quadratic verify never sees more than one block.",
 )
 def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,11 +251,12 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall (dirty records linked to ANY candidate) and pair-level "
     "precision (links that hit the true (name, brand) entity class — "
     "the class, not the record key, is ER ground truth on a corpus "
-    "where distinct records legitimately share names).  Surfaces the "
-    "short-name blocking blind spot honestly (names under 8 chars have "
-    "one unprotected deletion position) instead of hiding it — the "
-    "number a production pipeline watches to decide when to add a "
-    "third blocking pass.  Two map-side-combined aggregates over the "
+    "where distinct records legitimately share names).  This is the "
+    "number a production pipeline watches to size its blocking: under "
+    "round-9's two passes it reported the space-deletion blind spot "
+    "honestly (497/500); with the round-10 sorted-token third pass "
+    "planted recall is 1.0 across every brand (pinned in "
+    "tests/test_er.py).  Two map-side-combined aggregates over the "
     "match output joined back to the bounded dirty side.",
 )
 def er_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,10 +92,11 @@ def _train_ids(unit: DataFrame, n: int, offset: int = 0) -> DataFrame:
     return samp.unionAll(seeds).distinct()
 
 
-def _train_sample_sql(n: int, offset: int = 0, src: str = "n", subs: str = "subs") -> str:
-    """The oracle twin of _train_ids + the semi-join: ``tsel`` (sampled
-    vec_ids) and ``ssubs`` (sub-vectors restricted to the sample) CTEs,
-    appended after the vector prelude."""
+def _tsel_sql(n: int, offset: int = 0, src: str = "n") -> str:
+    """The oracle twin of _train_ids alone: the ``tsel`` (sampled
+    vec_ids) CTE — split out so oracles whose training statistics are
+    NOT sub-vector tables (the trained-OPQ Givens/variance aggregates)
+    can restrict on it directly."""
     return f""",
     tsel AS (
         SELECT DISTINCT vec_id FROM (
@@ -108,10 +109,20 @@ def _train_sample_sql(n: int, offset: int = 0, src: str = "n", subs: str = "subs
             SELECT vec_id FROM {src}
             WHERE vec_id >= {offset} AND vec_id < {offset + PQ_K}
         )
-    ),
+    )"""
+
+
+def _train_sample_sql(n: int, offset: int = 0, src: str = "n", subs: str = "subs") -> str:
+    """The oracle twin of _train_ids + the semi-join: ``tsel`` (sampled
+    vec_ids) and ``ssubs`` (sub-vectors restricted to the sample) CTEs,
+    appended after the vector prelude."""
+    return (
+        _tsel_sql(n, offset, src)
+        + f""",
     ssubs AS (
         SELECT s.vec_id, s.m, s.sub FROM {subs} s JOIN tsel t ON s.vec_id = t.vec_id
     )"""
+    )
 
 
 def _unit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,7 +767,18 @@ def _argmax_cell(u, cells: list[list[float]]):
     return -F.array_max(F.transform(_cell_struct_lit(cells), cand))["nk"]
 
 
-def _ivfpq_oracle_sql() -> str:
+def _ivfpq_oracle_sql(sample_n: int | None = None) -> str:
+    """IVF-PQ search oracle; with ``sample_n`` the residual k-means
+    trains over the seeded sample CTE (seeds at IVF_CELLS.., mirroring
+    ivfpq_index(train_sample=...)) while coarse assignment, residual
+    materialization, encode, probe, and rerank stay corpus-wide —
+    the exact split the Spark sampled path makes."""
+    if sample_n is not None:
+        kmeans = _train_sample_sql(
+            sample_n, offset=IVF_CELLS, subs="rsubs"
+        ) + _pq_kmeans_sql(PQ_ITERS, "ssubs", IVF_CELLS)
+    else:
+        kmeans = _pq_kmeans_sql(PQ_ITERS, "rsubs", IVF_CELLS)
     return (
         _pq_vector_prelude_sql()
         + f""",
@@ -781,7 +803,7 @@ def _ivfpq_oracle_sql() -> str:
         SELECT vec_id, m, r[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
         FROM resid CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
     )"""
-        + _pq_kmeans_sql(PQ_ITERS, "rsubs", IVF_CELLS)
+        + kmeans
         + f""",
     acode AS {_assign_sql("rsubs", f"c{PQ_ITERS}")},
     ncodes AS (
@@ -918,6 +940,25 @@ def sim_ann_ivfpq(
     ).withColumn("adc_score", score)
 
     return _shortlist_rerank(scored, unit, shortlist_depth=rerank)
+
+
+@REG.add(
+    "sim_ann_ivfpq_sampled",
+    _ivfpq_oracle_sql(sample_n=N_TRAIN),
+    doc=f"IVF-PQ search with the residual codebook trained on the bounded "
+    f"{N_TRAIN}-vector seeded sample (seeds at {IVF_CELLS}.. because the "
+    "coarse seeds' own residuals are ~0) and then applied corpus-wide: "
+    "coarse assignment, residual materialization, encode, probe, and "
+    "exact rerank are identical to sim_ann_ivfpq — the composed-index "
+    "proof that sampled training (the FAISS convention: quantizers train "
+    "on a bounded sample, never the corpus) reaches the full IVF x PQ "
+    "matrix.  Train wall and recall parity vs full-corpus training are "
+    "measured at x10..x100 in BENCH_recall_scale.json.",
+)
+def sim_ann_ivfpq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ann_ivfpq(
+        spark, sf_dir, index=ivfpq_index(spark, sf_dir, train_sample=N_TRAIN)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1369,14 +1410,20 @@ def opq_trained_index(
     return fix, rot, perm, cb
 
 
-def _opq_trained_oracle_sql() -> str:
+def _opq_trained_oracle_sql(sample_n: int | None = None) -> str:
     """The identical trajectory as DuckDB CTEs: fixture, 8 Givens
     stages (3 DECIMAL aggregates + trig-free c/s + indexed-lambda
     column update each), variance ranking, allocation permutation,
     round6 rotated table, then the shared Lloyd/encode/LUT/ADC/rerank
     tail.  Every multi-referenced stage CTE is MATERIALIZED (DuckDB
     inlines per reference; an 8-level doubly-referenced chain would
-    otherwise re-execute the fixture 2^8 times)."""
+    otherwise re-execute the fixture 2^8 times).
+
+    With ``sample_n``, every training STATISTIC — the Givens pair
+    sums, the variance ranking, and the Lloyd passes — restricts to
+    the seeded ``tsel`` sample (mirroring
+    opq_trained_index(train_sample=...)), while the rotation itself,
+    the permutation application, encode, and rerank stay corpus-wide."""
     wterms = []
     for j in range(DIMS):
         if j < PQ_SUBDIM:
@@ -1398,6 +1445,12 @@ def _opq_trained_oracle_sql() -> str:
     ),
     r0 AS MATERIALIZED (SELECT vec_id, u AS r FROM n)"""
     ]
+    if sample_n is not None:
+        parts.append(_tsel_sql(sample_n))
+    # with a sample, every statistic aggregates the sample-restricted
+    # rows of the running table (the rotation is applied corpus-wide,
+    # so restricting at aggregate time matches the Spark semi-joins)
+    stat = " JOIN tsel USING (vec_id)" if sample_n is not None else ""
     for k, (a, b) in enumerate(OPQT_PAIRS, start=1):
         ra, rb = f"r[{a + 1}]", f"r[{b + 1}]"
         parts.append(f""",
@@ -1405,7 +1458,7 @@ def _opq_trained_oracle_sql() -> str:
         SELECT CAST(SUM(CAST(ROUND({ra} * {rb}, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sab,
                CAST(SUM(CAST(ROUND({ra} * {ra}, 9) AS DECIMAL(20,9))) AS DOUBLE) AS saa,
                CAST(SUM(CAST(ROUND({rb} * {rb}, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sbb
-        FROM r{k - 1}
+        FROM r{k - 1}{stat}
     ),
     cs{k} AS (
         SELECT c, t * c AS s FROM (
@@ -1436,7 +1489,7 @@ def _opq_trained_oracle_sql() -> str:
                CAST(SUM(CAST(ROUND(r[d] * r[d], 9) AS DECIMAL(20,9))) AS DOUBLE) AS sq,
                CAST(SUM(CAST(ROUND(r[d], 9) AS DECIMAL(20,9))) AS DOUBLE) AS sm,
                COUNT(*) AS cnt
-        FROM r{t_last} CROSS JOIN UNNEST(range(1, {DIMS + 1})) AS t(d)
+        FROM r{t_last}{stat} CROSS JOIN UNNEST(range(1, {DIMS + 1})) AS t(d)
         GROUP BY d
     ),
     vv AS (SELECT d, sq / cnt - (sm / cnt) * (sm / cnt) AS vx FROM vr),
@@ -1451,7 +1504,14 @@ def _opq_trained_oracle_sql() -> str:
         SELECT vec_id, m, ru[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
         FROM rot CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
     )""")
-    parts.append(_pq_kmeans_sql(PQ_ITERS, "subs"))
+    if sample_n is not None:
+        parts.append(""",
+    ssubs AS (
+        SELECT s.vec_id, s.m, s.sub FROM subs s JOIN tsel t ON s.vec_id = t.vec_id
+    )""")
+        parts.append(_pq_kmeans_sql(PQ_ITERS, "ssubs"))
+    else:
+        parts.append(_pq_kmeans_sql(PQ_ITERS, "subs"))
     parts.append(f""",
     acode AS {_assign_sql("subs", f"c{PQ_ITERS}")},
     ncodes AS (
@@ -1499,6 +1559,27 @@ def sim_ann_opq_trained(
     fix, rot, _perm, cb = index if index is not None else opq_trained_index(spark, sf_dir)
     scored = _adc_pq_scored(spark, sf_dir, fix, cb=cb, frame=rot, col="ru")
     return _shortlist_rerank(scored, fix, shortlist_depth=rerank)
+
+
+@REG.add(
+    "sim_ann_opq_trained_sampled",
+    _opq_trained_oracle_sql(sample_n=N_TRAIN),
+    doc=f"Trained-OPQ search with every training STATISTIC — the Givens "
+    f"pair sums, the variance ranking, and the Lloyd passes — bounded to "
+    f"the {N_TRAIN}-vector seeded sample, while the learned rotation, "
+    "allocation permutation, encode, and exact rerank apply corpus-wide: "
+    "the last sampled-training twin, proving the bounded-sample recipe "
+    "composes with the data-adaptive rotation pipeline (rotations learned "
+    "from a sample are the OPQ paper's own training protocol).  Combined "
+    "with the single-pass Givens composition this makes the trained-OPQ "
+    "build constant-in-corpus for statistics and one-pass for "
+    "application — the 100 TB shape.",
+)
+def sim_ann_opq_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ann_opq_trained(
+        spark, sf_dir, index=opq_trained_index(spark, sf_dir, train_sample=N_TRAIN)
+    )
+
 
 # ---------------------------------------------------------------------------
 # SQ8: int8 scalar quantization search — the remaining mainstream FAISS

@@ -302,6 +302,90 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HYBRID rank fusion (round-10): BM25 + a true ANN ranking through the
+# IDENTICAL 1/(k+rank) union — the claim rank_fusion_rrf's docstring
+# makes ("an ANN ranking drops into the same union unchanged"),
+# executed.  This is the actual production hybrid-search shape
+# (Elasticsearch/OpenSearch/Vespa "hybrid mode"): one lexical ranking,
+# one vector ranking, fused rank-only so the incomparable score scales
+# (BM25 sums vs cosines) never need calibrating.  The ANN side is
+# sim_ann_ivf's coarse-probe + exact-rerank plan for ONE standing query
+# vector, cut at fusion depth; ids are fused directly — in a hybrid
+# corpus the embedding ids ARE the document ids (embeddings[i] embeds
+# documents[i]), the standard RAG layout.
+# ---------------------------------------------------------------------------
+
+HYBRID_QUERY_VEC = 0  # the standing query vector's vec_id
+
+
+def _hybrid_oracle_sql() -> str:
+    from .similarity import _ivf_oracle_sql
+
+    return f"""
+    WITH bm25_full AS ({_bm25_sql(RRF_DEPTH)}),
+    ann_full AS (
+        SELECT neighbor_id AS doc_id, rank
+        FROM ({_ivf_oracle_sql(RRF_DEPTH)})
+        WHERE query_id = {HYBRID_QUERY_VEC}
+    ),
+    contribs AS (
+        SELECT doc_id, CAST(ROUND(1.0 / ({RRF_K} + rank), 6) AS DECIMAL(18,6)) AS c
+        FROM bm25_full
+        UNION ALL
+        SELECT doc_id, CAST(ROUND(1.0 / ({RRF_K} + rank), 6) AS DECIMAL(18,6)) AS c
+        FROM ann_full
+    ),
+    fused AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_sources, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOPN}
+"""
+
+
+@REG.add(
+    "rank_fusion_hybrid",
+    _hybrid_oracle_sql(),
+    doc=f"HYBRID reciprocal-rank fusion (Cormack et al. 2009, k={RRF_K}): "
+    f"the BM25 top-{RRF_DEPTH} for the query {BM25_QUERY} fused with the "
+    f"IVF-ANN top-{RRF_DEPTH} for the standing query vector "
+    f"(vec_id={HYBRID_QUERY_VEC}) through the IDENTICAL 1/(k+rank) "
+    "union as rank_fusion_rrf — the executed proof that an ANN ranking "
+    "drops into the fusion unchanged, and the actual production hybrid-"
+    "search merge (lexical + vector, rank-only, no score calibration).  "
+    "Contributions are 6dp-rounded into DECIMAL before summing; all "
+    "tiebreaks on doc_id.  Scale shape: each source ranking is its "
+    "family's own bounded plan (BM25's term-filtered explode, IVF's "
+    f"coarse-probe partition pruning); the fusion touches 2 x "
+    f"{RRF_DEPTH} rows at any corpus size.",
+)
+def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import sim_ann_ivf
+
+    bm25_full = _global_topn(_bm25_scored(spark, sf_dir), "bm25", RRF_DEPTH).select(
+        "doc_id", "rank"
+    )
+    ann_full = (
+        sim_ann_ivf(spark, sf_dir, topn=RRF_DEPTH)
+        .filter(F.col("query_id") == HYBRID_QUERY_VEC)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    rrf_c = F.round(1.0 / (F.lit(RRF_K) + F.col("rank")), 6).cast("decimal(18,6)")
+    contribs = bm25_full.withColumn("c", rrf_c).unionByName(ann_full.withColumn("c", rrf_c))
+    fused = contribs.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("rrf_score"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return _global_topn(fused, "rrf_score", RRF_TOPN).select(
+        "doc_id", "rrf_score", "n_sources", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MMR diversification (Carbonell & Goldstein, SIGIR 1998): the standard
 # diversity re-rank between retrieval and presentation — greedily pick
 # the candidate maximizing lambda*relevance - (1-lambda)*max-similarity-

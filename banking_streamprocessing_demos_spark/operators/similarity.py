@@ -391,9 +391,12 @@ def probe_cells(q: DataFrame, cents: DataFrame, probes: int) -> DataFrame:
     )
 
 
-@REG.add(
-    "sim_ann_ivf",
-    f"""
+def _ivf_oracle_sql(topn: int = TOPK) -> str:
+    """The IVF search oracle cut at ``topn`` — a generator (not a shared
+    literal) so consumers needing a different funnel depth (the hybrid
+    rank fusion's top-RRF_DEPTH ANN pool) parameterize instead of doing
+    textual surgery on the registered query's SQL."""
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
     cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
@@ -426,8 +429,13 @@ def probe_cells(q: DataFrame, cents: DataFrame, probes: int) -> DataFrame:
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
-    ) WHERE rank <= {TOPK}
-    """,
+    ) WHERE rank <= {topn}
+    """
+
+
+@REG.add(
+    "sim_ann_ivf",
+    _ivf_oracle_sql(),
     doc=f"IVF ANN: {IVF_CELLS}-cell coarse quantizer (broadcast centroids, one "
     f"assignment step), probe {IVF_PROBES} nearest cells per query, exact re-rank. "
     "The indexed layout (build_ivf_index) partitions by cell so probes are pure "
@@ -441,13 +449,15 @@ def sim_ann_ivf(
     sf_dir: str,
     n_cells: int = IVF_CELLS,
     probes: int = IVF_PROBES,
+    topn: int = TOPK,
 ) -> DataFrame:
     """In-memory variant of the IVF search (no index materialization —
     the driver-facing query); the partitioned-layout path is exercised
     by tests/test_llm_ops.py.  ``n_cells``/``probes`` let scale runs
     apply the production ``auto_cells`` sizing rule (the _knn_kwargs
-    pattern); the registered driver query uses the oracle-pinned
-    module defaults."""
+    pattern); ``topn`` widens the final cut (the hybrid rank fusion's
+    depth-20 ANN pool).  The registered driver query uses the
+    oracle-pinned module defaults."""
     n = _normed(spark, sf_dir)
     assigned = assign_cells(n, n_cells)
     cents = _centroids(n, n_cells)
@@ -460,7 +470,7 @@ def sim_ann_ivf(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        .filter(F.col("rank") <= topn)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
 

@@ -2062,11 +2062,12 @@ def _streaming_er_oracle() -> str:
     doc="INGEST-TIME record linkage run FOR REAL (er_blocked_match's "
     "streaming twin — the 'which canonical entity is this?' lookup a "
     "curation pipeline runs as dirty records ARRIVE): each arriving "
-    "record derives its two blocking keys in-row (name prefix-4 and "
-    "suffix-4), stream-static joins against the FROZEN broadcast "
+    "record derives its three blocking keys in-row (name prefix-4, "
+    "suffix-4, and the sorted-token key), stream-static joins against "
+    "the FROZEN broadcast "
     "block-key inventory of the clean side, verifies candidates with "
     "the JVM levenshtein built-in, and a windowed min-per-pair "
-    "aggregation dedups the two passes' overlap.  State: one row per "
+    "aggregation dedups the three passes' overlap.  State: one row per "
     "in-flight (window, dirty, clean) VERIFIED pair — bounded by "
     "matches, not arrivals; a far-future sentinel whose keys collide "
     "with nothing closes every window via the source watermark.  "
@@ -2116,6 +2117,7 @@ def streaming_er_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.substring("dname", 1, BKEY_LEN),
                 F.expr(f"substr(dname, length(dname) - {BKEY_LEN - 1})"),
+                F.array_join(F.array_sort(F.split("dname", " ")), ""),
             )
         ).alias("bkey"),
     )

@@ -62,23 +62,36 @@ def test_er_matches_respect_verify_threshold(spark):
         assert r["matched_name"] == clean[r["clean_id"]]
 
 
-def test_er_recall_misses_are_exactly_the_blind_spot(spark):
-    """Honest-recall contract: a dirty record may miss ONLY via the
-    documented short-name blind spot (len < 8 and deletion breaking
-    both the prefix-4 and suffix-4 keys) — any other miss is a bug."""
+def test_er_planted_recall_is_full(spark):
+    """Round-10 full-recall pin: with the sorted-token third blocking
+    pass, EVERY planted dirty record links back to its source — the
+    round-9 misses were all separator deletions from short 'xxx yyy'
+    names (breaking prefix-4 and suffix-4 at once), which the
+    sorted-token key is invariant to.  A future miss would mean either
+    a blocking regression or a regenerated corpus with a new blind-spot
+    class (e.g. a <7-char name with a mid-position LETTER deletion) —
+    both worth failing loudly over."""
     matched_ids = {r["dirty_id"] for r in er_blocked_match(spark, SF_SMALL).collect()}
     src = {r["rec_id"]: r["name"] for r in _clean(spark, SF_SMALL).collect()}
     misses = [
-        r
+        (r["rec_id"], src[r["src_id"]], r["name"])
         for r in _dirty(spark, SF_SMALL).collect()
         if r["rec_id"] not in matched_ids
     ]
-    for r in misses:
-        orig = src[r["src_id"]]
-        pos = r["src_id"] % len(orig)  # 0-based deletion index
-        assert len(orig) < 8, (orig, "missed despite len >= 8")
-        # deletion must break prefix-4 (pos < 4) AND suffix-4 (pos >= len-4)
-        assert pos < 4 and pos >= len(orig) - 4, (orig, pos)
+    assert misses == [], misses
+
+
+def test_er_sorted_token_key_is_separator_deletion_invariant(spark):
+    """The property the third pass exists for, pinned directly: the
+    sorted-token key of a name and of the same name with its separator
+    deleted are identical (so they land in the same block), checked on
+    the planted miss class from round 9."""
+    rows = (
+        spark.createDataFrame([("red rod",), ("redrod",)], "name string")
+        .select(F.array_join(F.array_sort(F.split("name", " ")), "").alias("k"))
+        .collect()
+    )
+    assert rows[0]["k"] == rows[1]["k"] == "redrod"
 
 
 def test_er_blocking_bounds_candidates(spark):
@@ -109,11 +122,12 @@ def test_er_quality_aggregates_are_consistent(spark):
         assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
         assert r["n_true_pairs"] <= r["n_pairs"]
         assert r["n_matched"] <= r["n_dirty"]
-    # overall linkage quality on the committed corpus: high recall,
-    # high pair precision (values 0.99/0.98 at sf0.01 authoring time)
+    # overall linkage quality on the committed corpus: FULL record
+    # recall under the round-10 three-pass blocking, high pair
+    # precision (0.98 at sf0.01 authoring time)
     recall = sum(r["n_matched"] for r in q) / n_dirty_total
     precision = sum(r["n_true_pairs"] for r in q) / max(sum(r["n_pairs"] for r in q), 1)
-    assert recall >= 0.9, recall
+    assert recall == 1.0, recall
     assert precision >= 0.9, precision
 
 
