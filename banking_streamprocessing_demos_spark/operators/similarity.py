@@ -329,6 +329,41 @@ def assign_cells(n: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
     return n.join(best, "vec_id").select("vec_id", "v", "nrm", "cell_id")
 
 
+def assign_cells_inrow(n: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """IN-ROW variant of assign_cells for INGEST-TIME index maintenance
+    (round-10, retiring the x100 assignment watch): the whole centroid
+    table collapses to ONE broadcast row holding an array of (cell_id,
+    cv, cn) structs, and every vector computes its argmax inside a
+    single transform + array_max expression — zero shuffle, zero row
+    blowup, so the per-vector cost stays flat as n_cells grows with the
+    corpus (the join+agg shape explodes each arrival into n_cells rows
+    through an exchange).  Ordering is rank_cells' exactly: UNROUNDED
+    cosine desc, cell_id asc (max over (cos, -cell_id) structs) —
+    equivalence with assign_cells pinned in tests/test_llm_ops.py; the
+    measured marginal cost at auto_cells=1562 is 0.597 ms/vector
+    (BENCH_ivf_assign_stream.json, SCALE.md)."""
+    cents_row = (
+        _centroids(n, n_cells)
+        .agg(F.sort_array(F.collect_list(F.struct("cell_id", "cv", "cn"))).alias("cents"))
+        .withColumn("one", F.lit(1))
+    )
+
+    def cand(c):
+        cos = F.aggregate(
+            F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / (F.col("nrm") * c["cn"])
+        return F.struct(cos.alias("s"), (-c["cell_id"]).alias("nk"))
+
+    return (
+        n.withColumn("one", F.lit(1))
+        .join(F.broadcast(cents_row), "one")
+        .withColumn("best", F.array_max(F.transform(F.col("cents"), cand)))
+        .select("vec_id", "v", "nrm", (-F.col("best.nk")).alias("cell_id"))
+    )
+
+
 def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     """Materialize the IVF layout: embeddings parquet partitioned by
     cell_id.  Reading with a cell filter then prunes whole partitions —

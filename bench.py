@@ -214,49 +214,90 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _prior_timings() -> dict[str, float]:
-    """Per-query walls from the previous round's COMMITTED full payload —
-    the baseline for the in-session auto-re-run of suspicious movers.
-    Read from `git show HEAD:BENCH_full_local.json`, not the working
-    file: main() overwrites the working file at the end of every run, so
-    a second bench invocation in the same session would otherwise compare
-    against its own just-written (possibly contended) walls and quietly
-    neuter the >1.5x-of-prior defense (round-8 ADVICE).  Disk fallback
-    only when git is unavailable (e.g. an exported tree)."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    prior: dict = {}
+# how many committed BENCH_full_local.json revisions the rerun baseline
+# draws from: comparing only against the immediately-prior wall lets a
+# contended prior RATCHET the defense (round-9 VERDICT hole (b) —
+# sim_ann_opq at 18.2 s was 1.19x its contended r8 prior but 2.3x its
+# quiet r7 wall and never re-ran).  Min over the last K committed
+# payloads anchors the trigger to the best recent quiet evidence.
+PRIOR_DEPTH = 3
+
+
+def _committed_payloads(here: str, depth: int = PRIOR_DEPTH) -> list[tuple[str, dict]]:
+    """The last ``depth`` COMMITTED revisions of BENCH_full_local.json,
+    newest first, as (commit_sha, payload) — read from git, never the
+    working file: main() overwrites the working file at the end of
+    every run, so a second bench invocation in the same session would
+    otherwise compare against its own just-written (possibly contended)
+    walls and quietly neuter the >1.5x-of-prior defense (round-8
+    ADVICE / round-9 VERDICT hole (a))."""
     try:
-        blob = subprocess.run(
-            ["git", "-C", here, "show", "HEAD:BENCH_full_local.json"],
+        log = subprocess.run(
+            ["git", "-C", here, "log", "-n", str(depth), "--format=%H",
+             "--", "BENCH_full_local.json"],
             capture_output=True, text=True, timeout=30,
         )
-        if blob.returncode == 0:
-            prior = json.loads(blob.stdout)
-    except (OSError, ValueError, subprocess.SubprocessError):
-        prior = {}
-    if not prior:
+        shas = log.stdout.split() if log.returncode == 0 else []
+    except (OSError, subprocess.SubprocessError):
+        shas = []
+    out = []
+    for sha in shas:
+        try:
+            blob = subprocess.run(
+                ["git", "-C", here, "show", f"{sha}:BENCH_full_local.json"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if blob.returncode == 0:
+                out.append((sha, json.loads(blob.stdout)))
+        except (OSError, ValueError, subprocess.SubprocessError):
+            continue
+    return out
+
+
+def _prior_timings() -> tuple[dict[str, float], dict]:
+    """Per-query BEST walls over the last PRIOR_DEPTH committed full
+    payloads — the baseline for the in-session auto-re-run of
+    suspicious movers — plus a provenance record (which commits the
+    baseline came from) carried into the payload so a reader can verify
+    the rerun trigger was anchored to committed history, not to the
+    file this run is about to overwrite.  Disk fallback only when git
+    is unavailable (e.g. an exported tree)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    payloads = _committed_payloads(here)
+    provenance: dict = {
+        "source": "git:BENCH_full_local.json",
+        "commits": [sha[:12] for sha, _ in payloads],
+        "depth": PRIOR_DEPTH,
+    }
+    if not payloads:
         try:
             with open(os.path.join(here, "BENCH_full_local.json")) as f:
-                prior = json.load(f)
+                payloads = [("working-tree-fallback", json.load(f))]
+            provenance = {"source": "working-tree-fallback", "commits": []}
         except (OSError, ValueError):
-            return {}
+            return {}, {"source": "none", "commits": []}
     out: dict[str, float] = {}
-    for key, val in prior.items():
-        if key.startswith("queries") and isinstance(val, dict):
-            for name, sec in val.items():
-                if isinstance(sec, (int, float)):
-                    out[name] = float(sec)
-    # pq_stage_split train/search phases get the same protection as the
-    # query series (round-8 VERDICT #1: the OPQ train regression shipped
-    # unexplained because the split phases were outside the defense)
-    split = prior.get("pq_stage_split")
-    if isinstance(split, dict):
-        for fam, phases in split.items():
-            if isinstance(phases, dict):
-                for ph, sec in phases.items():
-                    if isinstance(sec, (int, float)):
-                        out[f"pq_split:{fam}:{ph}"] = float(sec)
-    return out
+
+    def _min_in(name: str, sec) -> None:
+        if isinstance(sec, (int, float)) and (name not in out or sec < out[name]):
+            out[name] = float(sec)
+
+    for _sha, prior in payloads:
+        for key, val in prior.items():
+            if key.startswith("queries") and isinstance(val, dict):
+                for name, sec in val.items():
+                    _min_in(name, sec)
+        # pq_stage_split train/search phases get the same protection as
+        # the query series (round-8 VERDICT #1: the OPQ train regression
+        # shipped unexplained because the split phases were outside the
+        # defense)
+        split = prior.get("pq_stage_split")
+        if isinstance(split, dict):
+            for fam, phases in split.items():
+                if isinstance(phases, dict):
+                    for ph, sec in phases.items():
+                        _min_in(f"pq_split:{fam}:{ph}", sec)
+    return out, provenance
 
 
 def main() -> None:
@@ -284,9 +325,23 @@ def main() -> None:
     # two passes, min per query: pass 1 warms parquet footers/page cache
     # and codegen; pass 2 is the steady-state number a resident engine
     # would deliver
-    prior = _prior_timings()
+    prior, prior_provenance = _prior_timings()
     reruns: dict[str, dict[str, float]] = {}
     load_evidence: dict[str, list[float]] = {"start": _loadavg()}
+    # Load-ceiling stamp gate (round-9 VERDICT hole (c)): a run that
+    # STARTS on a box already loaded past cpus/4 may complete and print
+    # its payload (the driver still gets a line), but it must not
+    # overwrite the committed-readable quiet artifact — contended walls
+    # ratcheting into BENCH_full_local.json is exactly how the r8/r9
+    # final gates lost evidentiary value.
+    ncpus = os.cpu_count() or 32
+    quiet_ceiling = max(2.0, ncpus / 4)
+    start_1m = load_evidence["start"][0] if load_evidence["start"] else 0.0
+    quiet_gate = {
+        "ceiling_1m": round(quiet_ceiling, 2),
+        "start_1m": start_1m,
+        "quiet": start_1m <= quiet_ceiling,
+    }
 
     def _time_one(name: str, tag: str) -> float:
         t0 = time.perf_counter()
@@ -348,7 +403,7 @@ def main() -> None:
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
             "streaming_uncontended": payload.get("streaming_uncontended"),
-            "full_payload_file": "BENCH_full_local.json",
+            "full_payload_file": payload.get("full_payload_file", "BENCH_full_local.json"),
             # contention evidence, compressed: 1-min loadavg at start /
             # after the v1 series / at end, plus which queries tripped
             # the >1.5x-of-prior auto-re-run (full samples in the file)
@@ -357,6 +412,8 @@ def main() -> None:
                 for k, v in payload.get("load_evidence", {}).items()
             },
             "n_reruns": len(payload.get("reruns", {})),
+            "quiet_gate": payload.get("quiet_gate"),
+            "rerun_baseline": payload.get("rerun_baseline"),
         }
         if len(json.dumps(c)) > 1900:  # still too wide? drop per-query detail
             c["queries"] = {"n_queries": len(payload["queries"])}
@@ -383,6 +440,8 @@ def main() -> None:
         # mutated in place by later series; every emit() re-serializes
         "load_evidence": load_evidence,
         "reruns": reruns,
+        "rerun_baseline": prior_provenance,
+        "quiet_gate": quiet_gate,
     }
     emit(result)
 
@@ -528,8 +587,19 @@ def main() -> None:
     # window so the last line always parses.
     load_evidence["end"] = _loadavg()
     get_spark("bench").sparkContext.setLogLevel("OFF")
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_full_local.json"), "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Stamp gate: a non-quiet run writes BENCH_full_contended.json and
+    # leaves the committed quiet artifact alone (when committed history
+    # exists to protect — with no prior, any evidence beats none).
+    # The stdout payload is emitted either way, flagged by quiet_gate.
+    artifact = "BENCH_full_local.json"
+    if not quiet_gate["quiet"] and _committed_payloads(here, depth=1):
+        artifact = "BENCH_full_contended.json"
+        print(f"# quiet gate FAILED (load_1m {quiet_gate['start_1m']} > "
+              f"{quiet_gate['ceiling_1m']}): writing {artifact}, preserving "
+              "the committed BENCH_full_local.json", file=sys.stderr)
+    result["full_payload_file"] = artifact
+    with open(os.path.join(here, artifact), "w") as f:
         json.dump(result, f, indent=1)
     time.sleep(3)
     sys.stderr.flush()

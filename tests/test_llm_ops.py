@@ -1388,3 +1388,29 @@ def test_streaming_tmix_multipliers_reconcile_with_batch(spark):
         if r["window_start_ms"] < cutoff:
             streamed[r["domain"]] += r["n_replicas"]
     assert dict(streamed) == dict(batch)
+
+
+def test_assign_cells_inrow_matches_batch_assign(spark):
+    """The ingest-time in-row argmax (one broadcast centroid-array row,
+    transform + array_max per vector — the measured 0.597 ms/vector
+    incremental-maintenance path, BENCH_ivf_assign_stream.json) must
+    assign every vector to exactly the cell the batch rank_cells path
+    picks, at the oracle floor AND at a larger cell count (where the
+    in-row shape is the one that scales)."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        _normed,
+        assign_cells,
+        assign_cells_inrow,
+    )
+
+    n = _normed(spark, SF_SMALL)
+    for n_cells in (16, 32):
+        batch = {
+            r["vec_id"]: r["cell_id"]
+            for r in assign_cells(n, n_cells).select("vec_id", "cell_id").collect()
+        }
+        inrow = {
+            r["vec_id"]: r["cell_id"]
+            for r in assign_cells_inrow(n, n_cells).select("vec_id", "cell_id").collect()
+        }
+        assert batch == inrow, n_cells
