@@ -78,6 +78,16 @@ _ROUND_NEW: list[str] = [
     # identical 1/(k+rank) union (round-9 VERDICT #6: proves the RRF
     # docstring's 'an ANN ranking drops in unchanged' claim)
     "rank_fusion_hybrid",
+    # round-10 second batch: the curation/governance frontier
+    # CCNet per-language perplexity terciles (the bucket label every
+    # mixing policy consumes)
+    "pipe_perplexity_buckets",
+    # DSIR hashed-ngram importance weights (the standard pretraining
+    # data-selection score; fixed-size feature models at any corpus)
+    "pipe_dsir_weights",
+    # epsilon-DP count release (seeded two-sided geometric, integer-
+    # exact cross-engine) — the governance family's publication stage
+    "priv_dp_release",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -136,13 +146,11 @@ _FLAGSHIP_REFRESH = [
     "pipe_bpe_merges",
     "pipe_curate_end_to_end",
     "sketch_hll_distinct",
-    "mm_phash_dedup",
     "streaming_doc_dedup",
     "er_blocked_match",
-    # recall rotation (returning from the long-demoted tail)
-    "w2_latency_quantiles",
-    "j3_anti_join",
-    # (window holds exactly 50: 3 round-new + 47 here)
+    # (window holds exactly 50: 6 round-new + 44 here; mm_phash_dedup,
+    # w2_latency_quantiles and j3_anti_join ceded their slots to the
+    # round-10 second batch — they return next round)
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -270,6 +278,9 @@ _DEMOTED_TAIL = [
     "text_token_counts",
     "pipe_curation",
     "pipe_bpe_merges_batched",
+    "mm_phash_dedup",
+    "j3_anti_join",
+    "w2_latency_quantiles",
 ]
 
 _DRIVER_PRIORITY = (

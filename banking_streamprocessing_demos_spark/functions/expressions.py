@@ -48,6 +48,21 @@ def det_uniform(*cols: Column | str, seed: str = "42") -> Column:
     return hex4_to_int(det_hash_hex(*cols, seed=seed)) / F.lit(65536.0)
 
 
+def hex4_sql(hexpr: str) -> str:
+    """First 4 md5 hex digits -> int in [0, 65535]: the DuckDB oracle
+    twin of ``hex4_to_int``, living beside it so the two renderings of
+    the one idiom can't drift (moved here from packing in round 10 —
+    importing it from packing created text<->packing import cycles)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('{HEX_DIGITS}', substr({hexpr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+            for p in range(4)
+        )
+        + ")"
+    )
+
+
 def weighted_classify(
     u: Column,
     normal_rate: float = 0.85,

@@ -148,16 +148,12 @@ _HEX = "0123456789abcdef"
 
 
 def _hex4_sql(hexpr: str) -> str:
-    """First 4 md5 hex digits -> int in [0, 65535] (DuckDB twin of
-    functions/expressions.py hex4_to_int)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('{_HEX}', substr({hexpr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
-            for p in range(4)
-        )
-        + ")"
-    )
+    """First 4 md5 hex digits -> int in [0, 65535] — delegates to the
+    shared functions/expressions.py::hex4_sql (single source beside its
+    Spark twin hex4_to_int; round-10 de-cycling)."""
+    from ..functions.expressions import hex4_sql
+
+    return hex4_sql(hexpr)
 
 
 def _mult_case_sql(col: str = "lang") -> str:

@@ -152,3 +152,117 @@ def priv_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("segment").cast("long").alias("distinct_segments"),
         (F.countDistinct("segment") >= L_DIVERSE).alias("l_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (round 10): the third governance
+# rung after the k-anonymity and l-diversity AUDITS — those decide
+# whether a class is releasable; this RELEASES the class counts
+# themselves with epsilon-DP noise, the mechanism an aggregate-stats
+# publication actually ships (Dwork et al. 2006; the discrete /
+# two-sided-geometric variant is Ghosh, Roughgarden & Sundararajan
+# 2009, the utility-optimal mechanism for counting queries).
+#
+# Noise: two-sided geometric with alpha = exp(-epsilon), P(k) ~
+# alpha^|k|, tails beyond +-DP_NOISE_CAP folded into the extremes (the
+# bounded-noise variant production systems use so one release can't be
+# arbitrarily wrong).  DETERMINISM CONTRACT: the draw is seeded —
+# u16 = md5-integer of (seed, class key) against PRE-COMPUTED integer
+# CDF thresholds (the pipe_epoch_plan integer-Bernoulli idiom: no
+# float compares cross-engine, the CASE literal is identical in both
+# engines by construction).  A real deployment draws fresh randomness
+# per release; the seeded draw here is the repo's standing two-engine
+# replayability stance (seeded quantizers, seeded samples) and is the
+# correct shape for the OTHER production requirement, replayable
+# releases under audit.
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0
+DP_NOISE_CAP = 8
+DP_SEED = "dp"
+
+
+def _dp_noise_thresholds() -> list[tuple[int, int]]:
+    """(cumulative u16 threshold, noise k) pairs for the bounded
+    two-sided geometric: noise = first k (ascending) with u16 < t_k.
+    Computed once in PYTHON — both engines compare the same integer
+    literals, so there is no cross-engine float boundary at all."""
+    import math
+
+    alpha = math.exp(-DP_EPSILON)
+    ks = list(range(-DP_NOISE_CAP, DP_NOISE_CAP + 1))
+    base = (1 - alpha) / (1 + alpha)
+    probs = [base * alpha ** abs(k) for k in ks]
+    tail = alpha ** (DP_NOISE_CAP + 1) / (1 + alpha)  # one-sided tail mass
+    probs[0] += tail
+    probs[-1] += tail
+    out, cum = [], 0.0
+    for k, p in zip(ks, probs):
+        cum += p
+        out.append((min(65536, round(cum * 65536)), k))
+    out[-1] = (65536, ks[-1])
+    return out
+
+
+def _dp_noise_case_sql() -> str:
+    """The noise CASE over a ``u16`` column — one literal, rendered
+    identically into the Spark expression and the DuckDB oracle."""
+    arms = "".join(
+        f" WHEN u16 < {t} THEN {k}" for t, k in _dp_noise_thresholds()[:-1]
+    )
+    return f"(CASE{arms} ELSE {DP_NOISE_CAP} END)"
+
+
+def _dp_u16_sql() -> str:
+    from ..functions.expressions import hex4_sql
+
+    return hex4_sql(
+        f"md5('{DP_SEED}-' || CAST(nation AS VARCHAR) || segment)"
+    )
+
+
+@REG.add(
+    "priv_dp_release",
+    f"""
+    WITH q AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment
+        FROM customer
+    ),
+    c AS (SELECT nation, segment, COUNT(*) AS n FROM q GROUP BY 1, 2),
+    u AS (SELECT nation, segment, n, {_dp_u16_sql()} AS u16 FROM c)
+    SELECT nation, segment,
+           CAST(GREATEST(n + {_dp_noise_case_sql()}, 0) AS BIGINT) AS released_count
+    FROM u
+    """,
+    doc=f"epsilon-differentially-private count release (epsilon="
+    f"{DP_EPSILON}, Dwork 2006; two-sided geometric noise per Ghosh et "
+    "al. 2009, the utility-optimal discrete mechanism) over the "
+    "(nation, segment) class counts: true counts + seeded bounded "
+    f"geometric noise (|noise| <= {DP_NOISE_CAP}, tails folded), "
+    "clamped at zero — the published table, completing the governance "
+    "family: k-anonymity/l-diversity DECIDE what is releasable, this "
+    "RELEASES it.  The noise draw is integer-exact cross-engine: u16 "
+    "md5 draw against pre-computed integer CDF thresholds (the "
+    "integer-Bernoulli idiom), so the noised release hash-matches the "
+    "oracle.  One grouped count + one in-row CASE: map-side "
+    "combinable, no joins, nothing collected; scale = the class-space "
+    "cardinality, independent of record volume.",
+)
+def priv_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    c = q.groupBy("nation", "segment").agg(F.count("*").alias("n"))
+    u = c.withColumn(
+        "u16", hex4_to_int(det_hash_hex("nation", "segment", seed=DP_SEED))
+    )
+    return u.select(
+        "nation",
+        "segment",
+        F.greatest(F.col("n") + F.expr(_dp_noise_case_sql()), F.lit(0))
+        .cast("long")
+        .alias("released_count"),
+    )

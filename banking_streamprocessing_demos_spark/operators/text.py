@@ -1438,3 +1438,201 @@ def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         fert.alias("fertility"),
         single.alias("single_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (round 10): Wenzek et al. 2020 ("CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data")
+# partitions each language's corpus into head / middle / tail TERCILES
+# by LM perplexity — the bucket label is the universal quality handle
+# downstream pipelines mix on (LLaMA, RedPajama, FineWeb all consume
+# CCNet-bucketed CommonCrawl).  Here the LM is the corpus-bigram model
+# text_bigram_lm_score already fits (its avg_logprob is the monotone
+# inverse of perplexity, so ordering by it descending = ordering by
+# perplexity ascending).
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+@REG.add(
+    "pipe_perplexity_buckets",
+    f"""
+    WITH lm AS ({BIGRAM_LM_SQL}),
+    scored AS (
+        SELECT d.doc_id, d.lang, l.avg_logprob
+        FROM documents d JOIN lm l ON l.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, lang, avg_logprob,
+               NTILE({len(PPL_BUCKETS)}) OVER (
+                   PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS nt
+        FROM scored
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM b
+    """,
+    doc="CCNet-style per-language perplexity buckets (Wenzek et al. "
+    "2020): each language's documents split into head/middle/tail "
+    "terciles by the corpus-bigram LM score (avg_logprob desc = "
+    "perplexity asc; doc_id tiebreak, NTILE semantics identical in "
+    "both engines) — the quality label downstream mixing policies "
+    "consume.  Single-word documents have no bigram score and are "
+    "excluded, as in CCNet (unscorable docs route to the filter, not "
+    "a bucket).  Scale shape: the LM's shuffles are bounded by "
+    "distinct bigrams; the bucket assignment is one per-language "
+    "ranking exchange on SKINNY (doc_id, score) rows.  This is the "
+    "bucket-EXACT formulation; at 100 TB production follows CCNet "
+    "itself — tercile thresholds from a bounded seeded sample, "
+    "broadcast back as a compare (the smp1 machinery) — trading "
+    "boundary-exactness for a shuffle-free assignment.",
+)
+def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(lm, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    nt = F.ntile(len(PPL_BUCKETS)).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (round 10): Xie et al. 2023 ("Data Selection
+# for Language Models via Importance Resampling") — score every source
+# document by how target-like it is under two hashed-n-gram bag models,
+# log w(x) = sum_f c_f(x) * (ln p_target(f) - ln p_source(f)), then
+# resample the source corpus by w.  The hashed feature space makes the
+# model FIXED-SIZE (DSIR_BUCKETS counts per side) no matter the corpus:
+# the scale property that made DSIR the standard pretraining-data
+# selector.  Target distribution here: the English slice (selecting
+# target-language-like data from a mixed crawl — the paper's own
+# Pile-variant use case); source: the whole corpus.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+DSIR_SEED = "dsir"
+
+
+def _dsir_logratio_sql() -> str:
+    """ln(p_t(f) / p_s(f)) with add-one smoothing over the hashed
+    feature space, 6dp-rounded into DECIMAL — rendered identically for
+    both engines (the BM25 contribution treatment)."""
+    return (
+        f"CAST(ROUND(LN((CAST(ct + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS})) / "
+        f"(CAST(cs + 1 AS DOUBLE) / (ts + {DSIR_BUCKETS}))), 6) AS DECIMAL(18,6))"
+    )
+
+
+DSIR_SQL = f"""
+    WITH big AS (
+        SELECT doc_id, lang, words[i] || ' ' || words[i+1] AS bg
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               {{hex4}} % {DSIR_BUCKETS} AS f
+        FROM big
+    ),
+    docfeat AS (
+        SELECT doc_id, f, COUNT(*) AS k FROM feats GROUP BY 1, 2
+    ),
+    src AS (SELECT f, CAST(SUM(k) AS BIGINT) AS cs FROM docfeat GROUP BY f),
+    tgt AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM feats
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+    ),
+    tot AS (
+        SELECT CAST(SUM(cs) AS BIGINT) AS ts,
+               CAST((SELECT COALESCE(SUM(ct), 0) FROM tgt) AS BIGINT) AS tt
+        FROM src
+    ),
+    ratio AS (
+        SELECT f, {_dsir_logratio_sql()} AS lr FROM (
+            SELECT s.f, COALESCE(tgt.ct, 0) AS ct, s.cs, tot.ts, tot.tt
+            FROM src s LEFT JOIN tgt ON tgt.f = s.f CROSS JOIN tot
+        )
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_feats,
+           CAST(SUM(d.k * r.lr) AS DOUBLE) AS dsir_logw
+    FROM docfeat d JOIN ratio r ON r.f = d.f
+    GROUP BY d.doc_id
+"""
+
+
+def _dsir_oracle_sql() -> str:
+    from ..functions.expressions import hex4_sql
+
+    return DSIR_SQL.format(hex4=hex4_sql(f"md5('{DSIR_SEED}-' || bg)"))
+
+
+@REG.add(
+    "pipe_dsir_weights",
+    _dsir_oracle_sql(),
+    doc=f"DSIR importance weights (Xie et al. 2023): per-document "
+    f"log w = sum over hashed bigram features (md5 -> {DSIR_BUCKETS} "
+    "buckets) of count x ln(p_target/p_source), add-one smoothed, "
+    f"target = the '{DSIR_TARGET_LANG}' slice, source = the whole "
+    "corpus — the standard pretraining data-selection score, feeding "
+    "weighted resampling (smp5's machinery takes it from here).  "
+    "Per-feature log-ratios are 6dp-rounded into DECIMAL before the "
+    "per-doc sum (exact, order-free).  Scale shape: BOTH unigram "
+    f"feature models are fixed-size ({DSIR_BUCKETS} counts) no matter "
+    "the corpus — one grouped count each, broadcast back over the "
+    "per-doc feature counts (map-side combined); nothing corpus-"
+    "quadratic, nothing collected.  That fixed-size property is why "
+    "DSIR scales to full CommonCrawl in the paper.",
+)
+def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split("text", " ").alias("words"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.concat(F.get("words", i), F.lit(" "), F.get("words", i + 1)),
+    )
+    feats = (
+        docs.filter(F.size("words") >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            (hex4_to_int(det_hash_hex("bg", seed=DSIR_SEED)) % DSIR_BUCKETS).alias("f"),
+        )
+    )
+    docfeat = feats.groupBy("doc_id", "f").agg(F.count("*").alias("k"))
+    src = docfeat.groupBy("f").agg(F.sum("k").cast("long").alias("cs"))
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tot = src.agg(F.sum("cs").cast("long").alias("ts")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    )
+    ratio = (
+        src.join(F.broadcast(tgt), "f", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select("f", F.expr(_dsir_logratio_sql()).alias("lr"))
+    )
+    return (
+        docfeat.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.sum(F.col("k") * F.col("lr")).cast("double").alias("dsir_logw"),
+        )
+    )

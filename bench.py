@@ -201,6 +201,25 @@ HEADLINE_V8 = [
     "er_match_quality",
 ]
 
+# Ninth series (round 10+): round-10 batch additions — own
+# round-over-round track.
+HEADLINE_V9 = [
+    # the two remaining sampled-training twins: bounded seeded-sample
+    # training composed with the IVF x PQ index and the trained-OPQ
+    # rotation pipeline (each times its own train + search end-to-end)
+    "sim_ann_ivfpq_sampled",
+    "sim_ann_opq_trained_sampled",
+    # hybrid rank fusion: BM25 + the IVF-ANN ranking through the
+    # identical 1/(k+rank) union
+    "rank_fusion_hybrid",
+    # CCNet perplexity terciles (rides the bigram-LM fit) and DSIR
+    # hashed-ngram importance weights (two fixed-size feature models)
+    "pipe_perplexity_buckets",
+    "pipe_dsir_weights",
+    # epsilon-DP count release (one grouped count + in-row CASE)
+    "priv_dp_release",
+]
+
 
 def _loadavg() -> list[float]:
     """1/5/15-minute load averages — the box-contention evidence the
@@ -316,6 +335,7 @@ def main() -> None:
     names_v6 = [n for n in HEADLINE_V6 if n in qs]
     names_v7 = [n for n in HEADLINE_V7 if n in qs]
     names_v8 = [n for n in HEADLINE_V8 if n in qs]
+    names_v9 = [n for n in HEADLINE_V9 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -399,6 +419,7 @@ def main() -> None:
             "headline_v6_total": payload.get("headline_v6_total"),
             "headline_v7_total": payload.get("headline_v7_total"),
             "headline_v8_total": payload.get("headline_v8_total"),
+            "headline_v9_total": payload.get("headline_v9_total"),
             "pq_stage_split": payload.get("pq_stage_split"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
@@ -481,6 +502,11 @@ def main() -> None:
     timings_v8 = run_series(names_v8, passes=1)
     result["headline_v8_total"] = round(sum(timings_v8.values()), 3)
     result["queries_v8"] = timings_v8
+    emit(result)
+
+    timings_v9 = run_series(names_v9, passes=1)
+    result["headline_v9_total"] = round(sum(timings_v9.values()), 3)
+    result["queries_v9"] = timings_v9
     emit(result)
 
     # PQ-family stage split (round-6 VERDICT #4): the v5 walls above are

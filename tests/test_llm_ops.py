@@ -1414,3 +1414,68 @@ def test_assign_cells_inrow_matches_batch_assign(spark):
             for r in assign_cells_inrow(n, n_cells).select("vec_id", "cell_id").collect()
         }
         assert batch == inrow, n_cells
+
+
+def test_perplexity_buckets_are_valid_terciles(spark):
+    """CCNet bucket contract per language: tercile sizes differ by at
+    most 1 with earlier buckets taking the extras (NTILE), and every
+    head score >= every middle score >= every tail score."""
+    from collections import defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_perplexity_buckets,
+    )
+
+    rows = pipe_perplexity_buckets(spark, SF_SMALL).collect()
+    assert rows
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_logprob"])
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sorted(sizes, reverse=True) == sizes, (lang, sizes)  # NTILE extras go early
+        if buckets.get("head") and buckets.get("middle"):
+            assert min(buckets["head"]) >= max(buckets["middle"]), lang
+        if buckets.get("middle") and buckets.get("tail"):
+            assert min(buckets["middle"]) >= max(buckets["tail"]), lang
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """The DSIR discriminative property: documents drawn from the
+    target distribution (lang == DSIR_TARGET_LANG) must score a higher
+    MEAN importance log-weight than the rest of the corpus — that is
+    the entire point of the estimator (Xie et al. 2023, Eq. 2)."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        pipe_dsir_weights,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    }
+    rows = pipe_dsir_weights(spark, SF_SMALL).collect()
+    assert rows
+    tgt = [r["dsir_logw"] / r["n_feats"] for r in rows if lang[r["doc_id"]] == DSIR_TARGET_LANG]
+    rest = [r["dsir_logw"] / r["n_feats"] for r in rows if lang[r["doc_id"]] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_feature_counts_reconcile_with_bigrams(spark):
+    """n_feats per doc == the document's bigram count (every bigram
+    hashes into SOME bucket; nothing is dropped by the feature map)."""
+    from banking_streamprocessing_demos_spark.operators.text import pipe_dsir_weights
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    n_bigrams = {
+        r["doc_id"]: r["nb"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", (F.size(F.split("text", " ")) - 1).alias("nb"))
+        .filter(F.col("nb") >= 1)
+        .collect()
+    }
+    got = {r["doc_id"]: r["n_feats"] for r in pipe_dsir_weights(spark, SF_SMALL).collect()}
+    assert got == n_bigrams

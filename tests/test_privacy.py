@@ -123,3 +123,62 @@ def test_streaming_kanon_cohorts_reconcile_with_batch_audit(spark):
     for r in priv_k_anonymity(spark, SF_SMALL).collect():
         batch[(r["nation"], r["segment"], r["bal_bucket"])] = r["size_l0"]
     assert per_class == batch
+
+
+def test_dp_release_noise_is_bounded_and_deterministic(spark):
+    """priv_dp_release contract: released counts are the true class
+    counts plus bounded two-sided-geometric noise (|noise| <= CAP),
+    clamped at zero, and the seeded draw is replay-identical."""
+    from banking_streamprocessing_demos_spark.operators.privacy import (
+        DP_NOISE_CAP,
+        priv_dp_release,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    true = {
+        (r["nation"], r["segment"]): r["n"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rel1 = {
+        (r["nation"], r["segment"]): r["released_count"]
+        for r in priv_dp_release(spark, SF_SMALL).collect()
+    }
+    rel2 = {
+        (r["nation"], r["segment"]): r["released_count"]
+        for r in priv_dp_release(spark, SF_SMALL).collect()
+    }
+    assert rel1 == rel2  # seeded: replay-identical
+    assert set(rel1) == set(true)  # every class released exactly once
+    noises = []
+    for key, n in true.items():
+        released = rel1[key]
+        assert released >= 0
+        assert released >= max(0, n - DP_NOISE_CAP)
+        assert released <= n + DP_NOISE_CAP
+        noises.append(released - n)
+    # the draw actually perturbs: not every class gets zero noise
+    assert any(d != 0 for d in noises), noises
+
+
+def test_dp_noise_thresholds_form_a_valid_cdf():
+    """The pre-computed integer CDF: strictly increasing thresholds,
+    ending exactly at 65536, symmetric noise support -CAP..CAP."""
+    from banking_streamprocessing_demos_spark.operators.privacy import (
+        DP_NOISE_CAP,
+        _dp_noise_thresholds,
+    )
+
+    th = _dp_noise_thresholds()
+    assert [k for _, k in th] == list(range(-DP_NOISE_CAP, DP_NOISE_CAP + 1))
+    ts = [t for t, _ in th]
+    assert all(a < b for a, b in zip(ts, ts[1:])), ts
+    assert ts[-1] == 65536
+    # symmetry of the folded distribution: P(k) == P(-k) in u16 units
+    widths = [b - a for a, b in zip([0] + ts[:-1], ts)]
+    assert widths == widths[::-1], widths

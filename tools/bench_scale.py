@@ -30,6 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from banking_streamprocessing_demos_spark.session import get_spark
@@ -713,9 +714,12 @@ def ann_recall_scale(
         MRL_SHORTLIST,
         N_TRAIN,
         PQ_RERANK,
+        _opq_fixture,
         ivfpq_index,
+        opq_trained_index,
         pq_train,
         sim_ann_ivfpq,
+        sim_ann_opq_trained,
         sim_ann_pq,
     )
     from banking_streamprocessing_demos_spark.operators.similarity import (
@@ -823,6 +827,50 @@ def ann_recall_scale(
                 {"index": idx_samp, "rerank": IVFPQ_RERANK * factor},
             ),
         }
+        # Trained-OPQ sampled build (round-10: the last sampled twin's
+        # scale evidence).  Its recall baseline is the exact top-5 on
+        # the ANISOTROPIC FIXTURE view (the corpus the operator is
+        # defined over), not the raw embeddings — comparing against the
+        # raw-corpus baseline would measure the fixture transform, not
+        # the index.
+        fix = _opq_fixture(spark, sf_dir).localCheckpoint(eager=True)
+        fq = fix.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+        )
+        fc = fix.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu"))
+        fdot = F.aggregate(
+            F.zip_with("qu", "nu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        w5 = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        fix_exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fc.join(F.broadcast(fq), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos", F.round(fdot, 6))
+            .withColumn("rk", F.row_number().over(w5))
+            .filter(F.col("rk") <= 5)
+            .collect()
+        }
+        t0 = time.time()
+        oidx_samp = opq_trained_index(spark, sf_dir, train_sample=N_TRAIN)
+        samp_build_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        oidx_full = opq_trained_index(spark, sf_dir)
+        full_build_s = round(time.time() - t0, 3)
+        point["opq_trained_sampled"] = {
+            "sampled_build_s": samp_build_s,
+            "full_build_s": full_build_s,
+            "n_train": N_TRAIN,
+            "search_sampled": measure(
+                sim_ann_opq_trained, sf_dir, fix_exact,
+                {"index": oidx_samp, "rerank": PQ_RERANK * factor},
+            ),
+            "search_full": measure(
+                sim_ann_opq_trained, sf_dir, fix_exact,
+                {"index": oidx_full, "rerank": PQ_RERANK * factor},
+            ),
+        }
         results[tag] = point
         print(f"# {tag}: {point}", file=sys.stderr)
 
@@ -849,7 +897,12 @@ def ann_recall_scale(
         "SELECTION is still one skinny linear rank pass).  "
         "ivfpq_sampled's build wall includes the corpus-wide residual "
         "materialization (the encode needs it regardless) — only its "
-        "Lloyd stage is sample-bounded.",
+        "Lloyd stage is sample-bounded.  opq_trained_sampled rows "
+        "(round-10) compare the sampled vs full trained-OPQ BUILD walls "
+        "(fixture + single-pass Givens + allocation + Lloyd; the "
+        "rotation/permutation application is corpus-wide in both) and "
+        "search recall@5 against the exact top-5 on the ANISOTROPIC "
+        "FIXTURE view — the corpus that operator is defined over.",
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)

@@ -106,11 +106,26 @@ HEADLINE = [
     # min-label fixpoint consumers: the iterative propagation localCheckpoints
     # per round, so its final plan is an opaque ExistingRDD; the component
     # machinery's shapes are asserted where dedup_clusters' are.)
+    # round-10 additions: the remaining sampled-training twins and the
+    # hybrid BM25+ANN fusion.  (sim_ann_opq_trained_sampled rides the
+    # STAGED capture like its full-train sibling.)
+    "sim_ann_ivfpq_sampled",
+    "sim_ann_opq_trained_sampled",
+    "rank_fusion_hybrid",
+    # round-10 second batch: curation/governance frontier
+    "pipe_perplexity_buckets",
+    "pipe_dsir_weights",
+    "priv_dp_release",
 ]
 
 # Operators whose stage boundaries are routed through checkpoint_stage:
 # their PLANS.md entries carry one pre-checkpoint plan per stage.
-STAGED = {"sim_ann_opq_trained", "pipe_curate_end_to_end", "mm_phash_dedup"}
+STAGED = {
+    "sim_ann_opq_trained",
+    "sim_ann_opq_trained_sampled",
+    "pipe_curate_end_to_end",
+    "mm_phash_dedup",
+}
 # (streaming_* queries execute real streaming jobs, so their batch
 # "plan" is not meaningful here; their shapes are asserted in
 # tests/test_plans.py and described in SCALE.md instead.)
