@@ -156,7 +156,15 @@ _FLAGSHIP_REFRESH = [
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
-_ROUND_OVERFLOW: list[str] = []
+_ROUND_OVERFLOW: list[str] = [
+    # round-10 late additions (window already held 50 when they landed):
+    # ingest-time DSIR selection gate (pipe_dsir_weights' streaming
+    # twin: frozen importance models, per-arrival scoring + gate)
+    "streaming_dsir_gate",
+    # per-cohort DP count release (priv_dp_release's streaming twin:
+    # the continual-release shape, window-keyed independent draws)
+    "streaming_dp_release",
+]
 
 # Demoted tail: every query with green driver rows from prior rounds
 # (regenerated round-10: r9 round-new earners + r9 flagship earners

@@ -2535,3 +2535,217 @@ def streaming_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-8 trap); its lang joins no weight row anyway, but the
     # explicit filter keeps the contract visible
     return out.filter(F.col("domain") != "SENTINEL")
+
+
+# ---------------------------------------------------------------------------
+# streaming DSIR selection gate (round 10: pipe_dsir_weights' streaming
+# twin — data selection applied the way an ingest pipeline applies it:
+# score every arriving document under FROZEN importance models, keep
+# the target-like ones)
+# ---------------------------------------------------------------------------
+
+# keep-threshold on the PER-FEATURE MEAN log-ratio: tau = 0 keeps docs
+# at least as likely under the target model as under the source model
+# (measured at sf0.01: median mean-lr -0.032, p90 +0.014 -> the gate
+# routes roughly the top target-like quintile).  Compared as the exact
+# DECIMAL sum t >= tau * n_feats, so the boundary is engine-exact.
+DSIR_GATE_TAU = "0.000000"
+
+
+def _streaming_dsir_oracle() -> str:
+    from .text import _DSIR_MODEL_SQL, _dsir_hex4
+
+    model = _DSIR_MODEL_SQL.format(hex4=_dsir_hex4())
+    from .text import DSIR_BUCKETS
+
+    return f"""
+    WITH {model},
+    {_REPLAY_DOCS_SQL},
+    rbig AS (
+        SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM replay),
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    rfeat AS (
+        SELECT doc_id, {_dsir_hex4()} % {DSIR_BUCKETS} AS f, COUNT(*) AS k
+        FROM rbig GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.k) AS BIGINT) AS n_feats,
+               SUM(d.k * r.lr) AS t
+        FROM rfeat d JOIN ratio r ON r.f = d.f
+        GROUP BY d.doc_id
+    )
+    SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+           doc_id, n_feats, CAST(t AS DOUBLE) AS dsir_logw,
+           t >= CAST({DSIR_GATE_TAU} AS DECIMAL(18,6)) * n_feats AS kept
+    FROM scored
+    """
+
+
+@REG.add(
+    "streaming_dsir_gate",
+    _streaming_dsir_oracle(),
+    doc="DSIR data selection at ingest run FOR REAL (pipe_dsir_weights' "
+    "streaming twin — the way a pretraining pipeline actually applies "
+    "importance resampling: models fit offline, arrivals scored and "
+    "gated as they land): every arriving document's hashed bigram "
+    "features join the FROZEN broadcast log-ratio table (<= 1024 rows, "
+    "fit on the base corpus; models refresh out of band in production), "
+    "a windowed per-doc aggregation sums the exact DECIMAL "
+    "contributions, and kept = (sum >= tau * n_feats) with tau on the "
+    "per-feature mean — an exact DECIMAL compare, so the gate boundary "
+    "is engine-exact.  Late re-ingests are scored like any arrival.  "
+    "State: one row per in-flight (window, doc); single-word arrivals "
+    "produce no feature rows and drop before the agg (the oracle scores "
+    "only featured docs), while the multi-word far-future sentinel "
+    "still closes every real window; it is excluded from the "
+    "materialized result by doc_id.  Hash-matches the frozen-model SQL "
+    "oracle.",
+)
+def streaming_dsir_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dsir_feature, dsir_ratio_table
+
+    ratio = dsir_ratio_table(spark, sf_dir).localCheckpoint(eager=True)
+
+    sentinel_text = "sentinel flush marker past the final minute"
+    sentinel = spark.createDataFrame([Row(doc_id=SENTINEL_ORD, text=sentinel_text)])
+    replay = _replay_corpus(spark, sf_dir).unionByName(
+        sentinel.withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+    path = _write_sorted_replay(replay, "sdsir-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    words = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat(F.get(words, i), F.lit(" "), F.get(words, i + 1)),
+    )
+    feats = stream.select(
+        "doc_id", "ingest_ts", F.explode(pairs).alias("bg")
+    ).select("doc_id", "ingest_ts", dsir_feature(F.col("bg")).alias("f"))
+    contrib = feats.join(F.broadcast(ratio), "f")
+    agg = contrib.groupBy(F.window("ingest_ts", "1 minute"), "doc_id").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.sum("lr").alias("t"),
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "doc_id",
+        "n_feats",
+        F.col("t").cast("double").alias("dsir_logw"),
+        (
+            F.col("t")
+            >= F.lit(DSIR_GATE_TAU).cast("decimal(18,6)") * F.col("n_feats")
+        ).alias("kept"),
+    )
+    out = _run_available_now(out_stream, "streaming_dsir_gate")
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
+# streaming DP count release (round 10: priv_dp_release's streaming
+# twin — per-cohort noised publication, the continual-release shape)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_dp_oracle() -> str:
+    from ..functions.expressions import hex4_sql
+    from .privacy import _dp_noise_case_sql
+
+    u16 = hex4_sql(
+        "md5('dpw-' || CAST(window_start_ms AS VARCHAR) "
+        "|| CAST(nation AS VARCHAR) || segment)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment
+        FROM customer
+    ),
+    c AS (
+        SELECT {INGEST_BASE_MS} + (c_custkey // 60) * 60000 AS window_start_ms,
+               nation, segment, COUNT(*) AS n
+        FROM q GROUP BY 1, 2, 3
+    ),
+    u AS (SELECT window_start_ms, nation, segment, n, {u16} AS u16 FROM c)
+    SELECT window_start_ms, nation, segment,
+           CAST(GREATEST(n + {_dp_noise_case_sql()}, 0) AS BIGINT) AS released_count
+    FROM u
+    """
+
+
+@REG.add(
+    "streaming_dp_release",
+    _streaming_dp_oracle(),
+    doc="Differentially-private count release at ingest run FOR REAL "
+    "(priv_dp_release's streaming twin — the continual-release shape: "
+    "each ingest cohort publishes its own noised class counts, one "
+    "epsilon per cohort, composition across cohorts priced by the "
+    "standard continual-observation accounting): a windowed per-"
+    "(nation, segment) count closes with the watermark, then the "
+    "seeded bounded two-sided-geometric noise is applied POST-agg "
+    "in-row (the noise key includes the window start, so every "
+    "cohort's draw is independent) and clamped at zero.  The draw is "
+    "integer-exact cross-engine (u16 md5 vs pre-computed integer CDF "
+    "thresholds).  State: one count cell per in-flight (window, "
+    "class), bounded by class-space cardinality; the out-of-domain "
+    "sentinel closes every real window and is filtered from the "
+    "materialized result.  Hash-matches the SQL oracle.",
+)
+def streaming_dp_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+    from .privacy import _dp_noise_case_sql
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    sentinel = spark.createDataFrame(
+        [Row(c_custkey=SENTINEL_ORD, nation=-1, segment="SENTINEL")],
+        schema="c_custkey long, nation long, segment string",
+    )
+    replay = cust.unionByName(sentinel).withColumn(
+        "ingest_ts",
+        F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("c_custkey") * 1000),
+    )
+    path = _write_sorted_replay(replay, "sdp-cust-", ["ingest_ts", "c_custkey"])
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, nation long, segment string, ingest_ts timestamp"
+        )
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    agg = stream.groupBy(F.window("ingest_ts", "1 minute"), "nation", "segment").agg(
+        F.count("*").alias("n")
+    )
+    u = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "nation",
+        "segment",
+        "n",
+    ).withColumn(
+        "u16",
+        hex4_to_int(
+            det_hash_hex("window_start_ms", "nation", "segment", seed="dpw")
+        ),
+    )
+    out_stream = u.select(
+        "window_start_ms",
+        "nation",
+        "segment",
+        F.greatest(F.col("n") + F.expr(_dp_noise_case_sql()), F.lit(0))
+        .cast("long")
+        .alias("released_count"),
+    )
+    out = _run_available_now(out_stream, "streaming_dp_release")
+    return out.filter(F.col("nation") >= 0)

@@ -1530,8 +1530,11 @@ def _dsir_logratio_sql() -> str:
     )
 
 
-DSIR_SQL = f"""
-    WITH big AS (
+# The MODEL CTE block (feature hashing, per-doc counts, the two
+# fixed-size unigram models, the broadcast-able log-ratio table) —
+# shared by the batch query and the streaming gate's frozen-model
+# oracle, so the two renderings of one model cannot drift.
+_DSIR_MODEL_SQL = f"""big AS (
         SELECT doc_id, lang, words[i] || ' ' || words[i+1] AS bg
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
              UNNEST(range(1, len(words))) AS t(i)
@@ -1559,7 +1562,10 @@ DSIR_SQL = f"""
             SELECT s.f, COALESCE(tgt.ct, 0) AS ct, s.cs, tot.ts, tot.tt
             FROM src s LEFT JOIN tgt ON tgt.f = s.f CROSS JOIN tot
         )
-    )
+    )"""
+
+DSIR_SQL = f"""
+    WITH {_DSIR_MODEL_SQL}
     SELECT d.doc_id,
            CAST(SUM(d.k) AS BIGINT) AS n_feats,
            CAST(SUM(d.k * r.lr) AS DOUBLE) AS dsir_logw
@@ -1568,10 +1574,57 @@ DSIR_SQL = f"""
 """
 
 
-def _dsir_oracle_sql() -> str:
+def _dsir_hex4() -> str:
     from ..functions.expressions import hex4_sql
 
-    return DSIR_SQL.format(hex4=hex4_sql(f"md5('{DSIR_SEED}-' || bg)"))
+    return hex4_sql(f"md5('{DSIR_SEED}-' || bg)")
+
+
+def _dsir_oracle_sql() -> str:
+    return DSIR_SQL.format(hex4=_dsir_hex4())
+
+
+def dsir_feature(bg_col):
+    """Spark twin of the feature hash: md5(seed || bigram) -> bucket."""
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    return hex4_to_int(det_hash_hex(bg_col, seed=DSIR_SEED)) % DSIR_BUCKETS
+
+
+def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The <= DSIR_BUCKETS-row (f, lr) log-ratio side table, computed
+    from the base corpus — broadcast by the batch scorer and FROZEN by
+    the streaming gate (models refresh out of band in production)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split("text", " ").alias("words"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.concat(F.get("words", i), F.lit(" "), F.get("words", i + 1)),
+    )
+    feats = (
+        docs.filter(F.size("words") >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("bg"))
+        .select("doc_id", "lang", dsir_feature(F.col("bg")).alias("f"))
+    )
+    docfeat = feats.groupBy("doc_id", "f").agg(F.count("*").alias("k"))
+    src = docfeat.groupBy("f").agg(F.sum("k").cast("long").alias("cs"))
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tot = src.agg(F.sum("cs").cast("long").alias("ts")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    )
+    return (
+        src.join(F.broadcast(tgt), "f", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select("f", F.expr(_dsir_logratio_sql()).alias("lr"))
+    )
 
 
 @REG.add(
@@ -1592,41 +1645,22 @@ def _dsir_oracle_sql() -> str:
     "DSIR scales to full CommonCrawl in the paper.",
 )
 def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.expressions import det_hash_hex, hex4_to_int
-
+    ratio = dsir_ratio_table(spark, sf_dir)
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "lang", F.split("text", " ").alias("words"))
+        .select("doc_id", F.split("text", " ").alias("words"))
     )
     pairs = F.transform(
         F.sequence(F.lit(0), F.size("words") - 2),
         lambda i: F.concat(F.get("words", i), F.lit(" "), F.get("words", i + 1)),
     )
-    feats = (
+    docfeat = (
         docs.filter(F.size("words") >= 2)
-        .select("doc_id", "lang", F.explode(pairs).alias("bg"))
-        .select(
-            "doc_id",
-            "lang",
-            (hex4_to_int(det_hash_hex("bg", seed=DSIR_SEED)) % DSIR_BUCKETS).alias("f"),
-        )
-    )
-    docfeat = feats.groupBy("doc_id", "f").agg(F.count("*").alias("k"))
-    src = docfeat.groupBy("f").agg(F.sum("k").cast("long").alias("cs"))
-    tgt = (
-        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("f")
-        .agg(F.count("*").cast("long").alias("ct"))
-    )
-    tot = src.agg(F.sum("cs").cast("long").alias("ts")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
-    )
-    ratio = (
-        src.join(F.broadcast(tgt), "f", "left")
-        .withColumn("ct", F.coalesce("ct", F.lit(0)))
-        .crossJoin(F.broadcast(tot))
-        .select("f", F.expr(_dsir_logratio_sql()).alias("lr"))
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", dsir_feature(F.col("bg")).alias("f"))
+        .groupBy("doc_id", "f")
+        .agg(F.count("*").alias("k"))
     )
     return (
         docfeat.join(F.broadcast(ratio), "f")

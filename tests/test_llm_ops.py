@@ -1479,3 +1479,59 @@ def test_dsir_feature_counts_reconcile_with_bigrams(spark):
     }
     got = {r["doc_id"]: r["n_feats"] for r in pipe_dsir_weights(spark, SF_SMALL).collect()}
     assert got == n_bigrams
+
+
+def test_streaming_dsir_gate_matches_batch_scores(spark):
+    """The frozen-model streaming gate must score ORIGINAL arrivals
+    exactly like the batch operator (same corpus = same models), and a
+    late re-ingest must score exactly like its source document."""
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        streaming_dsir_gate_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_dsir_weights
+
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in pipe_dsir_weights(spark, SF_SMALL).collect()
+    }
+    streamed = streaming_dsir_gate_q(spark, SF_SMALL).collect()
+    assert streamed
+    for r in streamed:
+        src = r["doc_id"] if r["doc_id"] < DUP_OFFSET else r["doc_id"] - DUP_OFFSET
+        assert (r["n_feats"], r["dsir_logw"]) == batch[src], r
+        # the gate decision is the tau-mean rule, restated independently
+        assert r["kept"] == (r["dsir_logw"] >= 0.0), r
+
+
+def test_streaming_dp_release_noise_bounded_per_cohort(spark):
+    """Per-cohort DP release: every (window, class) released count is
+    within the bounded-noise band of the cohort's TRUE count, and the
+    window-keyed draws are replay-identical."""
+    from banking_streamprocessing_demos_spark.operators.privacy import DP_NOISE_CAP
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        INGEST_BASE_MS,
+        streaming_dp_release_q,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    true = {
+        (r["w"], r["nation"], r["segment"]): r["n"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .groupBy(
+            (F.lit(INGEST_BASE_MS) + (F.col("c_custkey") / 60).cast("long") * 60000).alias("w"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rel = {
+        (r["window_start_ms"], r["nation"], r["segment"]): r["released_count"]
+        for r in streaming_dp_release_q(spark, SF_SMALL).collect()
+    }
+    assert set(rel) == set(true)
+    diffs = [rel[k] - n for k, n in true.items()]
+    assert all(rel[k] >= 0 for k in rel)
+    assert all(abs(d) <= DP_NOISE_CAP or rel[k] == 0 for k, d in zip(true, diffs))
+    assert any(d != 0 for d in diffs)
