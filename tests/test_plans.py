@@ -462,3 +462,65 @@ def test_checkpointed_operators_expose_stage_lineage(spark):
     # operator takes the zero-overhead path
     out = mm_phash_dedup(spark, SF_SMALL)
     assert out.columns == ["media_a", "media_b", "hamming"]
+
+
+def test_dsir_ratio_is_broadcast_and_models_are_bounded(spark):
+    """DSIR's scale contract: the log-ratio side table joins back to the
+    per-doc features as a BROADCAST (never a shuffle keyed on the
+    corpus-sized feature rows), and the table itself is bounded by
+    DSIR_BUCKETS at any corpus size."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        DSIR_BUCKETS,
+        dsir_ratio_table,
+        pipe_dsir_weights,
+    )
+
+    assert dsir_ratio_table(spark, SF_SMALL).count() <= DSIR_BUCKETS
+    df = pipe_dsir_weights(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_perplexity_buckets_window_exchange_is_skinny(spark):
+    """The per-language NTILE runs over SKINNY (doc_id, lang, score)
+    rows — the document text must never ride the ranking exchange (the
+    dedup_keep_best lesson)."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_perplexity_buckets,
+    )
+
+    df = pipe_perplexity_buckets(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # the window input exchange is hashpartitioning(lang); no plan line
+    # carrying it may also carry the text column
+    for line in plan.splitlines():
+        if "hashpartitioning(lang" in line:
+            assert "text" not in line, line
+
+
+def test_dp_release_is_one_aggregate_no_joins(spark):
+    """The DP release plan: one grouped count + in-row noise — no join
+    anywhere (the noise CASE is a scalar expression over the aggregate
+    output), so the query's scale is the class-space cardinality."""
+    from banking_streamprocessing_demos_spark.operators.privacy import priv_dp_release
+
+    df = priv_dp_release(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert count_shuffles(df) <= 1, plan[:2000]
+
+
+def test_hybrid_fusion_sources_are_bounded_topn(spark):
+    """Both hybrid-fusion sources must reach the union as bounded top-N
+    plans: the BM25 side via TakeOrderedAndProject, never a corpus-wide
+    sort window."""
+    from banking_streamprocessing_demos_spark.operators.retrieval import (
+        rank_fusion_hybrid,
+    )
+
+    df = rank_fusion_hybrid(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

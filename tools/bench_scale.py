@@ -965,6 +965,61 @@ def r9_point(out: str = "BENCH_scale_r9.json") -> None:
     print(f"wrote {out}")
 
 
+def r10_point(out: str = "BENCH_scale_r10.json") -> None:
+    """Three scale points (x1/x10/x30) for the round-10 batch families:
+    CCNet perplexity buckets (rides the bigram-LM fit + one skinny
+    per-lang ranking exchange), DSIR weights (two FIXED-size feature
+    models + broadcast rejoin — the paper's CommonCrawl-scale
+    property), and the hybrid BM25+ANN fusion (two bounded source
+    rankings + a 40-row union).  priv_dp_release and the streaming
+    twins are excluded by the standing conventions: the DP release's
+    input table (customer) is not part of the scale corpus and its
+    cost is output-linear by construction (one grouped count over the
+    bounded class space + an in-row CASE); streaming ops are not
+    re-timed here.  Run: python tools/bench_scale.py --r10-point"""
+    import __spark_entry__ as entrymod
+    from banking_streamprocessing_demos_spark.operators import merge_registries
+
+    entrymod.queries()
+    merged = merge_registries(*entrymod._REGISTRIES)
+    spark = get_spark("bench-scale-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    critical = [
+        "pipe_perplexity_buckets",
+        "pipe_dsir_weights",
+        "rank_fusion_hybrid",
+    ]
+    points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
+              ("x30", "scale_corpus/x30", 30)]
+    results: dict[str, dict] = {}
+    for name in critical:
+        fn = merged[name].fn
+        row: dict = {}
+        for label, path, _f in points:
+            sec, nrows = _time_query(spark, fn, path, {})
+            row[label] = sec
+            row[f"{label}_rows"] = nrows
+            print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
+        row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
+        row["ratio_30_10"] = round(row["x30"] / row["x10"], 2)
+        if name == "pipe_perplexity_buckets" and row["x10_rows"] > 0:
+            growth = row["x30_rows"] / row["x10_rows"]
+            row["rows_growth_30_10"] = round(growth, 2)
+            row["ratio_30_10_per_output"] = round(row["ratio_30_10"] / growth, 3)
+        results[name] = row
+    payload = {
+        "metric": "scaling_curve_r10_3pt",
+        "points": [1, 10, 30],
+        "families": results,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: (v["ratio_10_1"], v["ratio_30_10"]) for k, v in results.items()}))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -981,5 +1036,7 @@ if __name__ == "__main__":
         three_point()
     elif "--r9-point" in sys.argv:
         r9_point()
+    elif "--r10-point" in sys.argv:
+        r10_point()
     else:
         main()
