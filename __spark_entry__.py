@@ -164,6 +164,9 @@ _ROUND_OVERFLOW: list[str] = [
     # per-cohort DP count release (priv_dp_release's streaming twin:
     # the continual-release shape, window-keyed independent draws)
     "streaming_dp_release",
+    # DSIR stage 2: Gumbel-top-K importance resampling (the paper's
+    # actual selection step, composed end-to-end on the weights)
+    "pipe_dsir_resample",
 ]
 
 # Demoted tail: every query with green driver rows from prior rounds

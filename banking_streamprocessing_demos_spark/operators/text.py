@@ -1670,3 +1670,74 @@ def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k") * F.col("lr")).cast("double").alias("dsir_logw"),
         )
     )
+
+
+# DSIR stage 2 — importance RESAMPLING (the paper's actual selection
+# step): draw K documents with probability proportional to w(x) via the
+# Gumbel-max trick (top-K of log w + Gumbel noise == sampling without
+# replacement proportional to w — Vieira 2014's "Gumbel-max trick"
+# exposition; the log-domain form never exponentiates the weights, so
+# log-weights spanning [-30, +10] stay finite).  Seeded like every
+# sampler in the repo: u from the md5 u16 draw, mapped to (0,1) as
+# (u16+1)/65537 so neither log endpoint is reachable; the key is
+# 9dp-rounded (the smp5 convention) so libm ULP drift can't flip a
+# boundary rank.
+DSIR_SAMPLE_K = 100
+DSIR_GUMBEL_SEED = "dsirg"
+
+
+def _dsir_resample_oracle() -> str:
+    from ..functions.expressions import hex4_sql
+
+    u16 = hex4_sql(f"md5('{DSIR_GUMBEL_SEED}-' || CAST(doc_id AS VARCHAR))")
+    model = _DSIR_MODEL_SQL.format(hex4=_dsir_hex4())
+    return f"""
+    WITH {model},
+    w AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.k) AS BIGINT) AS n_feats,
+               CAST(SUM(d.k * r.lr) AS DOUBLE) AS dsir_logw
+        FROM docfeat d JOIN ratio r ON r.f = d.f
+        GROUP BY d.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, n_feats, dsir_logw,
+               ROUND(dsir_logw - LN(-LN(({u16} + 1) / 65537.0)), 9) AS gumbel_key
+        FROM w
+    )
+    SELECT doc_id, n_feats, dsir_logw, gumbel_key, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= {DSIR_SAMPLE_K}
+    """
+
+
+@REG.add(
+    "pipe_dsir_resample",
+    _dsir_resample_oracle(),
+    doc=f"DSIR stage 2, importance RESAMPLING (Xie et al. 2023): "
+    f"top-{DSIR_SAMPLE_K} documents by log w + seeded Gumbel noise — "
+    "the Gumbel-max trick makes top-K selection equal to sampling "
+    "without replacement proportional to the importance weight, "
+    "entirely in log domain (weights spanning e^-30..e^10 never "
+    "overflow).  Composes pipe_dsir_weights end-to-end: this is the "
+    "table a data-selection run actually materializes.  Keys are "
+    "9dp-rounded (the smp5 convention) with doc_id tiebreaks; the "
+    f"top-{DSIR_SAMPLE_K} rides TakeOrderedAndProject (per-partition "
+    "heaps + merge, plan-asserted) — never a corpus-wide sort.",
+)
+def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    w = pipe_dsir_weights(spark, sf_dir)
+    u = (hex4_to_int(det_hash_hex("doc_id", seed=DSIR_GUMBEL_SEED)) + 1) / F.lit(65537.0)
+    keyed = w.withColumn(
+        "gumbel_key", F.round(F.col("dsir_logw") - F.log(-F.log(u)), 9)
+    )
+    top = keyed.orderBy(F.desc("gumbel_key"), "doc_id").limit(DSIR_SAMPLE_K)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("gumbel_key"), "doc_id")
+    )
+    return top.withColumn("rank", rank).select(
+        "doc_id", "n_feats", "dsir_logw", "gumbel_key", "rank"
+    )

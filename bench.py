@@ -214,8 +214,10 @@ HEADLINE_V9 = [
     "rank_fusion_hybrid",
     # CCNet perplexity terciles (rides the bigram-LM fit) and DSIR
     # hashed-ngram importance weights (two fixed-size feature models)
+    # + the composed Gumbel-top-K resampling stage
     "pipe_perplexity_buckets",
     "pipe_dsir_weights",
+    "pipe_dsir_resample",
     # epsilon-DP count release (one grouped count + in-row CASE)
     "priv_dp_release",
 ]

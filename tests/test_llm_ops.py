@@ -1535,3 +1535,25 @@ def test_streaming_dp_release_noise_bounded_per_cohort(spark):
     assert all(rel[k] >= 0 for k in rel)
     assert all(abs(d) <= DP_NOISE_CAP or rel[k] == 0 for k, d in zip(true, diffs))
     assert any(d != 0 for d in diffs)
+
+
+def test_dsir_resample_prefers_heavy_weights(spark):
+    """Gumbel-max property, deterministically checkable: the selected
+    sample's mean log-weight must exceed the corpus mean (selection is
+    proportional to the importance weight), and the sample must be
+    exactly DSIR_SAMPLE_K distinct docs ranked by key."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        DSIR_SAMPLE_K,
+        pipe_dsir_resample,
+        pipe_dsir_weights,
+    )
+
+    all_w = {r["doc_id"]: r["dsir_logw"] for r in pipe_dsir_weights(spark, SF_SMALL).collect()}
+    sample = pipe_dsir_resample(spark, SF_SMALL).collect()
+    assert len(sample) == DSIR_SAMPLE_K
+    assert len({r["doc_id"] for r in sample}) == DSIR_SAMPLE_K
+    keys = [r["gumbel_key"] for r in sorted(sample, key=lambda r: r["rank"])]
+    assert keys == sorted(keys, reverse=True)
+    mean_sample = sum(all_w[r["doc_id"]] for r in sample) / len(sample)
+    mean_all = sum(all_w.values()) / len(all_w)
+    assert mean_sample > mean_all

@@ -524,3 +524,14 @@ def test_hybrid_fusion_sources_are_bounded_topn(spark):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_dsir_resample_take_ordered(spark):
+    """The Gumbel-top-K selection must ride TakeOrderedAndProject
+    (per-partition heaps + merge), never a corpus-wide sort — the
+    smp5 contract, re-pinned for the composed DSIR pipeline."""
+    from banking_streamprocessing_demos_spark.operators.text import pipe_dsir_resample
+
+    df = pipe_dsir_resample(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

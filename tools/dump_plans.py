@@ -115,6 +115,7 @@ HEADLINE = [
     # round-10 second batch: curation/governance frontier
     "pipe_perplexity_buckets",
     "pipe_dsir_weights",
+    "pipe_dsir_resample",
     "priv_dp_release",
 ]
 
