@@ -993,6 +993,8 @@ def r10_point(out: str = "BENCH_scale_r10.json") -> None:
     ]
     points = [("x1", "/root/testdata/sf0.1", 1), ("x10", "scale_corpus/x10", 10),
               ("x30", "scale_corpus/x30", 30)]
+    if os.path.isdir("scale_corpus/x100"):  # third decade when generated
+        points.append(("x100", "scale_corpus/x100", 100))
     results: dict[str, dict] = {}
     for name in critical:
         fn = merged[name].fn
@@ -1004,14 +1006,19 @@ def r10_point(out: str = "BENCH_scale_r10.json") -> None:
             print(f"# {name} @{label}: {sec}s ({nrows} rows)", file=sys.stderr)
         row["ratio_10_1"] = round(row["x10"] / row["x1"], 2)
         row["ratio_30_10"] = round(row["x30"] / row["x10"], 2)
+        if "x100" in row:
+            row["ratio_100_30"] = round(row["x100"] / row["x30"], 2)  # linear = 3.33
         if name == "pipe_perplexity_buckets" and row["x10_rows"] > 0:
             growth = row["x30_rows"] / row["x10_rows"]
             row["rows_growth_30_10"] = round(growth, 2)
             row["ratio_30_10_per_output"] = round(row["ratio_30_10"] / growth, 3)
+            if "x100" in row:
+                g100 = row["x100_rows"] / row["x30_rows"]
+                row["ratio_100_30_per_output"] = round(row["ratio_100_30"] / g100, 3)
         results[name] = row
     payload = {
-        "metric": "scaling_curve_r10_3pt",
-        "points": [1, 10, 30],
+        "metric": "scaling_curve_r10",
+        "points": [f for _l, _p, f in points],
         "families": results,
     }
     with open(out, "w") as f:
