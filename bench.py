@@ -569,6 +569,28 @@ def main() -> None:
         split["sim_ann_opq"] = {"train_s": to, "encode_search_s": ts}
         result["pq_stage_split"] = split
         print(f"# pq split sim_ann_opq: build {to}s, search ({n} rows)", file=sys.stderr)
+        # the round-10 sampled twins time their own builds inside the v9
+        # series; split them here too so a heavy v9 total can't be
+        # misread as search cost (the round-6 attribution rule)
+        tb, sidx = _timed_phase("sim_ann_ivfpq_sampled", "train_s",
+                                lambda: pqmod.ivfpq_index(spark, sf_dir,
+                                                          train_sample=pqmod.N_TRAIN))
+        ts, n = _timed_phase("sim_ann_ivfpq_sampled", "encode_search_s",
+                             lambda: len(pqmod.sim_ann_ivfpq(spark, sf_dir, index=sidx).collect()))
+        split["sim_ann_ivfpq_sampled"] = {"train_s": tb, "encode_search_s": ts}
+        result["pq_stage_split"] = split
+        print(f"# pq split sim_ann_ivfpq_sampled: build {tb}s, search ({n} rows)",
+              file=sys.stderr)
+        tb, tidx = _timed_phase("sim_ann_opq_trained_sampled", "train_s",
+                                lambda: pqmod.opq_trained_index(spark, sf_dir,
+                                                                train_sample=pqmod.N_TRAIN))
+        ts, n = _timed_phase(
+            "sim_ann_opq_trained_sampled", "encode_search_s",
+            lambda: len(pqmod.sim_ann_opq_trained(spark, sf_dir, index=tidx).collect()))
+        split["sim_ann_opq_trained_sampled"] = {"train_s": tb, "encode_search_s": ts}
+        result["pq_stage_split"] = split
+        print(f"# pq split sim_ann_opq_trained_sampled: build {tb}s, search ({n} rows)",
+              file=sys.stderr)
     except Exception as exc:  # never lose earlier numbers to the split probe
         split["error"] = str(exc)[:200]
         result["pq_stage_split"] = split
