@@ -190,3 +190,42 @@ def test_streaming_bm25_matches_batch_on_random_corpora(spark, corpus) -> None:
     for k, v in streamed.items():
         if k >= DUP_OFFSET:
             assert streamed[k - DUP_OFFSET] == v, (k, v)
+
+
+@settings(max_examples=4, deadline=None)
+@given(docs)
+def test_streaming_dsir_gate_matches_batch_on_random_corpora(spark, corpus) -> None:
+    """Streamed per-arrival DSIR scores equal the batch scorer's under
+    the SAME frozen models (originals row-for-row; every late re-ingest
+    scores exactly like its original), on corpora with a real
+    target/source split (alternating en/de langs)."""
+    import os as _os
+    import tempfile as _tf
+
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        streaming_dsir_gate_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_dsir_weights
+
+    sf = _tf.mkdtemp(prefix="stwin-dsir-")
+    spark.createDataFrame(
+        [(i, " ".join(ws), "en" if i % 2 == 0 else "de") for i, ws in enumerate(corpus)],
+        "doc_id long, text string, lang string",
+    ).selectExpr(
+        "doc_id", "text", "lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+
+    streamed = {
+        r.doc_id: (r.n_feats, r.dsir_logw, r.kept)
+        for r in streaming_dsir_gate_q(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_feats, r.dsir_logw, r.dsir_logw >= 0.0)
+        for r in pipe_dsir_weights(spark, sf).collect()
+    }
+    originals = {k: v for k, v in streamed.items() if k < DUP_OFFSET}
+    assert originals == batch
+    for k, v in streamed.items():
+        if k >= DUP_OFFSET:
+            assert streamed[k - DUP_OFFSET] == v, (k, v)
