@@ -62,72 +62,68 @@ _REGISTRIES = [
 # tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
 # artifact records the whole registry, not just the driver's window.
 _PROMOTED_NEVER_CHECKED: list[str] = [
-    # round-8: the queue is EMPTY — with the r7 PQ-overflow promotions
-    # every registered query now has driver-green evidence from some
-    # round (the policy's goal state); new queries enter via _ROUND_NEW
+    # round-11: the three round-10 overflow queries promoted per the
+    # standing policy (registered + hash-verified in the committed
+    # CORRECTNESS_FULL_r10.json; first driver rows now)
+    "streaming_dsir_gate",
+    "streaming_dp_release",
+    "pipe_dsir_resample",
 ]
 
 # New this round — zero prior driver evidence by construction.
 _ROUND_NEW: list[str] = [
-    # round-10: the two remaining sampled-training twins (round-9
-    # VERDICT #2) — bounded seeded-sample training composed with the
-    # IVF x PQ index and the trained-OPQ rotation pipeline
-    "sim_ann_ivfpq_sampled",
-    "sim_ann_opq_trained_sampled",
-    # round-10: hybrid rank fusion — BM25 + an ANN ranking through the
-    # identical 1/(k+rank) union (round-9 VERDICT #6: proves the RRF
-    # docstring's 'an ANN ranking drops in unchanged' claim)
-    "rank_fusion_hybrid",
-    # round-10 second batch: the curation/governance frontier
-    # CCNet per-language perplexity terciles (the bucket label every
-    # mixing policy consumes)
-    "pipe_perplexity_buckets",
-    # DSIR hashed-ngram importance weights (the standard pretraining
-    # data-selection score; fixed-size feature models at any corpus)
-    "pipe_dsir_weights",
-    # epsilon-DP count release (seeded two-sided geometric, integer-
-    # exact cross-engine) — the governance family's publication stage
-    "priv_dp_release",
+    # round-11: the CCNet sampled-threshold production twin (round-10
+    # VERDICT #4) — tercile cuts fitted on a bounded seeded sample,
+    # broadcast compare, shuffle-free corpus assignment
+    "pipe_perplexity_buckets_sampled",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # Round-10 window: the eleven r9-overflow queries promoted per the
-    # standing policy (registered + hash-verified in r9, first driver
-    # rows now), the six recalls that ceded their r9 slots returning,
-    # the six r9-rested r8 earners returning, and flagship refreshes
-    # spanning every capability family.  The r9 round-new earners
-    # (emb_pq_codebook_sampled .. emb_hard_negatives) rest in the tail.
-    # --- r9 overflow promotions (window was full when they landed) ---
-    "sim_ann_binary",
-    "text_bm25_search",
-    "rank_fusion_rrf",
-    "streaming_bm25_match",
-    "rank_mmr_diversify",
-    "pipe_tokenizer_fertility",
-    "priv_k_anonymity",
-    "pipe_temperature_mix",
-    "priv_l_diversity",
-    "streaming_k_anonymity",
-    "sim_ann_ivf_binary",
-    "streaming_temperature_mix",
-    # --- r9-ceded recalls returning ---
-    "emb_quantize_int8",
-    "gen_status_histogram",
-    "smp2_backpressure_topup",
-    "text_fingerprint",
-    "pipe_domain_mix",
-    "pipe_shard_assign",
-    # --- r9-rested r8 earners returning ---
+    # Round-11 window: 3 r10-overflow promotions + 1 round-new above,
+    # 46 here.  Resting in the tail: the r10 round-new earners, the 12
+    # r9-overflow promotions that earned r10 rows, the r9-ceded recalls
+    # and most r9-rested r8 earners (all earned fresh r10 rows).
+    # Returning from the tail: the three queries that ceded their r10
+    # slots, the six r9 round-new earners, six streaming twins, six
+    # join/window flagships — the recall rotation spanning families.
+    # dedup_semantic_ivf / dedup_keep_best / pipe_bpe_encode stay in
+    # the window: they are the round-10 unexplained bench movers under
+    # dedicated-session investigation this round (VERDICT #1).
+    # --- r10-ceded returns ---
+    "mm_phash_dedup",
+    "w2_latency_quantiles",
+    "j3_anti_join",
+    # --- bench movers under investigation ---
     "dedup_semantic_ivf",
-    "streaming_curriculum_histogram",
     "dedup_keep_best",
-    "pack_sequences",
-    "text_boilerplate_strip",
-    "pipe_quality_gate",
-    # --- flagship refreshes (every §2 + LLM-pipeline family) ---
+    "pipe_bpe_encode",
+    # --- r10-rested r9 round-new earners returning ---
+    "emb_pq_codebook_sampled",
+    "sim_ann_pq_sampled",
+    "sim_ann_sq8",
+    "sim_ann_lsh",
+    "sim_knn_graph",
+    "emb_hard_negatives",
+    # --- r10-rested streaming twins returning ---
+    "streaming_minhash_dedup",
+    "streaming_token_histogram",
+    "streaming_pack_sequences",
+    "streaming_quality_gate",
+    "streaming_phash_dedup",
+    "streaming_er_match",
+    # --- r10-rested join/window/agg flagships returning ---
+    "j6_asof_join",
+    "j7_range_join",
+    "w5_session_window",
+    "w10_anomaly_zscore",
+    "j9_full_outer_reconcile",
+    "u6_merge_upsert",
+    "a8_rollup_counts",
+    "a11_grouping_sets",
+    # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
     "gen_messages_snapshot",
@@ -148,32 +144,53 @@ _FLAGSHIP_REFRESH = [
     "sketch_hll_distinct",
     "streaming_doc_dedup",
     "er_blocked_match",
-    # (window holds exactly 50: 6 round-new + 44 here; mm_phash_dedup,
-    # w2_latency_quantiles and j3_anti_join ceded their slots to the
-    # round-10 second batch — they return next round)
+    # (window holds exactly 50: 3 promotions + 1 round-new + 46 here)
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
 _ROUND_OVERFLOW: list[str] = [
-    # round-10 late additions (window already held 50 when they landed):
-    # ingest-time DSIR selection gate (pipe_dsir_weights' streaming
-    # twin: frozen importance models, per-arrival scoring + gate)
-    "streaming_dsir_gate",
-    # per-cohort DP count release (priv_dp_release's streaming twin:
-    # the continual-release shape, window-keyed independent draws)
-    "streaming_dp_release",
-    # DSIR stage 2: Gumbel-top-K importance resampling (the paper's
-    # actual selection step, composed end-to-end on the weights)
-    "pipe_dsir_resample",
+    # round-11: fills if queries land after the window holds 50
 ]
 
 # Demoted tail: every query with green driver rows from prior rounds
-# (regenerated round-10: r9 round-new earners + r9 flagship earners
-# joined; window promotions left).  Still hash-verified locally every
-# round via tools/check_correctness.py -> CORRECTNESS_FULL_r{N}.json.
+# (regenerated round-11: r10 round-new earners + r10 window earners
+# rest here; returns promoted to the window).  Still hash-verified
+# locally every round via tools/check_correctness.py ->
+# CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    # --- r10 round-new earners resting ---
+    "sim_ann_ivfpq_sampled",
+    "sim_ann_opq_trained_sampled",
+    "rank_fusion_hybrid",
+    "pipe_perplexity_buckets",
+    "pipe_dsir_weights",
+    "priv_dp_release",
+    # --- r10 window earners resting (r9-overflow promotions) ---
+    "sim_ann_binary",
+    "text_bm25_search",
+    "rank_fusion_rrf",
+    "streaming_bm25_match",
+    "rank_mmr_diversify",
+    "pipe_tokenizer_fertility",
+    "priv_k_anonymity",
+    "pipe_temperature_mix",
+    "priv_l_diversity",
+    "streaming_k_anonymity",
+    "sim_ann_ivf_binary",
+    "streaming_temperature_mix",
+    # --- r10 window earners resting (recalls + r8 earners) ---
+    "emb_quantize_int8",
+    "gen_status_histogram",
+    "smp2_backpressure_topup",
+    "text_fingerprint",
+    "pipe_domain_mix",
+    "pipe_shard_assign",
+    "streaming_curriculum_histogram",
+    "pack_sequences",
+    "text_boilerplate_strip",
+    "pipe_quality_gate",
     "streaming_mrl_assign",
     "sim_ann_opq_trained",
     "mm_phash_clusters",
@@ -198,7 +215,6 @@ _DEMOTED_TAIL = [
     "streaming_keep_best",
     "sim_ann_opq",
     "streaming_boilerplate_strip",
-    "pipe_bpe_encode",
     "streaming_bpe_encode",
     "streaming_epoch_plan",
     "streaming_hll_distinct",
@@ -262,36 +278,13 @@ _DEMOTED_TAIL = [
     "mm_resize",
     "pipe_epoch_plan",
     "pipe_curriculum_pack",
-    "emb_pq_codebook_sampled",
-    "sim_ann_pq_sampled",
-    "sim_ann_sq8",
     "j5_timeout_pairing",
     "j8_salted_skew_join",
     "smp3_stratified_split",
-    "a8_rollup_counts",
-    "a11_grouping_sets",
-    "j6_asof_join",
-    "j7_range_join",
-    "w5_session_window",
-    "w10_anomaly_zscore",
-    "j9_full_outer_reconcile",
-    "u6_merge_upsert",
-    "sim_ann_lsh",
-    "sim_knn_graph",
-    "emb_hard_negatives",
     "sketch_cms_heavy_hitters",
-    "streaming_minhash_dedup",
-    "streaming_token_histogram",
-    "streaming_pack_sequences",
-    "streaming_quality_gate",
-    "streaming_phash_dedup",
-    "streaming_er_match",
     "text_token_counts",
     "pipe_curation",
     "pipe_bpe_merges_batched",
-    "mm_phash_dedup",
-    "j3_anti_join",
-    "w2_latency_quantiles",
 ]
 
 _DRIVER_PRIORITY = (

@@ -891,7 +891,14 @@ def ivfpq_index(
     "64x-compressed data.  Residual k-means seeds from vectors "
     f"{IVF_CELLS}..{IVF_CELLS + PQ_K - 1} (the cell seeds' own residuals are ~0); the oracle replays "
     "coarse assignment, residual training, encode, probe, and rerank in "
-    "one generated CTE chain.",
+    "one generated CTE chain.  REGISTERED-DEFAULT RATIONALE (round-11 "
+    "decision): this flagship keeps FULL-CORPUS training on purpose — "
+    "it is the strictest cross-engine pin (every vector's contribution "
+    "to every Lloyd iteration is bucket-exact against the oracle), "
+    "which a sampled run cannot exercise.  The PRODUCTION form at "
+    "100 TB is sim_ann_ivfpq_sampled (bounded seeded sample, the FAISS "
+    "convention), registered alongside with measured recall parity; a "
+    "scale user calls that twin, this one is the arithmetic gauge.",
 )
 def sim_ann_ivfpq(
     spark: SparkSession,
@@ -1548,7 +1555,14 @@ def _opq_trained_oracle_sql(sample_n: int | None = None) -> str:
     "the paper's ordering, pinned in tests/test_pq.py.  Decorrelation "
     "alone measures ~flat: on Gaussian-like data the alternation's win "
     "is variance BALANCE, which is why allocation ships as part of the "
-    "operator rather than as an optional extra.",
+    "operator rather than as an optional extra.  REGISTERED-DEFAULT "
+    "RATIONALE (round-11 decision): full-corpus training stays the "
+    "registered form because it is the strictest cross-engine pin — "
+    "every vector feeds the Givens sums, the variance ranking, and "
+    "every Lloyd pass, all bucket-exact against the oracle.  The "
+    "production form at scale is sim_ann_opq_trained_sampled (bounded "
+    "seeded sample per the OPQ paper's own protocol), registered "
+    "alongside with measured recall parity.",
 )
 def sim_ann_opq_trained(
     spark: SparkSession,

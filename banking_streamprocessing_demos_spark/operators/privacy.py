@@ -166,15 +166,28 @@ def priv_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Noise: two-sided geometric with alpha = exp(-epsilon), P(k) ~
 # alpha^|k|, tails beyond +-DP_NOISE_CAP folded into the extremes (the
 # bounded-noise variant production systems use so one release can't be
-# arbitrarily wrong).  DETERMINISM CONTRACT: the draw is seeded —
+# arbitrarily wrong).  Folding the tails means the mechanism is
+# (epsilon, delta)-DP, NOT pure epsilon-DP: at the support edge a
+# neighboring count n+1 can reach an output value that n cannot, so
+# the likelihood ratio is unbounded there; delta = the folded tail
+# mass = 2 * alpha^(DP_NOISE_CAP+1) / (1 + alpha) (~2.2e-4 at
+# epsilon=1, CAP=8).  Pure epsilon-DP needs either unbounded noise or
+# clamping the RELEASED value (post-noise) instead of the noise.
+#
+# DETERMINISM CONTRACT vs THE PRIVACY GUARANTEE: the draw is seeded —
 # u16 = md5-integer of (seed, class key) against PRE-COMPUTED integer
 # CDF thresholds (the pipe_epoch_plan integer-Bernoulli idiom: no
 # float compares cross-engine, the CASE literal is identical in both
-# engines by construction).  A real deployment draws fresh randomness
-# per release; the seeded draw here is the repo's standing two-engine
-# replayability stance (seeded quantizers, seeded samples) and is the
-# correct shape for the OTHER production requirement, replayable
-# releases under audit.
+# engines by construction).  The seeded draw is the repo's standing
+# two-engine hash-parity device (same idiom as every seeded sampler),
+# but unlike the samplers the SECRET randomness IS the DP guarantee:
+# with a public/default seed any reader recomputes the noise and
+# recovers exact counts — zero actual privacy.  A production
+# deployment MUST draw the u16 from a secret seed or a CSPRNG; the
+# `seed` parameter below exists exactly for that (pass a secret), and
+# the mechanism's arithmetic — which is what the oracle pins — is
+# seed-independent: any seed yields released counts within
+# +-DP_NOISE_CAP of truth (test_privacy pins this).
 # ---------------------------------------------------------------------------
 
 DP_EPSILON = 1.0
@@ -213,11 +226,11 @@ def _dp_noise_case_sql() -> str:
     return f"(CASE{arms} ELSE {DP_NOISE_CAP} END)"
 
 
-def _dp_u16_sql() -> str:
+def _dp_u16_sql(seed: str = DP_SEED) -> str:
     from ..functions.expressions import hex4_sql
 
     return hex4_sql(
-        f"md5('{DP_SEED}-' || CAST(nation AS VARCHAR) || segment)"
+        f"md5('{seed}-' || CAST(nation AS VARCHAR) || segment)"
     )
 
 
@@ -234,21 +247,32 @@ def _dp_u16_sql() -> str:
            CAST(GREATEST(n + {_dp_noise_case_sql()}, 0) AS BIGINT) AS released_count
     FROM u
     """,
-    doc=f"epsilon-differentially-private count release (epsilon="
-    f"{DP_EPSILON}, Dwork 2006; two-sided geometric noise per Ghosh et "
-    "al. 2009, the utility-optimal discrete mechanism) over the "
-    "(nation, segment) class counts: true counts + seeded bounded "
-    f"geometric noise (|noise| <= {DP_NOISE_CAP}, tails folded), "
-    "clamped at zero — the published table, completing the governance "
-    "family: k-anonymity/l-diversity DECIDE what is releasable, this "
-    "RELEASES it.  The noise draw is integer-exact cross-engine: u16 "
-    "md5 draw against pre-computed integer CDF thresholds (the "
-    "integer-Bernoulli idiom), so the noised release hash-matches the "
-    "oracle.  One grouped count + one in-row CASE: map-side "
-    "combinable, no joins, nothing collected; scale = the class-space "
-    "cardinality, independent of record volume.",
+    doc=f"differentially-private count release (epsilon={DP_EPSILON}, "
+    "Dwork 2006; two-sided geometric noise per Ghosh et al. 2009, the "
+    "utility-optimal discrete mechanism) over the (nation, segment) "
+    "class counts: true counts + seeded bounded geometric noise "
+    f"(|noise| <= {DP_NOISE_CAP}, tails folded), clamped at zero — the "
+    "published table, completing the governance family: k-anonymity/"
+    "l-diversity DECIDE what is releasable, this RELEASES it.  "
+    "PRIVACY FINE PRINT (see module comment): (1) bounding the noise "
+    "by folding the tails makes this (epsilon, delta)-DP with delta = "
+    "2*alpha^(CAP+1)/(1+alpha) (~2.2e-4 here), not pure epsilon-DP; "
+    "(2) the default per-key deterministic seed is the repo's cross-"
+    "engine hash-parity device ONLY — with a known seed any reader "
+    "recomputes the noise and recovers exact counts, so a real "
+    "deployment must pass a SECRET seed / CSPRNG draw via the `seed` "
+    "parameter (the arithmetic the oracle pins is seed-independent; "
+    "any seed stays within +-CAP of truth, pinned in test_privacy).  "
+    "The noise draw is integer-exact cross-engine: u16 md5 draw "
+    "against pre-computed integer CDF thresholds (the integer-"
+    "Bernoulli idiom), so the noised release hash-matches the oracle.  "
+    "One grouped count + one in-row CASE: map-side combinable, no "
+    "joins, nothing collected; scale = the class-space cardinality, "
+    "independent of record volume.",
 )
-def priv_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def priv_dp_release(
+    spark: SparkSession, sf_dir: str, seed: str = DP_SEED
+) -> DataFrame:
     from ..functions.expressions import det_hash_hex, hex4_to_int
 
     q = load_table(spark, sf_dir, "customer").select(
@@ -257,7 +281,7 @@ def priv_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = q.groupBy("nation", "segment").agg(F.count("*").alias("n"))
     u = c.withColumn(
-        "u16", hex4_to_int(det_hash_hex("nation", "segment", seed=DP_SEED))
+        "u16", hex4_to_int(det_hash_hex("nation", "segment", seed=seed))
     )
     return u.select(
         "nation",

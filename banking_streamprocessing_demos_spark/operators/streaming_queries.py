@@ -2598,8 +2598,10 @@ def _streaming_dsir_oracle() -> str:
     "per-feature mean — an exact DECIMAL compare, so the gate boundary "
     "is engine-exact.  Late re-ingests are scored like any arrival.  "
     "State: one row per in-flight (window, doc); single-word arrivals "
-    "produce no feature rows and drop before the agg (the oracle scores "
-    "only featured docs), while the multi-word far-future sentinel "
+    "are filtered out before the explode by an explicit size>=2 guard "
+    "(matching the batch twin, so 'no feature rows' holds by "
+    "construction, not by NULL-join coincidence), while the multi-word "
+    "far-future sentinel "
     "still closes every real window; it is excluded from the "
     "materialized result by doc_id.  Hash-matches the frozen-model SQL "
     "oracle.",
@@ -2628,9 +2630,15 @@ def streaming_dsir_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(words) - 2),
         lambda i: F.concat(F.get(words, i), F.lit(" "), F.get(words, i + 1)),
     )
-    feats = stream.select(
-        "doc_id", "ingest_ts", F.explode(pairs).alias("bg")
-    ).select("doc_id", "ingest_ts", dsir_feature(F.col("bg")).alias("f"))
+    # explicit size>=2 guard (matches pipe_dsir_weights): without it a
+    # single-word arrival hits sequence(0,-1) -> descending [0,-1] and
+    # emits two NULL bigram rows that only die by coincidence at the
+    # inner join's NULL-key semantics.
+    feats = (
+        stream.filter(F.size(words) >= 2)
+        .select("doc_id", "ingest_ts", F.explode(pairs).alias("bg"))
+        .select("doc_id", "ingest_ts", dsir_feature(F.col("bg")).alias("f"))
+    )
     contrib = feats.join(F.broadcast(ratio), "f")
     agg = contrib.groupBy(F.window("ingest_ts", "1 minute"), "doc_id").agg(
         F.count("*").cast("long").alias("n_feats"),
@@ -2695,10 +2703,16 @@ def _streaming_dp_oracle() -> str:
     "in-row (the noise key includes the window start, so every "
     "cohort's draw is independent) and clamped at zero.  The draw is "
     "integer-exact cross-engine (u16 md5 vs pre-computed integer CDF "
-    "thresholds).  State: one count cell per in-flight (window, "
-    "class), bounded by class-space cardinality; the out-of-domain "
-    "sentinel closes every real window and is filtered from the "
-    "materialized result.  Hash-matches the SQL oracle.",
+    "thresholds).  PRIVACY FINE PRINT (same as priv_dp_release's "
+    "module comment): the folded-tail noise bound makes each release "
+    "(epsilon, delta)-DP with delta = the folded tail mass, and the "
+    "deterministic per-key seed is the cross-engine parity device "
+    "only — a production deployment must key the draw on SECRET "
+    "randomness or any reader recomputes the noise exactly.  State: "
+    "one count cell per in-flight (window, class), bounded by class-"
+    "space cardinality; the out-of-domain sentinel closes every real "
+    "window and is filtered from the materialized result.  "
+    "Hash-matches the SQL oracle.",
 )
 def streaming_dp_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.expressions import det_hash_hex, hex4_to_int

@@ -1503,6 +1503,107 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sampled-threshold twin (round 11): the CCNet PRODUCTION shape made
+# executable — tercile thresholds fitted on a bounded seeded sample,
+# broadcast back, assignment by a plain score compare.  Mirrors how the
+# PQ family closed its exact-vs-sampled pair: the exact form above is
+# the arithmetic gauge, this is what a 100 TB run ships.
+# ---------------------------------------------------------------------------
+
+PPLS_SAMPLE_N = 120
+PPLS_SEED = "ppls"
+
+
+def _ppl_sampled_oracle_sql() -> str:
+    return f"""
+    WITH lm AS ({BIGRAM_LM_SQL}),
+    scored AS (
+        SELECT d.doc_id, d.lang, l.avg_logprob
+        FROM documents d JOIN lm l ON l.doc_id = d.doc_id
+    ),
+    samp AS (
+        SELECT doc_id, lang, avg_logprob,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5('{PPLS_SEED}-' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM scored
+    ),
+    b AS (
+        SELECT lang, doc_id, avg_logprob,
+               NTILE({len(PPL_BUCKETS)}) OVER (
+                   PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS nt
+        FROM samp WHERE rk <= {PPLS_SAMPLE_N}
+    ),
+    th AS (
+        SELECT lang,
+               MIN(CASE WHEN nt = 1 THEN avg_logprob END) AS t1,
+               MIN(CASE WHEN nt = 2 THEN avg_logprob END) AS t2
+        FROM b GROUP BY lang
+    )
+    SELECT sc.doc_id, sc.lang, sc.avg_logprob,
+           CASE WHEN sc.avg_logprob >= th.t1 THEN 'head'
+                WHEN th.t2 IS NOT NULL AND sc.avg_logprob >= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored sc JOIN th ON th.lang = sc.lang
+    """
+
+
+@REG.add(
+    "pipe_perplexity_buckets_sampled",
+    _ppl_sampled_oracle_sql(),
+    doc=f"CCNet perplexity buckets, SAMPLED-THRESHOLD form (Wenzek et "
+    "al. 2020's own production recipe, round-11 verdict item 4): "
+    f"tercile cut scores are fitted on a bounded {PPLS_SAMPLE_N}-doc "
+    "seeded md5-rank sample per language (the smp1 machinery; the "
+    "oracle replays the identical selection), then broadcast back and "
+    "every document is assigned by a plain score compare — head if "
+    "score >= t1, middle if >= t2 — so the corpus-wide assignment "
+    "stage is SHUFFLE-FREE (one broadcast hash join on lang), unlike "
+    "the exact form's per-language ranking exchange.  The compare is "
+    "engine-exact: avg_logprob is the 6dp-DECIMAL-derived double both "
+    "engines compute identically, and thresholds are sample scores.  "
+    "Languages whose sample fills fewer than 2 terciles degrade "
+    "deterministically (t2 NULL => middle unreachable).  Boundary "
+    "agreement vs the exact NTILE form is measured in SCALE.md and "
+    "pinned >= 90% in test_llm_ops.",
+)
+def pipe_perplexity_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex
+
+    lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(lm, "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            det_hash_hex("doc_id", seed=PPLS_SEED), "doc_id"
+        )
+    )
+    samp = scored.withColumn("rk", rk).filter(F.col("rk") <= PPLS_SAMPLE_N)
+    nt = F.ntile(len(PPL_BUCKETS)).over(
+        Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    )
+    th = (
+        samp.withColumn("nt", nt)
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("nt") == 1, F.col("avg_logprob"))).alias("t1"),
+            F.min(F.when(F.col("nt") == 2, F.col("avg_logprob"))).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("t1"), "head")
+        .when(
+            F.col("t2").isNotNull() & (F.col("avg_logprob") >= F.col("t2")),
+            "middle",
+        )
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (round 10): Xie et al. 2023 ("Data Selection
 # for Language Models via Importance Resampling") — score every source
 # document by how target-like it is under two hashed-n-gram bag models,

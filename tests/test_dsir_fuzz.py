@@ -89,3 +89,67 @@ def test_dsir_oracle_matches_reference(corpus) -> None:
         r[0]: (r[1], r[2]) for r in con.execute(_dsir_oracle_sql()).fetchall()
     }
     assert got == _reference(corpus)
+
+
+# ---------------------------------------------------------------------------
+# stage-2 resample fuzz (round-11 advice): the Gumbel-top-K oracle vs
+# an independent Python reference.  The weights fuzz above pins stage 1;
+# this pins the LN(-LN(u)) key, its 9dp rounding (DuckDB ROUND on
+# DOUBLE is half-away-from-zero via round(x*1e9)/1e9 — mirrored below),
+# and the (key DESC, doc_id) ranking, so a libm/rounding boundary flip
+# at the top-K cut surfaces here before it surfaces as a driver
+# hash-mismatch.
+# ---------------------------------------------------------------------------
+
+
+def _round9_away(x: float) -> float:
+    """DuckDB ROUND(double, 9): scale, round half away from zero."""
+    m = x * 1e9
+    r = math.floor(m + 0.5) if m >= 0 else math.ceil(m - 0.5)
+    return r / 1e9
+
+
+def _reference_resample(
+    corpus: list[tuple[list[str], str]],
+) -> list[tuple[int, int, float, float, int]]:
+    from banking_streamprocessing_demos_spark.operators.text import (
+        DSIR_GUMBEL_SEED,
+        DSIR_SAMPLE_K,
+    )
+
+    rows = []
+    for doc_id, (n, logw) in _reference(corpus).items():
+        u16 = int(
+            hashlib.md5(f"{DSIR_GUMBEL_SEED}-{doc_id}".encode()).hexdigest()[:4],
+            16,
+        )
+        u = (u16 + 1) / 65537.0
+        key = _round9_away(logw - math.log(-math.log(u)))
+        rows.append((doc_id, n, logw, key))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return [
+        (d, n, w, k, i + 1)
+        for i, (d, n, w, k) in enumerate(rows[: DSIR_SAMPLE_K])
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs)
+def test_dsir_resample_oracle_matches_reference(corpus) -> None:
+    from banking_streamprocessing_demos_spark.operators.text import (
+        _dsir_resample_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, " ".join(ws), lang) for i, (ws, lang) in enumerate(corpus)],
+    )
+    got = [
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            _dsir_resample_oracle() + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert got == _reference_resample(corpus)

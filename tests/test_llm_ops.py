@@ -1441,6 +1441,40 @@ def test_perplexity_buckets_are_valid_terciles(spark):
             assert min(buckets["middle"]) >= max(buckets["tail"]), lang
 
 
+def test_perplexity_sampled_thresholds_agree_with_exact(spark):
+    """Sampled-threshold twin contract (round-11): (1) every document
+    gets exactly one bucket; (2) within a language the bucket is a
+    monotone function of the score (head scores >= middle >= tail —
+    true by construction of the compare, asserted anyway); (3) the
+    sampled assignment agrees with the exact NTILE tercile on >= 90%
+    of documents (the CCNet trade: boundary exactness for a
+    shuffle-free assignment).  The 90% floor is the pinned form of the
+    SCALE.md boundary-agreement measurement."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_perplexity_buckets,
+        pipe_perplexity_buckets_sampled,
+    )
+
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in pipe_perplexity_buckets(spark, SF_SMALL).collect()
+    }
+    rows = pipe_perplexity_buckets_sampled(spark, SF_SMALL).collect()
+    assert rows and len(rows) == len(exact)
+    from collections import defaultdict
+
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_logprob"])
+    for lang, buckets in by_lang.items():
+        if buckets.get("head") and buckets.get("middle"):
+            assert min(buckets["head"]) >= max(buckets["middle"]), lang
+        if buckets.get("middle") and buckets.get("tail"):
+            assert min(buckets["middle"]) >= max(buckets["tail"]), lang
+    agree = sum(1 for r in rows if exact[r["doc_id"]] == r["bucket"])
+    assert agree / len(rows) >= 0.90, f"agreement {agree}/{len(rows)}"
+
+
 def test_dsir_weights_prefer_target_language(spark):
     """The DSIR discriminative property: documents drawn from the
     target distribution (lang == DSIR_TARGET_LANG) must score a higher

@@ -117,9 +117,23 @@ def test_driver_window_rotation_invariants():
     # full-registry evidence instead (the end-of-round artifact: overflow
     # can land after the round-entry _pre gate was recorded)
     if entrymod._ROUND_OVERFLOW:
-        # newest committed full-registry artifact (pre or final)
+        # newest committed full-registry artifact (pre or final). Plain
+        # lexicographic order is wrong here: '.' < '_', so "r10.json"
+        # sorts BEFORE "r10_pre.json" and the round-entry _pre rows
+        # would overwrite the end-of-round final rows in update().
+        # Order by (round, is_pre-first) so each round's final artifact
+        # lands last and wins.
+        def _artifact_rank(path):
+            import re
+
+            stem = Path(path).stem  # CORRECTNESS_FULL_r10[_pre]
+            m = re.search(r"_r(\d+)", stem)
+            rnd = int(m.group(1)) if m else -1
+            return (rnd, 0 if stem.endswith("_pre") else 1)
+
         full = {}
-        for art in sorted(glob.glob(str(root / "CORRECTNESS_FULL_r[0-9]*.json"))):
+        arts = glob.glob(str(root / "CORRECTNESS_FULL_r[0-9]*.json"))
+        for art in sorted(arts, key=_artifact_rank):
             try:
                 with open(art) as f:
                     full.update(json.load(f))

@@ -182,3 +182,77 @@ def test_dp_noise_thresholds_form_a_valid_cdf():
     # symmetry of the folded distribution: P(k) == P(-k) in u16 units
     widths = [b - a for a, b in zip([0] + ts[:-1], ts)]
     assert widths == widths[::-1], widths
+
+
+def test_dp_release_seed_is_a_real_parameter(spark):
+    """Production-randomness pin (round-11 verdict item): the default
+    seed is ONLY the cross-engine parity device — a deployment passes a
+    secret seed, and the mechanism's arithmetic is seed-independent:
+    ANY seed's released counts stay within +-DP_NOISE_CAP of truth,
+    while different seeds actually move the draws."""
+    from banking_streamprocessing_demos_spark.operators.privacy import (
+        DP_NOISE_CAP,
+        priv_dp_release,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    true = {
+        (r["nation"], r["segment"]): r["n"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    default = {
+        (r["nation"], r["segment"]): r["released_count"]
+        for r in priv_dp_release(spark, SF_SMALL).collect()
+    }
+    moved = 0
+    for seed in ("secret-a", "secret-b"):
+        rel = {
+            (r["nation"], r["segment"]): r["released_count"]
+            for r in priv_dp_release(spark, SF_SMALL, seed=seed).collect()
+        }
+        assert set(rel) == set(true)
+        for key, n in true.items():
+            assert max(0, n - DP_NOISE_CAP) <= rel[key] <= n + DP_NOISE_CAP, (
+                seed,
+                key,
+                n,
+                rel[key],
+            )
+        if rel != default:
+            moved += 1
+    # seeds are not a no-op: at least one secret seed changed some draw
+    assert moved >= 1
+
+
+def test_dp_folded_tail_delta_is_small_and_documented():
+    """The (epsilon, delta) caveat: folding the geometric tails into
+    +-CAP costs delta = 2*alpha^(CAP+1)/(1+alpha) — verify the folded
+    mass in the integer CDF matches that closed form within u16
+    rounding, and that it is indeed tiny at the shipped parameters."""
+    import math
+
+    from banking_streamprocessing_demos_spark.operators.privacy import (
+        DP_EPSILON,
+        DP_NOISE_CAP,
+        _dp_noise_thresholds,
+    )
+
+    alpha = math.exp(-DP_EPSILON)
+    base = (1 - alpha) / (1 + alpha)
+    delta = 2 * alpha ** (DP_NOISE_CAP + 1) / (1 + alpha)
+    assert delta < 1e-3  # tiny at epsilon=1, CAP=8
+    th = _dp_noise_thresholds()
+    ts = [t for t, _ in th]
+    widths = dict(
+        zip([k for _, k in th], [b - a for a, b in zip([0] + ts[:-1], ts)])
+    )
+    # each extreme arm carries its geometric mass PLUS half of delta
+    for k in (-DP_NOISE_CAP, DP_NOISE_CAP):
+        expect = base * alpha ** abs(k) + delta / 2
+        assert abs(widths[k] / 65536 - expect) < 2 / 65536, (k, widths[k])
