@@ -76,6 +76,9 @@ _ROUND_NEW: list[str] = [
     # VERDICT #4) — tercile cuts fitted on a bounded seeded sample,
     # broadcast compare, shuffle-free corpus assignment
     "pipe_perplexity_buckets_sampled",
+    # round-11: Gopher/MassiveText heuristic rule battery (Rae et al.
+    # 2021 A1) — the per-row pre-filter the quality family lacked
+    "pipe_gopher_rules",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -122,7 +125,6 @@ _FLAGSHIP_REFRESH = [
     "j9_full_outer_reconcile",
     "u6_merge_upsert",
     "a8_rollup_counts",
-    "a11_grouping_sets",
     # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
@@ -181,6 +183,7 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "a11_grouping_sets",
     "emb_quantize_int8",
     "gen_status_histogram",
     "smp2_backpressure_topup",

@@ -1513,39 +1513,82 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPLS_SAMPLE_N = 120
 PPLS_SEED = "ppls"
 
-
-def _ppl_sampled_oracle_sql() -> str:
-    return f"""
-    WITH lm AS ({BIGRAM_LM_SQL}),
-    scored AS (
+# The threshold CTE block (base-corpus LM scores, the bounded seeded
+# per-language sample, the tercile cut scores) — shared by the batch
+# sampled-bucket oracle and the streaming gate's frozen-threshold
+# oracle (the _DSIR_MODEL_SQL convention: two renderings of one model
+# cannot drift).
+_PPL_THRESH_SQL = f"""plm AS ({BIGRAM_LM_SQL}),
+    pscored AS (
         SELECT d.doc_id, d.lang, l.avg_logprob
-        FROM documents d JOIN lm l ON l.doc_id = d.doc_id
+        FROM documents d JOIN plm l ON l.doc_id = d.doc_id
     ),
-    samp AS (
+    psamp AS (
         SELECT doc_id, lang, avg_logprob,
                ROW_NUMBER() OVER (PARTITION BY lang
                    ORDER BY md5('{PPLS_SEED}-' || CAST(doc_id AS VARCHAR)), doc_id
                ) AS rk
-        FROM scored
+        FROM pscored
     ),
-    b AS (
+    pb AS (
         SELECT lang, doc_id, avg_logprob,
                NTILE({len(PPL_BUCKETS)}) OVER (
                    PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS nt
-        FROM samp WHERE rk <= {PPLS_SAMPLE_N}
+        FROM psamp WHERE rk <= {PPLS_SAMPLE_N}
     ),
-    th AS (
+    pth AS (
         SELECT lang,
                MIN(CASE WHEN nt = 1 THEN avg_logprob END) AS t1,
                MIN(CASE WHEN nt = 2 THEN avg_logprob END) AS t2
-        FROM b GROUP BY lang
+        FROM pb GROUP BY lang
+    )"""
+
+
+def _ppl_bucket_case_sql(score: str) -> str:
+    """The threshold-compare bucket CASE over a score column and the
+    joined pth columns — one rendering for both consumers."""
+    return (
+        f"CASE WHEN {score} >= t1 THEN 'head' "
+        f"WHEN t2 IS NOT NULL AND {score} >= t2 THEN 'middle' "
+        f"ELSE 'tail' END"
     )
+
+
+def _ppl_sampled_oracle_sql() -> str:
+    return f"""
+    WITH {_PPL_THRESH_SQL}
     SELECT sc.doc_id, sc.lang, sc.avg_logprob,
-           CASE WHEN sc.avg_logprob >= th.t1 THEN 'head'
-                WHEN th.t2 IS NOT NULL AND sc.avg_logprob >= th.t2 THEN 'middle'
-                ELSE 'tail' END AS bucket
-    FROM scored sc JOIN th ON th.lang = sc.lang
+           {_ppl_bucket_case_sql("sc.avg_logprob")} AS bucket
+    FROM pscored sc JOIN pth ON pth.lang = sc.lang
     """
+
+
+def ppl_sampled_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, t1, t2) — the frozen per-language tercile cut scores from
+    the bounded seeded sample.  Shared by pipe_perplexity_buckets_sampled
+    and the streaming gate (which broadcasts it as a frozen model)."""
+    from ..functions.expressions import det_hash_hex
+
+    lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(lm, "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            det_hash_hex("doc_id", seed=PPLS_SEED), "doc_id"
+        )
+    )
+    samp = scored.withColumn("rk", rk).filter(F.col("rk") <= PPLS_SAMPLE_N)
+    nt = F.ntile(len(PPL_BUCKETS)).over(
+        Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    )
+    return (
+        samp.withColumn("nt", nt)
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("nt") == 1, F.col("avg_logprob"))).alias("t1"),
+            F.min(F.when(F.col("nt") == 2, F.col("avg_logprob"))).alias("t2"),
+        )
+    )
 
 
 @REG.add(
@@ -1568,28 +1611,10 @@ def _ppl_sampled_oracle_sql() -> str:
     "pinned >= 90% in test_llm_ops.",
 )
 def pipe_perplexity_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.expressions import det_hash_hex
-
     lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = docs.join(lm, "doc_id")
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            det_hash_hex("doc_id", seed=PPLS_SEED), "doc_id"
-        )
-    )
-    samp = scored.withColumn("rk", rk).filter(F.col("rk") <= PPLS_SAMPLE_N)
-    nt = F.ntile(len(PPL_BUCKETS)).over(
-        Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
-    )
-    th = (
-        samp.withColumn("nt", nt)
-        .groupBy("lang")
-        .agg(
-            F.min(F.when(F.col("nt") == 1, F.col("avg_logprob"))).alias("t1"),
-            F.min(F.when(F.col("nt") == 2, F.col("avg_logprob"))).alias("t2"),
-        )
-    )
+    th = ppl_sampled_thresholds(spark, sf_dir)
     bucket = (
         F.when(F.col("avg_logprob") >= F.col("t1"), "head")
         .when(
@@ -1600,6 +1625,39 @@ def pipe_perplexity_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return scored.join(F.broadcast(th), "lang").select(
         "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def bigram_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, logp) — the corpus-bigram conditional-probability MODEL
+    itself (the per-bigram table BIGRAM_LM_SQL folds into per-doc
+    scores): logp = round6(ln(c2/c1)) as DECIMAL(18,6), c2 = corpus
+    occurrences of (w1, w2), c1 = occurrences of w1 as a bigram head.
+    The streaming perplexity gate broadcasts this as its FROZEN model;
+    size is vocabulary-bounded (distinct bigrams), the model-size
+    broadcast a production LM-score gate ships to executors."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.split("text", " ").alias("words"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.struct(F.get("words", i).alias("w1"), F.get("words", i + 1).alias("w2")),
+    )
+    occ = (
+        docs.filter(F.size("words") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    return c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
     )
 
 
@@ -1841,4 +1899,125 @@ def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.withColumn("rank", rank).select(
         "doc_id", "n_feats", "dsir_logw", "gumbel_key", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText quality rules (round 11): Rae et al. 2021
+# ("Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", Appendix A1) — the rule battery that became the standard
+# heuristic pre-filter (reused by MassiveText, RefinedWeb, FineWeb,
+# Dolma): word-count bounds, mean-word-length window, symbol-to-word
+# ratio, alphabetic-word ratio, minimum stopword evidence.  Complements
+# pipe_quality_gate (which composes repetition + LM score): these are
+# the cheap per-row rules a pipeline runs FIRST, before anything that
+# needs a model or a shuffle.  Thresholds follow the paper's shape with
+# the word-count floor scaled to this corpus' document lengths (the
+# paper's 50-word floor on web pages ≈ a 30-word floor on these
+# ~60-word synthetic docs); every rule is a pure per-row expression —
+# no shuffle, fully pushed into the scan stage at any corpus size.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _gopher_oracle_sql() -> str:
+    stop_hits = " + ".join(_count_word_sql(_PAD_SQL, w) for w in STOPWORDS)
+    wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    chars = "(length(text) - (length(text) - length(replace(text, ' ', ''))))"
+    n_hash = "(length(text) - length(replace(text, '#', '')))"
+    n_ell = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    alpha = "len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]')))"
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST({wc} AS BIGINT) AS word_count,
+               {chars} / CAST({wc} AS DOUBLE) AS mean_word_len,
+               ({n_hash} + {n_ell}) / CAST({wc} AS DOUBLE) AS symbol_ratio,
+               {alpha} / CAST({wc} AS DOUBLE) AS alpha_word_ratio,
+               CAST({stop_hits} AS BIGINT) AS stopword_hits
+        FROM documents
+    )
+    SELECT doc_id, word_count,
+           CAST(ROUND(mean_word_len, 6) AS DOUBLE) AS mean_word_len,
+           CAST(ROUND(symbol_ratio, 6) AS DOUBLE) AS symbol_ratio,
+           CAST(ROUND(alpha_word_ratio, 6) AS DOUBLE) AS alpha_word_ratio,
+           stopword_hits,
+           word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
+           mean_word_len >= {GOPHER_MIN_MEAN_WLEN!r} AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN!r} AS ok_mean_word_len,
+           symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r} AS ok_symbol_ratio,
+           alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO!r} AS ok_alpha_ratio,
+           stopword_hits >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+           (word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN!r} AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN!r}
+               AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}
+               AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO!r}
+               AND stopword_hits >= {GOPHER_MIN_STOPWORDS} AS passed
+    FROM m
+    """
+
+
+@REG.add(
+    "pipe_gopher_rules",
+    _gopher_oracle_sql(),
+    doc="Gopher/MassiveText quality-rule battery (Rae et al. 2021, "
+    "Appendix A1 — the heuristic pre-filter RefinedWeb/FineWeb/Dolma "
+    "descend from): per document, word-count bounds "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
+    f"[{GOPHER_MIN_MEAN_WLEN}, {GOPHER_MAX_MEAN_WLEN}], symbol-to-word "
+    f"ratio (hash + ellipsis) <= {GOPHER_MAX_SYMBOL_RATIO}, alphabetic-"
+    f"word ratio >= {GOPHER_MIN_ALPHA_RATIO}, and >= "
+    f"{GOPHER_MIN_STOPWORDS} stopword hits — each reported as its own "
+    "flag plus the conjunction, so downstream consumers see WHY a "
+    "document failed (the decision-table idiom of priv_k_anonymity).  "
+    "All comparisons are on doubles both engines derive identically "
+    "from exact integer counts (IEEE division is correctly rounded, so "
+    "no cross-engine boundary exists); reported ratios are 6dp-rounded "
+    "for display only.  Pure per-row expressions: no shuffle, no join, "
+    "fully pushed into the parquet scan at any corpus size.",
+)
+def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(F.expr("replace(text, ' ', '')"))
+    wc = (spaces + 1).cast("long")
+    chars = F.length("text") - spaces
+    mean_wlen = chars / wc.cast("double")
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ell = (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+    symbol_ratio = (n_hash + n_ell) / wc.cast("double")
+    alpha = F.size(F.filter(F.split("text", " "), lambda w: w.rlike("[a-z]")))
+    alpha_ratio = alpha / wc.cast("double")
+    stop_hits = None
+    for w in STOPWORDS:
+        needle = f" {w} "
+        c = (
+            (F.length(_padded(F.col("text")))
+             - F.length(F.expr(f"replace(' ' || text || ' ', '{needle}', '')")))
+            / len(needle)
+        ).cast("long")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    ok_wc = (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+    ok_mwl = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+    ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    ok_stop = stop_hits >= GOPHER_MIN_STOPWORDS
+    return doc.select(
+        "doc_id",
+        wc.alias("word_count"),
+        F.round(mean_wlen, 6).cast("double").alias("mean_word_len"),
+        F.round(symbol_ratio, 6).cast("double").alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).cast("double").alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passed"),
     )

@@ -396,6 +396,10 @@ def main() -> None:
                     "first_s": first,
                     "rerun_s": round(again, 3),
                     "prior_s": round(p, 3),
+                    # load at rerun time (round-10 VERDICT #1: the
+                    # start-only quiet gate is blind to mid-session
+                    # pile-up — record what load this rerun ran under)
+                    "load_1m_at_rerun": (_loadavg() or [0.0])[0],
                 }
                 timings[name] = min(first, round(again, 3))
         return timings
@@ -541,6 +545,7 @@ def main() -> None:
                 "first_s": round(dt, 3),
                 "rerun_s": round(again, 3),
                 "prior_s": round(p, 3),
+                "load_1m_at_rerun": (_loadavg() or [0.0])[0],
             }
             dt = min(dt, again)
         return round(dt, 3), out
