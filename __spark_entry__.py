@@ -79,6 +79,9 @@ _ROUND_NEW: list[str] = [
     # round-11: Gopher/MassiveText heuristic rule battery (Rae et al.
     # 2021 A1) — the per-row pre-filter the quality family lacked
     "pipe_gopher_rules",
+    # round-11: CCNet labeling at ingest — frozen LM + frozen sampled
+    # thresholds, the streaming twin of pipe_perplexity_buckets_sampled
+    "streaming_ppl_gate",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -124,7 +127,6 @@ _FLAGSHIP_REFRESH = [
     "w10_anomaly_zscore",
     "j9_full_outer_reconcile",
     "u6_merge_upsert",
-    "a8_rollup_counts",
     # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
@@ -183,6 +185,7 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "a8_rollup_counts",
     "a11_grouping_sets",
     "emb_quantize_int8",
     "gen_status_histogram",

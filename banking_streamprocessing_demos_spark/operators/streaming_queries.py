@@ -2763,3 +2763,156 @@ def streaming_dp_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_available_now(out_stream, "streaming_dp_release")
     return out.filter(F.col("nation") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming perplexity-bucket gate (round 11: the ingest twin of
+# pipe_perplexity_buckets_sampled — CCNet quality labeling applied the
+# way a crawl pipeline applies it: LM and tercile thresholds FROZEN
+# offline, every arriving document scored and labeled as it lands)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_ppl_oracle() -> str:
+    from .text import _PPL_THRESH_SQL, _avg6_sql, _ppl_bucket_case_sql
+
+    return f"""
+    WITH {_PPL_THRESH_SQL},
+    bmodel AS (
+        SELECT w1, w2,
+               CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY w1)), 6)
+                   AS DECIMAL(18,6)) AS logp
+        FROM (SELECT words[i] AS w1, words[i+1] AS w2
+              FROM (SELECT string_split(text, ' ') AS words FROM documents),
+                   UNNEST(range(1, len(words))) AS t(i))
+        GROUP BY w1, w2
+    ),
+    preplay AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET}, text, lang FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    prbig AS (
+        SELECT doc_id, lang, words[i] AS w1, words[i+1] AS w2
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM preplay),
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    prsc AS (
+        SELECT b.doc_id, b.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               SUM(m.logp) AS t
+        FROM prbig b JOIN bmodel m USING (w1, w2)
+        GROUP BY 1, 2
+    ),
+    pragg AS (
+        SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+               doc_id, lang, n_bigrams,
+               {_avg6_sql("t", "n_bigrams")} AS avg_logprob
+        FROM prsc
+    )
+    SELECT window_start_ms, doc_id, lang, n_bigrams, avg_logprob,
+           {_ppl_bucket_case_sql("avg_logprob")} AS bucket
+    FROM pragg JOIN pth USING (lang)
+    """
+
+
+@REG.add(
+    "streaming_ppl_gate",
+    _streaming_ppl_oracle(),
+    doc="CCNet perplexity labeling at ingest run FOR REAL "
+    "(pipe_perplexity_buckets_sampled's streaming twin — the way a "
+    "crawl pipeline actually applies quality labels: bigram LM and "
+    "per-language tercile thresholds FROZEN offline from the base "
+    "corpus, arrivals scored and bucketed as they land): every "
+    "arriving document's bigrams join the FROZEN broadcast LM table "
+    "(vocabulary-bounded — the model-size broadcast a production "
+    "LM-score gate ships; unseen bigrams drop at the join, exactly the "
+    "frozen-model semantics), a windowed per-doc aggregation sums the "
+    "exact DECIMAL logp contributions, the score is the engine-exact "
+    "integer-micro-unit average (_avg6), and the bucket is the "
+    "broadcast threshold compare (head if score >= t1, middle if >= "
+    "t2).  Late re-ingests are labeled like any arrival (the every-"
+    "10th-doc replay copies land in their own windows with identical "
+    "scores — frozen models are idempotent).  State: one row per "
+    "in-flight (window, doc); the far-future sentinel is built from "
+    "corpus words so its bigrams survive the model join and it closes "
+    "every real window; excluded from the result by doc_id.  "
+    "Hash-matches the frozen-model SQL oracle.",
+)
+def streaming_ppl_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _avg6_spark, bigram_lm_table, ppl_sampled_thresholds
+
+    model = bigram_lm_table(spark, sf_dir).localCheckpoint(eager=True)
+    th = ppl_sampled_thresholds(spark, sf_dir).localCheckpoint(eager=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text", "lang"
+    )
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="the a the a the", lang="en")],
+        schema="doc_id long, text string, lang string",
+    )
+    replay = (
+        docs.unionByName(dups)
+        .unionByName(sentinel)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+    path = _write_sorted_replay(replay, "sppl-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, ingest_ts timestamp"
+        )
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    words = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.struct(
+            F.get(words, i).alias("w1"), F.get(words, i + 1).alias("w2")
+        ),
+    )
+    feats = (
+        stream.filter(F.size(words) >= 2)
+        .select("doc_id", "lang", "ingest_ts", F.explode(pairs).alias("p"))
+        .select("doc_id", "lang", "ingest_ts", "p.w1", "p.w2")
+    )
+    scored = feats.join(F.broadcast(model), ["w1", "w2"])
+    agg = scored.groupBy(
+        F.window("ingest_ts", "1 minute"), "doc_id", "lang"
+    ).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("logp").alias("t"),
+    )
+    out_stream = (
+        agg.select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            _avg6_spark("t", "n_bigrams").alias("avg_logprob"),
+        )
+        .join(F.broadcast(th), "lang")
+        .select(
+            "window_start_ms",
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("t1"), "head")
+            .when(
+                F.col("t2").isNotNull() & (F.col("avg_logprob") >= F.col("t2")),
+                "middle",
+            )
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    out = _run_available_now(out_stream, "streaming_ppl_gate")
+    return out.filter(F.col("doc_id") < SENTINEL_ORD)

@@ -1928,7 +1928,14 @@ GOPHER_MIN_STOPWORDS = 2
 
 
 def _gopher_oracle_sql() -> str:
-    stop_hits = " + ".join(_count_word_sql(_PAD_SQL, w) for w in STOPWORDS)
+    # exact token-membership count, NOT the replace-based needle count
+    # (replace scans non-overlapping: adjacent repeats like "a a" share
+    # the boundary space and undercount — caught by the independent-
+    # reference test; the Gopher rule counts stopword OCCURRENCES)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = (
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({stop_list})))"
+    )
     wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
     chars = "(length(text) - (length(text) - length(replace(text, ' ', ''))))"
     n_hash = "(length(text) - length(replace(text, '#', '')))"
@@ -1993,15 +2000,11 @@ def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol_ratio = (n_hash + n_ell) / wc.cast("double")
     alpha = F.size(F.filter(F.split("text", " "), lambda w: w.rlike("[a-z]")))
     alpha_ratio = alpha / wc.cast("double")
-    stop_hits = None
-    for w in STOPWORDS:
-        needle = f" {w} "
-        c = (
-            (F.length(_padded(F.col("text")))
-             - F.length(F.expr(f"replace(' ' || text || ' ', '{needle}', '')")))
-            / len(needle)
-        ).cast("long")
-        stop_hits = c if stop_hits is None else stop_hits + c
+    # exact token membership (see oracle comment: replace-based needle
+    # counting undercounts adjacent repeats)
+    stop_hits = F.size(
+        F.filter(F.split("text", " "), lambda w: w.isin(*STOPWORDS))
+    ).cast("long")
     ok_wc = (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
     ok_mwl = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
     ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO

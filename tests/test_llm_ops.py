@@ -1653,3 +1653,96 @@ def test_dsir_resample_prefers_heavy_weights(spark):
     mean_sample = sum(all_w[r["doc_id"]] for r in sample) / len(sample)
     mean_all = sum(all_w.values()) / len(all_w)
     assert mean_sample > mean_all
+
+
+def test_streaming_ppl_gate_matches_batch_and_is_idempotent(spark):
+    """Frozen-model contract of the ingest labeler: (1) every ORIGINAL
+    document's (n_bigrams, avg_logprob, bucket) equals the batch
+    sampled-threshold twin's labeling (and the LM score equals
+    text_bigram_lm_score — the frozen model reproduces the batch model
+    on its own corpus); (2) the every-10th-doc re-ingest copies score
+    and label IDENTICALLY to their originals (frozen models are
+    idempotent across arrivals)."""
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        streaming_ppl_gate_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_perplexity_buckets_sampled,
+        text_bigram_lm_score,
+    )
+
+    batch = {
+        r["doc_id"]: (r["avg_logprob"], r["bucket"])
+        for r in pipe_perplexity_buckets_sampled(spark, SF_SMALL).collect()
+    }
+    lm = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in text_bigram_lm_score(spark, SF_SMALL).collect()
+    }
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["bucket"])
+        for r in streaming_ppl_gate_q(spark, SF_SMALL).collect()
+    }
+    originals = {d for d in rows if d < DUP_OFFSET}
+    assert originals == set(batch)  # same scoreable population
+    for d in originals:
+        nb, alp, bucket = rows[d]
+        assert (alp, bucket) == batch[d], d
+        assert (nb, alp) == lm[d], d
+    dups = {d for d in rows if d >= DUP_OFFSET}
+    assert dups  # the replay planted them
+    for d in dups:
+        assert rows[d] == rows[d - DUP_OFFSET], d
+
+
+def test_gopher_rules_match_independent_reference(spark):
+    """Rule battery vs a plain-Python recomputation over the raw text
+    (the two-engines-same-wrong-formula guard), plus the conjunction
+    contract and a both-classes sanity check."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+        pipe_gopher_rules,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    }
+    rows = pipe_gopher_rules(spark, SF_SMALL).collect()
+    assert len(rows) == len(texts)
+    import re
+
+    for r in rows:
+        words = texts[r["doc_id"]].split(" ")
+        wc = len(words)
+        assert r["word_count"] == wc
+        mean_wlen = sum(len(w) for w in words) / wc
+        assert abs(r["mean_word_len"] - mean_wlen) < 1e-6
+        t = texts[r["doc_id"]]
+        sym = (t.count("#") + t.count("...")) / wc
+        assert abs(r["symbol_ratio"] - sym) < 1e-6
+        alpha = sum(1 for w in words if re.search("[a-z]", w)) / wc
+        assert abs(r["alpha_word_ratio"] - alpha) < 1e-6
+        stop = sum(1 for w in words if w in STOPWORDS)
+        assert r["stopword_hits"] == stop, (r["doc_id"], stop, r["stopword_hits"])
+        want = {
+            "ok_word_count": GOPHER_MIN_WORDS <= wc <= GOPHER_MAX_WORDS,
+            "ok_mean_word_len": GOPHER_MIN_MEAN_WLEN <= mean_wlen <= GOPHER_MAX_MEAN_WLEN,
+            "ok_symbol_ratio": sym <= GOPHER_MAX_SYMBOL_RATIO,
+            "ok_alpha_ratio": alpha >= GOPHER_MIN_ALPHA_RATIO,
+            "ok_stopwords": stop >= GOPHER_MIN_STOPWORDS,
+        }
+        for k, v in want.items():
+            assert r[k] == v, (r["doc_id"], k)
+        assert r["passed"] == all(want.values()), r["doc_id"]
+    passed = sum(1 for r in rows if r["passed"])
+    assert 0 < passed < len(rows)  # the thresholds actually discriminate
