@@ -216,8 +216,17 @@ def rank_cells_arrow(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> D
     cmat = cmat / np.array([r["cn"] for r in cents], dtype=np.float64)[:, None]
     k = min(keep, len(cell_ids))
 
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cell_id", pa.int64()), ("rn", pa.int32())]
+    )
+
     def _rank(batches):
         for batch in batches:
+            if batch.num_rows == 0:  # reshape(0, -1) would throw
+                yield pa.record_batch(
+                    [pa.array([], t.type) for t in out_schema], schema=out_schema
+                )
+                continue
             v = batch.column("v")
             mat = np.asarray(v.flatten(), dtype=np.float64).reshape(len(v), -1)
             # row nrm > 0 scales every score equally: ordering unaffected

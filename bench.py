@@ -222,6 +222,16 @@ HEADLINE_V9 = [
     "priv_dp_release",
 ]
 
+HEADLINE_V10 = [
+    # round-11 batch additions (streaming_ppl_gate is exercised by the
+    # driver correctness runs; streaming ops are not re-timed here):
+    # CCNet sampled-threshold buckets (shuffle-free assignment over the
+    # same LM fit as the exact form) and the Gopher rule battery (pure
+    # per-row expressions — the scan-speed floor for the quality family)
+    "pipe_perplexity_buckets_sampled",
+    "pipe_gopher_rules",
+]
+
 
 def _loadavg() -> list[float]:
     """1/5/15-minute load averages — the box-contention evidence the
@@ -338,6 +348,7 @@ def main() -> None:
     names_v7 = [n for n in HEADLINE_V7 if n in qs]
     names_v8 = [n for n in HEADLINE_V8 if n in qs]
     names_v9 = [n for n in HEADLINE_V9 if n in qs]
+    names_v10 = [n for n in HEADLINE_V10 if n in qs]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -426,6 +437,7 @@ def main() -> None:
             "headline_v7_total": payload.get("headline_v7_total"),
             "headline_v8_total": payload.get("headline_v8_total"),
             "headline_v9_total": payload.get("headline_v9_total"),
+            "headline_v10_total": payload.get("headline_v10_total"),
             "pq_stage_split": payload.get("pq_stage_split"),
             "streaming": payload.get("streaming"),
             "streaming_join_variant": payload.get("streaming_join_variant"),
@@ -513,6 +525,11 @@ def main() -> None:
     timings_v9 = run_series(names_v9, passes=1)
     result["headline_v9_total"] = round(sum(timings_v9.values()), 3)
     result["queries_v9"] = timings_v9
+    emit(result)
+
+    timings_v10 = run_series(names_v10, passes=1)
+    result["headline_v10_total"] = round(sum(timings_v10.values()), 3)
+    result["queries_v10"] = timings_v10
     emit(result)
 
     # PQ-family stage split (round-6 VERDICT #4): the v5 walls above are
