@@ -82,6 +82,9 @@ _ROUND_NEW: list[str] = [
     # round-11: CCNet labeling at ingest — frozen LM + frozen sampled
     # thresholds, the streaming twin of pipe_perplexity_buckets_sampled
     "streaming_ppl_gate",
+    # round-11: the adopted BLAS ranking path under the driver hash
+    # gate (sim_ann_ivf at 32 cells — above the floor, arrow-routed)
+    "sim_ann_ivf_arrow",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -126,7 +129,6 @@ _FLAGSHIP_REFRESH = [
     "w5_session_window",
     "w10_anomaly_zscore",
     "j9_full_outer_reconcile",
-    "u6_merge_upsert",
     # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
@@ -185,6 +187,7 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "u6_merge_upsert",
     "a8_rollup_counts",
     "a11_grouping_sets",
     "emb_quantize_int8",

@@ -974,11 +974,19 @@ def dedup_semantic_ivf(
     n_cells: int | None = None,
     probes: int = IVF_DEDUP_PROBES,
 ) -> DataFrame:
-    from .similarity import IVF_CELLS, _dot, _normed, auto_jl_shortlist, rank_cells
+    from .similarity import (
+        IVF_CELLS,
+        _dot,
+        _normed,
+        auto_jl_shortlist,
+        ranked_cells_materialized,
+    )
 
     n = _normed(spark, sf_dir)
     cells = IVF_CELLS if n_cells is None else n_cells
-    ranked = rank_cells(
+    # materialized above the floor: the arrow ranking has no exchange
+    # reuse across the self-join's two consumers (similarity.py)
+    ranked = ranked_cells_materialized(
         n,
         cells,
         keep=probes,

@@ -274,17 +274,27 @@ def rank_cells(
     driver-checked configuration) ranks all cells at full dimension —
     bit-identical to the oracle.
 
-    ROUND-11 ADOPTION (``engine="auto"``): above the oracle-pinned
-    IVF_CELLS floor — exactly where the JL prescreen used to engage —
-    the ranking routes to ``rank_cells_arrow`` instead: EXACT top-keep
-    via one BLAS matmul per Arrow batch, measured ~4.9x faster than
-    both in-SQL shapes at x100 (BENCH_assign_arrow_ab.json) and
-    checksum-identical to the exact assignment, so the JL shortlist's
-    recall approximation is retired from the hot path in the same
-    stroke.  ``engine="sql"`` forces the SQL shapes (the A/B harness
-    and ablations); the driver-checked floor configuration is
-    unchanged either way."""
-    if engine == "auto" and n_cells > IVF_CELLS:
+    ROUND-11 ADOPTION, SCOPED (``engine="auto"``): above the
+    oracle-pinned IVF_CELLS floor, keep=1 ASSIGNMENT rankings route to
+    ``rank_cells_arrow``: EXACT argmax via one BLAS matmul per Arrow
+    batch, measured 4.9x faster on the isolated x100 assignment A/B
+    (BENCH_assign_arrow_ab.json: 27.3 s vs 133.7/122.2 s,
+    checksum-identical to the exact assignment) and 2.7x end-to-end on
+    the assignment-dominated sim_ann_ivf_binary chain (27.7 s vs
+    73.7 s forced-SQL / 78.4 s committed at x100).  keep>1 rankings
+    KEEP the JL-SQL shape: the multi-consumer self-join families
+    (sim_knn_graph, dedup_semantic_ivf, emb_hard_negatives) measured
+    NO end-to-end win under arrow at any point of x1..x100 — their
+    walls are candidate-scoring-bound, the SQL ranking pipelines
+    inside the scan stage and its exchange is reused across both
+    consumers, while the arrow stage pays Arrow transfer of the array
+    column and loses that reuse (both the plain and the
+    localCheckpoint-materialized variants measured slower than the
+    committed JL curves; reject-with-numbers, SCALE.md round-11).
+    ``engine="sql"`` forces the SQL shapes (the A/B harness and
+    ablations); the driver-checked floor configuration is unchanged
+    either way."""
+    if engine == "auto" and n_cells > IVF_CELLS and keep == 1:
         return rank_cells_arrow(n, n_cells, keep)
     cents = _centroids(n, n_cells)
     if jl_shortlist is not None and jl_shortlist < n_cells:
@@ -398,6 +408,24 @@ def rank_cells(
         .filter(F.col("rn") <= keep)
         .select("vec_id", "cell_id", "rn")
     )
+
+
+def ranked_cells_materialized(
+    n: DataFrame, n_cells: int, keep: int, jl_shortlist: int | None = None
+) -> DataFrame:
+    """rank_cells for the multi-consumer self-join families
+    (dedup_semantic_ivf, sim_knn_graph, emb_hard_negatives).  With the
+    round-11 arrow adoption SCOPED to keep=1 (see rank_cells), keep>1
+    rankings are always the JL-SQL shape whose exchange Catalyst
+    reuses across both consumers (ReusedExchange) — so this is now a
+    pass-through kept as the single named entry point for those
+    call sites.  (The round-11 recheck tried routing these families
+    through arrow with a localCheckpoint-materialized skinny ranking:
+    both variants measured SLOWER than the committed JL curves at
+    x1..x100 — their walls are candidate-scoring-bound and the arrow
+    stage pays Arrow transfer + lost pipelining; BENCH_arrow_scale.json,
+    SCALE.md round-11.)"""
+    return rank_cells(n, n_cells, keep=keep, jl_shortlist=jl_shortlist)
 
 
 def assign_cells(n: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
@@ -528,15 +556,16 @@ def probe_cells(q: DataFrame, cents: DataFrame, probes: int) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(topn: int = TOPK) -> str:
+def _ivf_oracle_sql(topn: int = TOPK, n_cells: int = IVF_CELLS, probes: int = IVF_PROBES) -> str:
     """The IVF search oracle cut at ``topn`` — a generator (not a shared
     literal) so consumers needing a different funnel depth (the hybrid
-    rank fusion's top-RRF_DEPTH ANN pool) parameterize instead of doing
+    rank fusion's top-RRF_DEPTH ANN pool) or quantizer sizing (the
+    arrow-path gate query at 32 cells) parameterize instead of doing
     textual surgery on the registered query's SQL."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
-    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_CELLS}),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_cells}),
     assigned AS (
         SELECT vec_id, v, nrm, cell_id FROM (
             SELECT n.vec_id, n.v, n.nrm, c.cell_id,
@@ -554,7 +583,7 @@ def _ivf_oracle_sql(topn: int = TOPK) -> str:
                        ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
                                 c.cell_id) AS rn
             FROM q CROSS JOIN cents c
-        ) WHERE rn <= {IVF_PROBES}
+        ) WHERE rn <= {probes}
     ),
     scored AS (
         SELECT qc.query_id, a.vec_id AS neighbor_id,
@@ -610,6 +639,28 @@ def sim_ann_ivf(
         .filter(F.col("rank") <= topn)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+ARROW_GATE_CELLS = 32  # smallest above-floor sizing: routes to arrow
+
+
+@REG.add(
+    "sim_ann_ivf_arrow",
+    _ivf_oracle_sql(n_cells=ARROW_GATE_CELLS),
+    doc=f"IVF ANN through the ADOPTED BLAS ranking path (round 11): the "
+    f"same search as sim_ann_ivf but sized at {ARROW_GATE_CELLS} cells "
+    "— above the IVF_CELLS floor, so rank_cells routes the corpus "
+    "assignment through rank_cells_arrow (one numpy float64 matmul + "
+    "stable argsort per Arrow batch against the driver-collected "
+    "bounded centroid matrix).  This puts the BLAS path itself under "
+    "the driver's hash gate: the oracle is the plain exact SQL ranking "
+    "at the same sizing, so every assignment, probe, and rerank the "
+    "arrow stage produces is value-hash-checked against DuckDB — the "
+    "cross-engine proof that BLAS association-order ULP never flips a "
+    "rank on this corpus, not just a pytest pin.",
+)
+def sim_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ann_ivf(spark, sf_dir, n_cells=ARROW_GATE_CELLS)
 
 
 def _hyperplane_weight(bit: int, dim: int) -> int:
@@ -929,8 +980,10 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) ->
     # 16-dim scoring with only a shortlist rescored at full dimension;
     # the checked configuration stays exact full-dim.  Shortlist sizing
     # comes from auto_jl_shortlist — the one rule shared with
-    # dedup_semantic_ivf.
-    ranked = rank_cells(
+    # dedup_semantic_ivf.  (Round 11: keep>1 rankings stay JL-SQL — the
+    # arrow route measured slower end-to-end for these self-join
+    # families; see ranked_cells_materialized / rank_cells docstrings.)
+    ranked = ranked_cells_materialized(
         n, n_cells, keep=IVF_PROBES, jl_shortlist=auto_jl_shortlist(n_cells, IVF_PROBES)
     )
     if auto_jl_shortlist(n_cells, IVF_PROBES) is None:
@@ -1249,7 +1302,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELL
         )
     )
     n = e.withColumn("nrm", F.sqrt(_dot("v", "v")))
-    ranked = rank_cells(
+    ranked = ranked_cells_materialized(
         n, n_cells, keep=HN_PROBES, jl_shortlist=auto_jl_shortlist(n_cells, HN_PROBES)
     )
     assigned = (
