@@ -85,6 +85,8 @@ _ROUND_NEW: list[str] = [
     # round-11: the adopted BLAS ranking path under the driver hash
     # gate (sim_ann_ivf at 32 cells — above the floor, arrow-routed)
     "sim_ann_ivf_arrow",
+    # round-11: per-window Gopher rule-failure monitor at ingest
+    "streaming_gopher_gate",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -128,7 +130,6 @@ _FLAGSHIP_REFRESH = [
     "j7_range_join",
     "w5_session_window",
     "w10_anomaly_zscore",
-    "j9_full_outer_reconcile",
     # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
@@ -187,6 +188,7 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "j9_full_outer_reconcile",
     "u6_merge_upsert",
     "a8_rollup_counts",
     "a11_grouping_sets",

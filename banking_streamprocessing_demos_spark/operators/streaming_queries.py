@@ -2916,3 +2916,106 @@ def streaming_ppl_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_available_now(out_stream, "streaming_ppl_gate")
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
+# streaming Gopher-rule gate (round 11: pipe_gopher_rules' ingest twin —
+# the per-window rule-failure monitor a crawl pipeline puts on the
+# firehose: every arrival is flagged by the stateless rule battery and
+# each closing window publishes pass/fail counts per rule, the
+# dashboard row that tells operators WHICH rule is rejecting a batch)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_gopher_oracle() -> str:
+    from .text import _GOPHER_RULES_SQL, _GOPHER_PASS_SQL, _gopher_metrics_sql
+
+    fails = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN NOT {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_{key}"
+        for key, pred in _GOPHER_RULES_SQL.items()
+    )
+    return f"""
+    WITH preplay AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    m AS ({_gopher_metrics_sql("preplay")}),
+    f AS (
+        SELECT {INGEST_BASE_MS} + (doc_id // 60) * 60000 AS window_start_ms,
+               word_count, mean_word_len, symbol_ratio, alpha_word_ratio,
+               stopword_hits, {_GOPHER_PASS_SQL} AS passed
+        FROM m
+    )
+    SELECT window_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+           {fails}
+    FROM f GROUP BY 1
+    """
+
+
+@REG.add(
+    "streaming_gopher_gate",
+    _streaming_gopher_oracle(),
+    doc="Gopher rule battery at ingest run FOR REAL (pipe_gopher_rules' "
+    "streaming twin — the per-window rule-failure monitor a crawl "
+    "pipeline puts on the firehose): every arriving document is "
+    "flagged by the STATELESS per-row rule battery (the identical "
+    "gopher_flagged expressions as the batch query — shared code, the "
+    "two renderings cannot drift), then each closing 1-minute window "
+    "publishes n_docs / n_passed / per-rule failure counts — the "
+    "dashboard row that tells operators WHICH rule is rejecting a "
+    "batch of arrivals.  Late re-ingests are counted in their own "
+    "windows like any arrival.  State: one count cell per in-flight "
+    "window (bounded by the windows in flight, independent of "
+    "arrival volume — the cheapest state shape in the repo); the "
+    "far-future sentinel's window never closes, excluding it by "
+    "construction.  Hash-matches the SQL oracle.",
+)
+def streaming_gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import gopher_flagged
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    sentinel = spark.createDataFrame(
+        [Row(doc_id=SENTINEL_ORD, text="the a sentinel flush marker")],
+        schema="doc_id long, text string",
+    )
+    replay = (
+        docs.unionByName(dups)
+        .unionByName(sentinel)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+        )
+    )
+    path = _write_sorted_replay(replay, "sgopher-docs-", ["ingest_ts", "doc_id"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(path)
+        .withWatermark("ingest_ts", "2 minutes")
+    )
+    flagged = gopher_flagged(stream)
+    agg = flagged.groupBy(F.window("ingest_ts", "1 minute")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("passed").cast("long")).cast("long").alias("n_passed"),
+        F.sum((~F.col("ok_word_count")).cast("long")).cast("long").alias("n_fail_word_count"),
+        F.sum((~F.col("ok_mean_word_len")).cast("long")).cast("long").alias("n_fail_mean_word_len"),
+        F.sum((~F.col("ok_symbol_ratio")).cast("long")).cast("long").alias("n_fail_symbol_ratio"),
+        F.sum((~F.col("ok_alpha_ratio")).cast("long")).cast("long").alias("n_fail_alpha_ratio"),
+        F.sum((~F.col("ok_stopwords")).cast("long")).cast("long").alias("n_fail_stopwords"),
+    )
+    out_stream = agg.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n_docs",
+        "n_passed",
+        "n_fail_word_count",
+        "n_fail_mean_word_len",
+        "n_fail_symbol_ratio",
+        "n_fail_alpha_ratio",
+        "n_fail_stopwords",
+    )
+    return _run_available_now(out_stream, "streaming_gopher_gate")

@@ -1927,11 +1927,16 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
-def _gopher_oracle_sql() -> str:
-    # exact token-membership count, NOT the replace-based needle count
-    # (replace scans non-overlapping: adjacent repeats like "a a" share
-    # the boundary space and undercount — caught by the independent-
-    # reference test; the Gopher rule counts stopword OCCURRENCES)
+def _gopher_metrics_sql(src: str = "documents") -> str:
+    """The per-document metric block over any relation carrying
+    (doc_id, text) — shared by the batch rule battery and the streaming
+    gate oracle (the _DSIR_MODEL_SQL convention).
+
+    Stopword counting is exact token membership, NOT the replace-based
+    needle count (replace scans non-overlapping: adjacent repeats like
+    "a a" share the boundary space and undercount — caught by the
+    independent-reference test; the Gopher rule counts stopword
+    OCCURRENCES)."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     stop_hits = (
         f"len(list_filter(string_split(text, ' '), w -> w IN ({stop_list})))"
@@ -1942,15 +1947,36 @@ def _gopher_oracle_sql() -> str:
     n_ell = "((length(text) - length(replace(text, '...', ''))) / 3)"
     alpha = "len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]')))"
     return f"""
-    WITH m AS (
         SELECT doc_id,
                CAST({wc} AS BIGINT) AS word_count,
                {chars} / CAST({wc} AS DOUBLE) AS mean_word_len,
                ({n_hash} + {n_ell}) / CAST({wc} AS DOUBLE) AS symbol_ratio,
                {alpha} / CAST({wc} AS DOUBLE) AS alpha_word_ratio,
                CAST({stop_hits} AS BIGINT) AS stopword_hits
-        FROM documents
-    )
+        FROM {src}
+    """
+
+
+# per-rule predicates over the metric columns — one rendering shared by
+# the batch oracle (conjunction) and the streaming gate oracle
+# (per-rule failure counts)
+_GOPHER_RULES_SQL = {
+    "word_count": f"(word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+    "mean_word_len": (
+        f"(mean_word_len >= {GOPHER_MIN_MEAN_WLEN!r}"
+        f" AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN!r})"
+    ),
+    "symbol_ratio": f"(symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r})",
+    "alpha_ratio": f"(alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO!r})",
+    "stopwords": f"(stopword_hits >= {GOPHER_MIN_STOPWORDS})",
+}
+
+_GOPHER_PASS_SQL = " AND ".join(_GOPHER_RULES_SQL.values())
+
+
+def _gopher_oracle_sql() -> str:
+    return f"""
+    WITH m AS ({_gopher_metrics_sql()})
     SELECT doc_id, word_count,
            CAST(ROUND(mean_word_len, 6) AS DOUBLE) AS mean_word_len,
            CAST(ROUND(symbol_ratio, 6) AS DOUBLE) AS symbol_ratio,
@@ -1961,11 +1987,7 @@ def _gopher_oracle_sql() -> str:
            symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r} AS ok_symbol_ratio,
            alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO!r} AS ok_alpha_ratio,
            stopword_hits >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
-           (word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-               AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN!r} AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN!r}
-               AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}
-               AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO!r}
-               AND stopword_hits >= {GOPHER_MIN_STOPWORDS} AS passed
+           {_GOPHER_PASS_SQL} AS passed
     FROM m
     """
 
@@ -1990,7 +2012,14 @@ def _gopher_oracle_sql() -> str:
     "fully pushed into the parquet scan at any corpus size.",
 )
 def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = load_table(spark, sf_dir, "documents")
+    return gopher_flagged(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def gopher_flagged(doc: DataFrame) -> DataFrame:
+    """Append the Gopher metric + flag columns to any frame carrying
+    (doc_id, text) — pure per-row expressions (streaming-safe), shared
+    by the batch rule battery and the streaming gate so the two
+    renderings of the rules cannot drift."""
     spaces = F.length("text") - F.length(F.expr("replace(text, ' ', '')"))
     wc = (spaces + 1).cast("long")
     chars = F.length("text") - spaces
@@ -2010,8 +2039,10 @@ def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
     ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
     ok_stop = stop_hits >= GOPHER_MIN_STOPWORDS
+    passthrough = [c for c in doc.columns if c not in ("doc_id", "text")]
     return doc.select(
         "doc_id",
+        *passthrough,
         wc.alias("word_count"),
         F.round(mean_wlen, 6).cast("double").alias("mean_word_len"),
         F.round(symbol_ratio, 6).cast("double").alias("symbol_ratio"),
