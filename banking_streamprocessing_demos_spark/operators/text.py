@@ -1563,15 +1563,21 @@ def _ppl_sampled_oracle_sql() -> str:
     """
 
 
-def ppl_sampled_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ppl_sampled_thresholds(
+    spark: SparkSession, sf_dir: str, scored: DataFrame | None = None
+) -> DataFrame:
     """(lang, t1, t2) — the frozen per-language tercile cut scores from
     the bounded seeded sample.  Shared by pipe_perplexity_buckets_sampled
-    and the streaming gate (which broadcasts it as a frozen model)."""
+    (which passes its own ``scored`` frame so the LM fit's exchanges are
+    built once and reused — ReusedExchange, pinned in test_plans) and
+    the streaming gate (which broadcasts the standalone fit as a frozen
+    model)."""
     from ..functions.expressions import det_hash_hex
 
-    lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = docs.join(lm, "doc_id")
+    if scored is None:
+        lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        scored = docs.join(lm, "doc_id")
     rk = F.row_number().over(
         Window.partitionBy("lang").orderBy(
             det_hash_hex("doc_id", seed=PPLS_SEED), "doc_id"
@@ -1614,7 +1620,9 @@ def pipe_perplexity_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     lm = text_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = docs.join(lm, "doc_id")
-    th = ppl_sampled_thresholds(spark, sf_dir)
+    # pass the SAME scored frame so the LM fit builds once (its
+    # exchanges reused across the sample side and the assignment side)
+    th = ppl_sampled_thresholds(spark, sf_dir, scored=scored)
     bucket = (
         F.when(F.col("avg_logprob") >= F.col("t1"), "head")
         .when(

@@ -535,3 +535,55 @@ def test_dsir_resample_take_ordered(spark):
     df = pipe_dsir_resample(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_gopher_rules_fully_scan_pushed(spark):
+    """The Gopher rule battery is pure per-row expressions: the plan
+    must contain NO exchange, NO join, and NO aggregate — every flag
+    computes inside the scan's codegen stage at any corpus size."""
+    from banking_streamprocessing_demos_spark.operators.text import pipe_gopher_rules
+
+    df = pipe_gopher_rules(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 0, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Aggregate" not in plan, plan[:2000]
+
+
+def test_perplexity_sampled_assignment_is_broadcast(spark):
+    """The sampled-threshold form's CORPUS-WIDE stage must be a
+    broadcast hash join on lang (shuffle-free assignment — the whole
+    point of the CCNet trade): the only exchanges allowed are inside
+    the bounded threshold-fit side (the 120-doc sample and the shared
+    LM fit), never a per-language ranking of all corpus rows."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_perplexity_buckets,
+        pipe_perplexity_buckets_sampled,
+    )
+
+    df = pipe_perplexity_buckets_sampled(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the shared scored frame must build once: its LM-fit exchanges are
+    # reused across the sample side and the assignment side.  AQE defers
+    # reuse detection to runtime, so the pin reads the EXECUTED plan
+    # (the static plan double-counts the shared subtree).
+    df.collect()
+    post = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in post, post[:2000]
+
+
+def test_rank_cells_arrow_plan_is_one_python_stage(spark):
+    """The adopted keep=1 arrow assignment: the ranking side must be a
+    single ArrowEvalPython/MapInArrow stage over the scan — no
+    N x n_cells row blowup, no window exchange on the scoring path."""
+    from banking_streamprocessing_demos_spark.operators.similarity import (
+        _normed,
+        rank_cells_arrow,
+    )
+
+    df = rank_cells_arrow(_normed(spark, SF_SMALL), 64, keep=1)
+    plan = formatted_plan(df)
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
