@@ -117,6 +117,12 @@ HEADLINE = [
     "pipe_dsir_weights",
     "pipe_dsir_resample",
     "priv_dp_release",
+    # round-11: sampled-threshold buckets (broadcast shuffle-free
+    # assignment), the Gopher per-row rule battery (fully scan-pushed),
+    # and the hash-gated BLAS ranking path
+    "pipe_perplexity_buckets_sampled",
+    "pipe_gopher_rules",
+    "sim_ann_ivf_arrow",
 ]
 
 # Operators whose stage boundaries are routed through checkpoint_stage:
