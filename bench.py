@@ -230,6 +230,8 @@ HEADLINE_V10 = [
     # per-row expressions — the scan-speed floor for the quality family)
     "pipe_perplexity_buckets_sampled",
     "pipe_gopher_rules",
+    # the hash-gated BLAS ranking path (32 cells, arrow-routed)
+    "sim_ann_ivf_arrow",
 ]
 
 

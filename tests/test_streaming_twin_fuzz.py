@@ -229,3 +229,99 @@ def test_streaming_dsir_gate_matches_batch_on_random_corpora(spark, corpus) -> N
     for k, v in streamed.items():
         if k >= DUP_OFFSET:
             assert streamed[k - DUP_OFFSET] == v, (k, v)
+
+
+@settings(max_examples=3, deadline=None)
+@given(docs)
+def test_streaming_ppl_gate_matches_batch_on_random_corpora(spark, corpus) -> None:
+    """Streamed per-arrival LM scores and bucket labels equal the batch
+    sampled-threshold twin's under the SAME frozen model + thresholds
+    (originals row-for-row; every late re-ingest labels exactly like
+    its original).  Single-word docs are unscorable on both sides."""
+    import os as _os
+    import tempfile as _tf
+
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        streaming_ppl_gate_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_perplexity_buckets_sampled,
+        text_bigram_lm_score,
+    )
+
+    sf = _tf.mkdtemp(prefix="stwin-ppl-")
+    spark.createDataFrame(
+        [(i, " ".join(ws), "en" if i % 2 == 0 else "de") for i, ws in enumerate(corpus)],
+        "doc_id long, text string, lang string",
+    ).selectExpr(
+        "doc_id", "text", "lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+
+    streamed = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob, r.bucket)
+        for r in streaming_ppl_gate_q(spark, sf).collect()
+    }
+    lm = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in text_bigram_lm_score(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (lm[r.doc_id][0], r.avg_logprob, r.bucket)
+        for r in pipe_perplexity_buckets_sampled(spark, sf).collect()
+    }
+    originals = {k: v for k, v in streamed.items() if k < DUP_OFFSET}
+    assert originals == batch
+    for k, v in streamed.items():
+        if k >= DUP_OFFSET:
+            assert streamed[k - DUP_OFFSET] == v, (k, v)
+
+
+@settings(max_examples=3, deadline=None)
+@given(docs)
+def test_streaming_gopher_gate_matches_batch_on_random_corpora(spark, corpus) -> None:
+    """The per-window rule-failure counts equal an independent
+    recomputation from the batch rule battery (originals + the
+    every-10th re-ingest copies, windowed by arrival minute)."""
+    import os as _os
+    import tempfile as _tf
+    from collections import Counter, defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        DUP_OFFSET,
+        INGEST_BASE_MS,
+        streaming_gopher_gate_q,
+    )
+    from banking_streamprocessing_demos_spark.operators.text import pipe_gopher_rules
+
+    sf = _tf.mkdtemp(prefix="stwin-gopher-")
+    spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source", "length(text) AS n_chars"
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+
+    flags = {r.doc_id: r.asDict() for r in pipe_gopher_rules(spark, sf).collect()}
+    rules = [
+        ("n_fail_word_count", "ok_word_count"),
+        ("n_fail_mean_word_len", "ok_mean_word_len"),
+        ("n_fail_symbol_ratio", "ok_symbol_ratio"),
+        ("n_fail_alpha_ratio", "ok_alpha_ratio"),
+        ("n_fail_stopwords", "ok_stopwords"),
+    ]
+    want: dict[int, Counter] = defaultdict(Counter)
+    for doc_id, f in flags.items():
+        for arrival in (doc_id,) + ((doc_id + DUP_OFFSET,) if doc_id % 10 == 0 else ()):
+            w = INGEST_BASE_MS + (arrival // 60) * 60000
+            want[w]["n_docs"] += 1
+            want[w]["n_passed"] += int(f["passed"])
+            for out_col, ok_col in rules:
+                want[w][out_col] += int(not f[ok_col])
+    got = {
+        r.window_start_ms: {
+            k: r[k] for k in ("n_docs", "n_passed", *[rc for rc, _ in rules])
+        }
+        for r in streaming_gopher_gate_q(spark, sf).collect()
+    }
+    assert got == {w: dict(c) for w, c in want.items()}
