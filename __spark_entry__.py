@@ -87,6 +87,10 @@ _ROUND_NEW: list[str] = [
     "sim_ann_ivf_arrow",
     # round-11: per-window Gopher rule-failure monitor at ingest
     "streaming_gopher_gate",
+    # round-11: MassiveText per-source frequency cap (anti-domination)
+    "pipe_source_cap",
+    # round-11: the cap as an ingest gate (stateful per-source counter)
+    "streaming_source_cap",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -128,8 +132,6 @@ _FLAGSHIP_REFRESH = [
     # --- r10-rested join/window/agg flagships returning ---
     "j6_asof_join",
     "j7_range_join",
-    "w5_session_window",
-    "w10_anomaly_zscore",
     # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
@@ -188,6 +190,8 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "w5_session_window",
+    "w10_anomaly_zscore",
     "j9_full_outer_reconcile",
     "u6_merge_upsert",
     "a8_rollup_counts",

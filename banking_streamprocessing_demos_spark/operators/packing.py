@@ -672,3 +672,62 @@ def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sample_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source frequency cap (round 11): the MassiveText/Gopher "cap
+# documents per domain" rule (Rae et al. 2021) — no single source may
+# contribute more than SOURCE_CAP documents to the corpus, with the
+# survivors chosen by a seeded uniform draw (random-within-domain, the
+# paper's rule; a quality-ordered variant just swaps the rank key).
+# Output is the DECISION TABLE (every doc with its within-source rank
+# and kept flag), the priv_k_anonymity idiom: downstream consumes the
+# decision, audit sees the why.
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 15
+SOURCE_CAP_SEED = "srccap"
+
+
+@REG.add(
+    "pipe_source_cap",
+    f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('{SOURCE_CAP_SEED}-' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS src_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           src_rank <= {SOURCE_CAP} AS kept
+    FROM r
+    """,
+    doc=f"Per-source frequency cap (Rae et al. 2021's MassiveText "
+    f"cap-documents-per-domain rule): at most {SOURCE_CAP} documents "
+    "survive per source, chosen by seeded md5-rank (random-within-"
+    "domain per the paper; doc_id tiebreak) — the anti-domination "
+    "guard that stops one crawl domain from flooding the mixture, "
+    "complementing pipe_domain_mix (which rebalances BETWEEN domains, "
+    "while this caps WITHIN one).  Emitted as the full decision table "
+    "(rank + kept flag per document, the priv_k_anonymity idiom).  "
+    "Scale shape: one hash-partitioned ranking exchange on SKINNY "
+    "(doc_id, source) rows — the text never rides the shuffle; a "
+    "pathological mega-source makes one hot partition, which at "
+    "production scale is pre-split by the standing salting machinery "
+    "(j8) or replaced by the sampled-threshold trick since ranks "
+    "beyond the cap only need 'kept=false'.",
+)
+def pipe_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import det_hash_hex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        det_hash_hex("doc_id", seed=SOURCE_CAP_SEED), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
+    )

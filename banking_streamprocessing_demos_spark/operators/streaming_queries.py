@@ -3019,3 +3019,102 @@ def streaming_gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fail_stopwords",
     )
     return _run_available_now(out_stream, "streaming_gopher_gate")
+
+
+# ---------------------------------------------------------------------------
+# streaming per-source frequency cap (round 11: pipe_source_cap's
+# ONLINE twin — the cap as an ingest gate: a stateful per-source
+# counter admits the first SOURCE_CAP arrivals and flags the rest,
+# the way a crawler actually enforces domain caps)
+# ---------------------------------------------------------------------------
+
+
+def source_cap_stream(stream: DataFrame) -> DataFrame:
+    """The stateful cap operator over any streaming frame carrying
+    (doc_id, source, ingest_ts) — extracted so tests can drive it with
+    their own (multi-file / maxFilesPerTrigger) replays and pin that
+    the per-source counter carries across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .packing import SOURCE_CAP
+
+    def cap_fn(key, pdfs, state: GroupState):
+        (source,) = key
+        n = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ingest_ts", "doc_id"])
+            for doc_id in pdf["doc_id"]:
+                n += 1
+                out.append((int(doc_id), source, n, n <= SOURCE_CAP))
+        state.update((n,))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "source", "src_rank", "kept"]
+        )
+
+    return stream.groupBy("source").applyInPandasWithState(
+        cap_fn,
+        outputStructType="doc_id long, source string, src_rank long, kept boolean",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+
+def _streaming_source_cap_oracle() -> str:
+    from .packing import SOURCE_CAP
+
+    return f"""
+    WITH preplay AS (
+        SELECT doc_id, source FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET}, source FROM documents WHERE doc_id % 10 = 0
+    ),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+        FROM preplay
+    )
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           src_rank <= {SOURCE_CAP} AS kept
+    FROM r
+    """
+
+
+@REG.add(
+    "streaming_source_cap",
+    _streaming_source_cap_oracle(),
+    doc="Per-source frequency cap at ingest run FOR REAL "
+    "(pipe_source_cap's streaming twin — the cap as a crawler actually "
+    "enforces it: a custom stateful operator via applyInPandasWithState "
+    "keyed by source holds ONE counter per source, admits the first "
+    "SOURCE_CAP arrivals, and flags every later one): arrival order IS "
+    "the rank (the online semantics — vs the batch form's seeded "
+    "uniform draw over the complete corpus, the offline semantics; "
+    "both are the paper's rule applied at their respective stages), "
+    "and late RE-INGESTS consume cap slots like any arrival — the "
+    "honest online behavior unless an upstream dedup gate runs first, "
+    "stated here because the batch twin ranks each document once.  "
+    "Rows emit per processed batch (no watermark dependency, "
+    "NoTimeout); within a batch each group sorts by (ingest_ts, "
+    "doc_id) so replay batching cannot reorder ranks (the detector's "
+    "determinism discipline).  State: one bigint per source — bounded "
+    "by source cardinality, the smallest keyed state in the repo.  "
+    "Hash-matches the arrival-order SQL oracle.",
+)
+def streaming_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "source"
+    )
+    replay = docs.unionByName(dups).withColumn(
+        "ingest_ts",
+        F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("doc_id") * 1000),
+    )
+    path = _write_sorted_replay(replay, "ssrccap-docs-", ["ingest_ts", "doc_id"])
+    stream = spark.readStream.schema(
+        "doc_id long, source string, ingest_ts timestamp"
+    ).parquet(path)
+    return _run_available_now(source_cap_stream(stream), "streaming_source_cap")

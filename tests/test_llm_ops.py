@@ -1746,3 +1746,98 @@ def test_gopher_rules_match_independent_reference(spark):
         assert r["passed"] == all(want.values()), r["doc_id"]
     passed = sum(1 for r in rows if r["passed"])
     assert 0 < passed < len(rows)  # the thresholds actually discriminate
+
+
+def test_source_cap_decision_table(spark):
+    """pipe_source_cap contract: every document appears exactly once,
+    within-source ranks are the contiguous 1..group_size sequence, the
+    kept count per source is min(SOURCE_CAP, group size), and the
+    selection replays the seeded md5 order (independent recompute)."""
+    import hashlib
+    from collections import defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.packing import (
+        SOURCE_CAP,
+        SOURCE_CAP_SEED,
+        pipe_source_cap,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    docs = defaultdict(list)
+    for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "source").collect():
+        docs[r["source"]].append(r["doc_id"])
+    rows = pipe_source_cap(spark, SF_SMALL).collect()
+    assert len(rows) == sum(len(v) for v in docs.values())
+    by_src = defaultdict(dict)
+    for r in rows:
+        by_src[r["source"]][r["doc_id"]] = (r["src_rank"], r["kept"])
+    for src, members in docs.items():
+        got = by_src[src]
+        assert set(got) == set(members)
+        ranks = sorted(rk for rk, _ in got.values())
+        assert ranks == list(range(1, len(members) + 1))
+        kept = sum(1 for _, k in got.values() if k)
+        assert kept == min(SOURCE_CAP, len(members))
+        # independent recompute of the seeded order
+        want = sorted(
+            members,
+            key=lambda d: (
+                hashlib.md5(f"{SOURCE_CAP_SEED}-{d}".encode()).hexdigest(),
+                d,
+            ),
+        )
+        for i, d in enumerate(want, start=1):
+            assert got[d] == (i, i <= SOURCE_CAP), (src, d)
+
+
+def test_streaming_source_cap_state_carries_across_batches(spark):
+    """The ONLINE cap's per-source counter must survive micro-batch
+    boundaries: a multi-file replay processed one file per trigger
+    (maxFilesPerTrigger=1) must assign the same arrival-order ranks as
+    the single-batch run — rank = global arrival position, never
+    restarting per batch."""
+    import os
+    import tempfile
+    import uuid
+
+    from banking_streamprocessing_demos_spark.operators.packing import SOURCE_CAP
+    from banking_streamprocessing_demos_spark.operators.streaming_queries import (
+        source_cap_stream,
+    )
+
+    n_docs, n_files = 3 * SOURCE_CAP, 5
+    base = 1_700_000_100_000
+    path = tempfile.mkdtemp(prefix="srccap-multi-")
+    per = n_docs // n_files
+    for f in range(n_files):
+        spark.createDataFrame(
+            [
+                (i, "only", base + i * 1000)
+                for i in range(f * per, (f + 1) * per)
+            ],
+            "doc_id long, source string, ts_ms long",
+        ).selectExpr("doc_id", "source", "timestamp_millis(ts_ms) AS ingest_ts").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = f"srccap_multi_{uuid.uuid4().hex[:8]}"
+    q = (
+        source_cap_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="srccap-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+    got = {r["doc_id"]: (r["src_rank"], r["kept"]) for r in spark.table(name).collect()}
+    assert len(got) == n_docs
+    for d in range(n_docs):
+        assert got[d] == (d + 1, d + 1 <= SOURCE_CAP), (d, got[d])
