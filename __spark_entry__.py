@@ -91,6 +91,8 @@ _ROUND_NEW: list[str] = [
     "pipe_source_cap",
     # round-11: the cap as an ingest gate (stateful per-source counter)
     "streaming_source_cap",
+    # round-11: the governance pipeline composed end-to-end (gates + DP)
+    "priv_release_end_to_end",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -131,7 +133,6 @@ _FLAGSHIP_REFRESH = [
     "streaming_er_match",
     # --- r10-rested join/window/agg flagships returning ---
     "j6_asof_join",
-    "j7_range_join",
     # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
     "st1_streaming_detector",
     "st1_join_variant",
@@ -190,6 +191,7 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "j7_range_join",
     "w5_session_window",
     "w10_anomaly_zscore",
     "j9_full_outer_reconcile",

@@ -290,3 +290,127 @@ def priv_dp_release(
         .cast("long")
         .alias("released_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end governed release (round 11): the three governance rungs
+# composed as ONE publication job — k-anonymity and l-diversity DECIDE
+# which quasi-identifier classes are releasable, the DP mechanism
+# RELEASES the passing classes' per-segment counts, and suppressed
+# classes surface with NULL released counts (the audit sees the why:
+# the decision-table idiom end-to-end).
+# ---------------------------------------------------------------------------
+
+
+def _release_e2e_oracle() -> str:
+    from ..functions.expressions import hex4_sql
+
+    u16 = hex4_sql(
+        "md5('dpe-' || CAST(nation AS VARCHAR) || '-' "
+        "|| CAST(bal_bucket AS VARCHAR) || '-' || segment)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(FLOOR(c_acctbal / {BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+               c_mktsegment AS segment
+        FROM customer
+    ),
+    cell AS (
+        SELECT nation, bal_bucket, segment, COUNT(*) AS n
+        FROM q GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT nation, bal_bucket, segment, n,
+               SUM(n) OVER (PARTITION BY nation, bal_bucket) AS class_size,
+               COUNT(*) OVER (PARTITION BY nation, bal_bucket) AS distinct_segments
+        FROM cell
+    ),
+    gated AS (
+        SELECT *,
+               class_size >= {K_ANON} AND distinct_segments >= {L_DIVERSE} AS releasable,
+               {u16} AS u16
+        FROM cls
+    )
+    SELECT nation, bal_bucket, segment,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(distinct_segments AS BIGINT) AS distinct_segments,
+           releasable,
+           CASE WHEN releasable
+                THEN CAST(GREATEST(n + {_dp_noise_case_sql()}, 0) AS BIGINT)
+                ELSE NULL END AS released_count
+    FROM gated
+    """
+
+
+@REG.add(
+    "priv_release_end_to_end",
+    _release_e2e_oracle(),
+    doc=f"End-to-end governed release: the full governance pipeline as "
+    "ONE job — per (nation, balance-bucket) quasi-identifier class, "
+    f"k-anonymity (class_size >= {K_ANON}) AND l-diversity (distinct "
+    f"segments >= {L_DIVERSE}) gate the class, and passing classes "
+    "publish their per-segment counts through the seeded bounded "
+    "two-sided-geometric DP mechanism (priv_dp_release's arithmetic, "
+    "integer-exact cross-engine); suppressed classes surface with NULL "
+    "released counts and their gate stats, so the audit table shows "
+    "WHY every cell was or wasn't published (the decision-table idiom "
+    "composed end-to-end, the governance mirror of "
+    "pipe_curate_end_to_end).  Same privacy fine print as "
+    "priv_dp_release (module comment): (epsilon, delta) from the "
+    "folded tails; the deterministic seed is the parity device — "
+    "production passes secret randomness.  Scale shape: one grouped "
+    "count + two window aggregates over the CELL table (bounded by "
+    "class-space cardinality, not record volume) + in-row CASE — "
+    "nothing joins, nothing collected.",
+)
+def priv_release_end_to_end(
+    spark: SparkSession, sf_dir: str, seed: str = "dpe"
+) -> DataFrame:
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("long").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cell = q.groupBy("nation", "bal_bucket", "segment").agg(F.count("*").alias("n"))
+    wcls = Window.partitionBy("nation", "bal_bucket")
+    cls = cell.select(
+        "nation",
+        "bal_bucket",
+        "segment",
+        "n",
+        F.sum("n").over(wcls).cast("long").alias("class_size"),
+        F.count("*").over(wcls).cast("long").alias("distinct_segments"),
+    )
+    releasable = (F.col("class_size") >= K_ANON) & (
+        F.col("distinct_segments") >= L_DIVERSE
+    )
+    # explicit '-' separators match the oracle's rendering (det_hash_hex
+    # concatenates columns without separators; ambiguity like
+    # (nation=1, bucket=23) vs (nation=12, bucket=3) must not collide)
+    u16 = hex4_to_int(
+        det_hash_hex(
+            F.col("nation").cast("string"),
+            F.lit("-"),
+            F.col("bal_bucket").cast("string"),
+            F.lit("-"),
+            F.col("segment"),
+            seed=seed,
+        )
+    )
+    gated = cls.withColumn("releasable", releasable).withColumn("u16", u16)
+    released = F.when(
+        F.col("releasable"),
+        F.greatest(F.col("n") + F.expr(_dp_noise_case_sql()), F.lit(0)).cast("long"),
+    )
+    return gated.select(
+        "nation",
+        "bal_bucket",
+        "segment",
+        "class_size",
+        "distinct_segments",
+        "releasable",
+        released.alias("released_count"),
+    )

@@ -12,7 +12,7 @@ from banking_streamprocessing_demos_spark.operators.privacy import (
     priv_k_anonymity,
 )
 from pyspark.sql import functions as F
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_k_anonymity_ladder_monotone_and_level_rule(spark):
@@ -256,3 +256,57 @@ def test_dp_folded_tail_delta_is_small_and_documented():
     for k in (-DP_NOISE_CAP, DP_NOISE_CAP):
         expect = base * alpha ** abs(k) + delta / 2
         assert abs(widths[k] / 65536 - expect) < 2 / 65536, (k, widths[k])
+
+
+def test_release_end_to_end_gates_and_noise(spark):
+    """The composed governance release: releasable == (k-anonymity AND
+    l-diversity) recomputed independently per class; released counts
+    exist exactly for releasable cells and sit within +-CAP of the true
+    cell count; suppressed cells carry NULL.  Runs at sf0.01: the
+    sf0.001 customer table (150 rows over ~150 classes) suppresses
+    everything, leaving the released branch unexercised."""
+    from collections import Counter, defaultdict
+
+    from banking_streamprocessing_demos_spark.operators.privacy import (
+        BAL_BUCKET,
+        DP_NOISE_CAP,
+        K_ANON,
+        L_DIVERSE,
+        priv_release_end_to_end,
+    )
+    from banking_streamprocessing_demos_spark.sources.tables import load_table
+
+    import math
+
+    true_cells: Counter = Counter()
+    segs = defaultdict(set)
+    for r in (
+        load_table(spark, SF_MEDIUM, "customer")
+        .select("c_nationkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    ):
+        cls = (int(r["c_nationkey"]), math.floor(r["c_acctbal"] / BAL_BUCKET))
+        true_cells[(cls, r["c_mktsegment"])] += 1
+        segs[cls].add(r["c_mktsegment"])
+    class_size = Counter()
+    for (cls, _seg), n in true_cells.items():
+        class_size[cls] += n
+
+    rows = priv_release_end_to_end(spark, SF_MEDIUM).collect()
+    assert len(rows) == len(true_cells)
+    saw_released = saw_suppressed = 0
+    for r in rows:
+        cls = (r["nation"], r["bal_bucket"])
+        n = true_cells[(cls, r["segment"])]
+        assert r["class_size"] == class_size[cls]
+        assert r["distinct_segments"] == len(segs[cls])
+        want_ok = class_size[cls] >= K_ANON and len(segs[cls]) >= L_DIVERSE
+        assert r["releasable"] == want_ok, (cls, r["segment"])
+        if want_ok:
+            saw_released += 1
+            assert r["released_count"] is not None
+            assert max(0, n - DP_NOISE_CAP) <= r["released_count"] <= n + DP_NOISE_CAP
+        else:
+            saw_suppressed += 1
+            assert r["released_count"] is None
+    assert saw_released and saw_suppressed  # both branches exercised
