@@ -232,6 +232,10 @@ HEADLINE_V10 = [
     "pipe_gopher_rules",
     # the hash-gated BLAS ranking path (32 cells, arrow-routed)
     "sim_ann_ivf_arrow",
+    # per-source frequency cap (skinny ranking exchange)
+    "pipe_source_cap",
+    # the composed governance release (grouped count + two windows)
+    "priv_release_end_to_end",
 ]
 
 
