@@ -93,6 +93,8 @@ _ROUND_NEW: list[str] = [
     "streaming_source_cap",
     # round-11: the governance pipeline composed end-to-end (gates + DP)
     "priv_release_end_to_end",
+    # round-11: Gopher repetition thresholds over text_repetition
+    "pipe_gopher_repetition",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -123,7 +125,6 @@ _FLAGSHIP_REFRESH = [
     "sim_ann_sq8",
     "sim_ann_lsh",
     "sim_knn_graph",
-    "emb_hard_negatives",
     # --- r10-rested streaming twins returning ---
     "streaming_minhash_dedup",
     "streaming_token_histogram",
@@ -191,6 +192,7 @@ _DEMOTED_TAIL = [
     "sim_ann_ivf_binary",
     "streaming_temperature_mix",
     # --- r10 window earners resting (recalls + r8 earners) ---
+    "emb_hard_negatives",
     "j7_range_join",
     "w5_session_window",
     "w10_anomaly_zscore",

@@ -2063,3 +2063,73 @@ def gopher_flagged(doc: DataFrame) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (round 11, part 2 of the Rae et al. 2021 A1
+# battery): the REPETITION thresholds over text_repetition's signals —
+# duplicate-word fraction, most-frequent-word fraction, duplicate-
+# 2-gram fraction — composing the existing signal query the way
+# pipe_gopher_rules composes the per-row shape rules.  Thresholds keep
+# the paper's form with cut points sited at this corpus' upper deciles
+# (the paper's line/paragraph rules have no analog in a single-line
+# synthetic corpus; word/2-gram fractions are its A1 n-gram family).
+# ---------------------------------------------------------------------------
+
+GOPHER_MAX_DUP_WORD_FRAC = 0.6
+GOPHER_MAX_TOP_WORD_FRAC = 0.12
+GOPHER_MAX_DUP_2GRAM_FRAC = 0.05
+
+_GOPHER_REP_RULES_SQL = {
+    "dup_word": f"(dup_word_frac <= {GOPHER_MAX_DUP_WORD_FRAC!r})",
+    "top_word": f"(top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC!r})",
+    "dup_2gram": f"(dup_2gram_frac <= {GOPHER_MAX_DUP_2GRAM_FRAC!r})",
+}
+
+
+def _gopher_rep_oracle() -> str:
+    rep = REG.queries["text_repetition"].oracle
+    flags = ",\n           ".join(
+        f"{pred} AS ok_{key}" for key, pred in _GOPHER_REP_RULES_SQL.items()
+    )
+    conj = " AND ".join(_GOPHER_REP_RULES_SQL.values())
+    return f"""
+    WITH rep AS ({rep})
+    SELECT doc_id, dup_word_frac, top_word_frac, dup_2gram_frac,
+           {flags},
+           {conj} AS passed
+    FROM rep
+    """
+
+
+@REG.add(
+    "pipe_gopher_repetition",
+    _gopher_rep_oracle(),
+    doc=f"Gopher repetition rules (Rae et al. 2021 A1, the n-gram "
+    "repetition family — part 2 of the battery after "
+    "pipe_gopher_rules' shape rules): duplicate-word fraction <= "
+    f"{GOPHER_MAX_DUP_WORD_FRAC}, most-frequent-word fraction <= "
+    f"{GOPHER_MAX_TOP_WORD_FRAC}, duplicate-2-gram fraction <= "
+    f"{GOPHER_MAX_DUP_2GRAM_FRAC} — each its own flag plus the "
+    "conjunction (the decision-table idiom), composed over "
+    "text_repetition's signals (the oracle embeds that query's "
+    "registered SQL verbatim, so the two renderings cannot drift).  "
+    "The compares run on the 6dp-rounded doubles both engines derive "
+    "identically.  Scale shape inherits text_repetition's: in-row "
+    "higher-order-function work, scan -> project, zero shuffles.",
+)
+def pipe_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = text_repetition(spark, sf_dir)
+    ok_dup = F.col("dup_word_frac") <= GOPHER_MAX_DUP_WORD_FRAC
+    ok_top = F.col("top_word_frac") <= GOPHER_MAX_TOP_WORD_FRAC
+    ok_2g = F.col("dup_2gram_frac") <= GOPHER_MAX_DUP_2GRAM_FRAC
+    return rep.select(
+        "doc_id",
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_2gram_frac",
+        ok_dup.alias("ok_dup_word"),
+        ok_top.alias("ok_top_word"),
+        ok_2g.alias("ok_dup_2gram"),
+        (ok_dup & ok_top & ok_2g).alias("passed"),
+    )

@@ -236,6 +236,8 @@ HEADLINE_V10 = [
     "pipe_source_cap",
     # the composed governance release (grouped count + two windows)
     "priv_release_end_to_end",
+    # repetition thresholds over text_repetition (in-row, zero shuffles)
+    "pipe_gopher_repetition",
 ]
 
 
