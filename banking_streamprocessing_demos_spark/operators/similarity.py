@@ -217,19 +217,39 @@ def rank_cells_arrow(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> D
     produces over its all-NaN cosines — _normed upstream never emits
     zero norms for the shipped corpora, so this is defensive parity,
     not a live path."""
+    cell_ids, cmat = collect_centroid_matrix(_centroids(n, n_cells))
+    return n.select("vec_id", "v", "nrm").mapInArrow(
+        arrow_rank_kernel(cell_ids, cmat, keep), "vec_id long, cell_id long, rn int"
+    )
+
+
+def collect_centroid_matrix(cents: DataFrame):
+    """Driver-side (cell_ids, normalized centroid matrix) from any
+    (cell_id, cv, cn) frame — the BOUNDED model-scale collect the BLAS
+    ranking paths close over (n_cells rows, ~800 KB at x100)."""
+    import numpy as np
+
+    rows = cents.orderBy("cell_id").collect()  # bounded: n_cells rows
+    cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cmat = cmat / np.array([r["cn"] for r in rows], dtype=np.float64)[:, None]
+    return cell_ids, cmat
+
+
+def arrow_rank_kernel(cell_ids, cmat, keep: int = 1):
+    """The mapInArrow batch function ranking (vec_id, v, nrm) batches
+    against a driver-collected normalized centroid matrix — one numpy
+    float64 matmul + stable argsort per Arrow batch, the exact
+    (cosine desc, cell_id asc) ordering contract.  Factored out of
+    ``rank_cells_arrow`` (round 12) so the STREAMING ingest-assignment
+    path can run the identical kernel over arriving vectors
+    (mapInArrow is a stateless streaming-supported operation): batch
+    index build and incremental index maintenance then share one
+    scoring code path and cannot drift."""
     import numpy as np
     import pyarrow as pa
 
-    cents = (
-        _centroids(n, n_cells)
-        .orderBy("cell_id")
-        .collect()  # bounded: n_cells rows (see docstring)
-    )
-    cell_ids = np.array([r["cell_id"] for r in cents], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in cents], dtype=np.float64)
-    cmat = cmat / np.array([r["cn"] for r in cents], dtype=np.float64)[:, None]
     k = min(keep, len(cell_ids))
-
     out_schema = pa.schema(
         [("vec_id", pa.int64()), ("cell_id", pa.int64()), ("rn", pa.int32())]
     )
@@ -262,9 +282,7 @@ def rank_cells_arrow(n: DataFrame, n_cells: int = IVF_CELLS, keep: int = 1) -> D
                 names=["vec_id", "cell_id", "rn"],
             )
 
-    return n.select("vec_id", "v", "nrm").mapInArrow(
-        _rank, "vec_id long, cell_id long, rn int"
-    )
+    return _rank
 
 
 def rank_cells(

@@ -125,6 +125,29 @@ def main() -> None:
             assigned = scored.groupBy("vec_id").agg(best).select(
                 "vec_id", (-F.col("b.neg_cell")).alias("cell_id")
             )
+        elif variant == "arrow":
+            # round-12 (VERDICT r11 "Next round" #3): the ADOPTED BLAS
+            # kernel run over the stream — the identical mapInArrow
+            # batch function the batch rank_cells_arrow path ships
+            # (one numpy float64 matmul + stable argsort per Arrow
+            # batch against the driver-collected centroid matrix);
+            # mapInArrow is a stateless streaming-supported op, so
+            # ingest assignment and batch index build share one
+            # scoring code path
+            from banking_streamprocessing_demos_spark.operators.similarity import (
+                arrow_rank_kernel,
+                collect_centroid_matrix,
+            )
+
+            cell_ids, cmat = collect_centroid_matrix(cents.drop("one"))
+            assigned = (
+                stream.select("vec_id", "v", "nrm")
+                .mapInArrow(
+                    arrow_rank_kernel(cell_ids, cmat, keep=1),
+                    "vec_id long, cell_id long, rn int",
+                )
+                .select("vec_id", "cell_id")
+            )
         else:
             # in-row argmax (similarity.assign_cells_inrow's expression,
             # inlined over the streaming source): transform the broadcast
@@ -179,13 +202,23 @@ def main() -> None:
         "inrow_small_batch": _run("inrow", mft=2),
         "inrow_large_batch": _run("inrow", mft=8),
         "join_agg_small_batch": _run("join_agg", mft=2),
+        "arrow_small_batch": _run("arrow", mft=2),
+        "arrow_large_batch": _run("arrow", mft=8),
     }
-    small, large = results["inrow_small_batch"], results["inrow_large_batch"]
-    d_rows = large["rows_per_batch"] - small["rows_per_batch"]
-    marginal_ms = (
-        round((large["avg_batch_wall_s"] - small["avg_batch_wall_s"]) / d_rows * 1000, 3)
-        if d_rows > 0
-        else None
+
+    def _marginal(small, large):
+        d_rows = large["rows_per_batch"] - small["rows_per_batch"]
+        if d_rows <= 0:
+            return None
+        return round(
+            (large["avg_batch_wall_s"] - small["avg_batch_wall_s"]) / d_rows * 1000, 3
+        )
+
+    marginal_ms = _marginal(
+        results["inrow_small_batch"], results["inrow_large_batch"]
+    )
+    marginal_ms_arrow = _marginal(
+        results["arrow_small_batch"], results["arrow_large_batch"]
     )
     payload = {
         "metric": "ivf_assign_incremental_x100",
@@ -198,6 +231,13 @@ def main() -> None:
         "marginal_events_per_sec_inrow": int(1000 / marginal_ms) if marginal_ms else None,
         "implied_full_corpus_assign_s_marginal": (
             round(n_vectors * marginal_ms / 1000, 1) if marginal_ms else None
+        ),
+        "marginal_ms_per_vector_arrow": marginal_ms_arrow,
+        "marginal_events_per_sec_arrow": (
+            int(1000 / marginal_ms_arrow) if marginal_ms_arrow else None
+        ),
+        "implied_full_corpus_assign_s_marginal_arrow": (
+            round(n_vectors * marginal_ms_arrow / 1000, 1) if marginal_ms_arrow else None
         ),
         "batch_assign_reference_s": BATCH_ASSIGN_REFERENCE_S,
         "protocol": "availableNow file replay, 40 source files, "
