@@ -77,6 +77,13 @@ _ROUND_NEW: list[str] = [
     # GPT-3/CCNet deployment shape — streaming_ppl_gate's machinery
     # with a weight vector + bias instead of an LM + thresholds)
     "streaming_quality_classifier",
+    # round-12: LAION-style cross-modal alignment gate (CLIP-score
+    # filter over precomputed shared-space embeddings, planted
+    # mis-captioned pairs)
+    "mm_text_image_align",
+    # round-12: the alignment gate at ingest (stateless stream-static
+    # CLIP-score filter, frozen encoder side)
+    "streaming_mm_align",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -137,8 +144,6 @@ _FLAGSHIP_REFRESH = [
     "text_tfidf_topk",
     "pipe_bpe_merges",
     "pipe_curate_end_to_end",
-    "sketch_hll_distinct",
-    "streaming_doc_dedup",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -154,6 +159,8 @@ _ROUND_OVERFLOW: list[str] = [
 # Still hash-verified locally every round via tools/check_correctness.py
 # -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    "sketch_hll_distinct",
+    "streaming_doc_dedup",
     "er_blocked_match",
     "streaming_dsir_gate",
     "streaming_dp_release",

@@ -682,3 +682,171 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared_chunks") / F.least("na", "nb").cast("double"), 6
         ).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal alignment filter (round 12, VERDICT r11 "Next round" #4):
+# the LAION-style CLIP-score gate (Radford et al. 2021 CLIP; Schuhmann
+# et al. 2021 LAION-400M, which kept an image-text pair iff the CLIP
+# cosine cleared 0.3) — the standard multimodal curation op the family
+# lacked: dedup relates image to image, this relates image to TEXT.
+# Production shape: both towers run OFFLINE (GPU encoders, out of
+# Spark's scope exactly like the codec decode above); the engine
+# consumes PRECOMPUTED embeddings and the filter is a join + cosine +
+# threshold — which is how LAION itself ran (CLIP inference first,
+# filtering over the stored embeddings after).  Here the embeddings
+# table plays the shared CLIP space: the image tower's vector for
+# media_id is its embeddings row; the caption tower's vector is the
+# SAME row plus a small seeded per-dimension perturbation (two towers
+# agree up to encoder noise on a true pair — the deterministic stand-in
+# for "both encoders saw the same concept"); mis-captioned pairs are
+# PLANTED by shifting every MM_ALIGN_EVERY-th caption onto a different
+# image, and the gate's job is to drop exactly those.
+# ---------------------------------------------------------------------------
+
+MM_ALIGN_EVERY = 7  # every 7th pair (doc_id % 7 == MM_ALIGN_RESIDUE) is mis-captioned
+MM_ALIGN_RESIDUE = 3
+MM_ALIGN_SHIFT = 13
+MM_ALIGN_NOISE = 0.05  # per-dim caption-tower noise amplitude
+MM_ALIGN_THRESHOLD = 0.5  # on the 6dp-rounded cosine (LAION used 0.3 for CLIP B/32)
+MM_ALIGN_SEED = "mmalign"
+
+
+def _mm_align_sql() -> str:
+    """The pair + two-tower + cosine CTE block — shared by the batch
+    oracle and the streaming gate's oracle (the _DSIR_MODEL_SQL
+    convention)."""
+    from ..functions.expressions import hex4_sql
+    from .similarity import DIMS
+
+    u = hex4_sql(
+        f"md5('{MM_ALIGN_SEED}-' || CAST(p.caption_id AS VARCHAR) || '-' || CAST(d AS VARCHAR))"
+    )
+    return f"""me AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mn AS (SELECT COUNT(*) AS n_docs FROM documents),
+    mpairs AS (
+        SELECT doc_id AS caption_id,
+               CASE WHEN doc_id % {MM_ALIGN_EVERY} = {MM_ALIGN_RESIDUE}
+                    THEN (doc_id + {MM_ALIGN_SHIFT}) % mn.n_docs
+                    ELSE doc_id END AS image_id
+        FROM documents CROSS JOIN mn
+    ),
+    mt AS (
+        SELECT p.caption_id, p.image_id,
+               list_transform(range({DIMS}),
+                   d -> e.v[d + 1] + {MM_ALIGN_NOISE!r} * (({u} / 65536.0) * 2 - 1)
+               ) AS tv
+        FROM mpairs p JOIN me e ON e.vec_id = p.caption_id
+    ),
+    msc AS (
+        SELECT t.caption_id, t.image_id,
+               ROUND(list_dot_product(t.tv, i.v)
+                     / (SQRT(list_dot_product(t.tv, t.tv))
+                        * SQRT(list_dot_product(i.v, i.v))), 6) AS align_cos
+        FROM mt t JOIN me i ON i.vec_id = t.image_id
+    )"""
+
+
+def _mm_align_oracle() -> str:
+    return f"""
+    WITH {_mm_align_sql()}
+    SELECT caption_id, image_id, align_cos,
+           align_cos >= {MM_ALIGN_THRESHOLD!r} AS kept
+    FROM msc
+    """
+
+
+def caption_tower(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Append the caption-tower vector ``tv`` to a (caption_id,
+    image_id, ...) pairs frame: the caption's embedding row plus the
+    seeded per-dimension perturbation (see module comment).  Shared by
+    the batch gate and the streaming twin so the tower cannot drift."""
+    from ..functions.expressions import hex4_to_int
+    from .similarity import DIMS
+
+    def noisy(d):
+        u = hex4_to_int(
+            F.md5(
+                F.concat(
+                    F.lit(f"{MM_ALIGN_SEED}-"),
+                    F.col("caption_id").cast("string"),
+                    F.lit("-"),
+                    d.cast("string"),
+                )
+            )
+        )
+        return F.get("v", d) + MM_ALIGN_NOISE * ((u / 65536.0) * 2 - 1)
+
+    return (
+        pairs.join(emb.select(F.col("vec_id").alias("caption_id"), "v"), "caption_id")
+        .withColumn(
+            "tv",
+            F.transform(F.sequence(F.lit(0), F.lit(DIMS - 1)), noisy),
+        )
+        .drop("v")
+    )
+
+
+@REG.add(
+    "mm_text_image_align",
+    _mm_align_oracle(),
+    doc="Cross-modal alignment gate (Radford et al. 2021 CLIP; "
+    "Schuhmann et al. 2021 LAION — keep an image-text pair iff the "
+    "two towers' cosine clears a threshold): PRECOMPUTED shared-space "
+    "embeddings (the LAION production shape — encoders run offline, "
+    "the engine filters over stored vectors), caption tower = the "
+    "image's embedding plus seeded per-dim encoder noise, every "
+    f"{MM_ALIGN_EVERY}th caption PLANTED onto the wrong image, "
+    f"decision = 6dp-rounded cosine >= {MM_ALIGN_THRESHOLD} (the "
+    "round-then-compare float-parity treatment).  Separation is "
+    "structural: true pairs score ~0.97 (unit vectors + noise), "
+    "mis-captioned pairs score ~N(0, 1/8) (independent 64-dim unit "
+    "vectors), so the gate drops exactly the planted mismatches — "
+    "pinned by the recall test.  Scale shape: two equi joins of the "
+    "skinny pairs frame against the embeddings table (at 100 TB both "
+    "sides co-partition on vec_id — bucket-join, no broadcast of the "
+    "big side), per-row vector arithmetic inside the scan stage, no "
+    "window, nothing collected.",
+)
+def mm_text_image_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("caption_id"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "caption_id",
+            F.when(
+                F.col("caption_id") % MM_ALIGN_EVERY == MM_ALIGN_RESIDUE,
+                (F.col("caption_id") + MM_ALIGN_SHIFT) % F.col("n_docs"),
+            )
+            .otherwise(F.col("caption_id"))
+            .alias("image_id"),
+        )
+    )
+    t = caption_tower(pairs, emb)
+    scored = t.join(
+        emb.select(F.col("vec_id").alias("image_id"), F.col("v").alias("iv")),
+        "image_id",
+    ).select(
+        "caption_id",
+        "image_id",
+        F.round(
+            _dot("tv", "iv")
+            / (F.sqrt(_dot("tv", "tv")) * F.sqrt(_dot("iv", "iv"))),
+            6,
+        ).alias("align_cos"),
+    )
+    return scored.select(
+        "caption_id",
+        "image_id",
+        "align_cos",
+        (F.col("align_cos") >= MM_ALIGN_THRESHOLD).alias("kept"),
+    )

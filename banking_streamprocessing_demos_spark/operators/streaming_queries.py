@@ -3263,3 +3263,108 @@ def streaming_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = _run_available_now(out_stream, "streaming_quality_classifier")
     return out.filter(F.col("doc_id") < SENTINEL_ORD)
+
+
+# ---------------------------------------------------------------------------
+# streaming cross-modal alignment gate (round 12: mm_text_image_align's
+# ingest twin — the CLIP-score filter applied the way LAION's crawl
+# actually applies it: encoder output is precomputed/static, pairs
+# arrive, each is scored and kept/dropped as it lands; fully STATELESS,
+# so no watermark and no sentinel — every arrival decides alone)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_mm_align_oracle() -> str:
+    from .multimodal import MM_ALIGN_THRESHOLD, _mm_align_sql
+
+    return f"""
+    WITH {_mm_align_sql()},
+    marr AS (
+        SELECT caption_id, caption_id AS ts_id FROM mpairs
+        UNION ALL
+        SELECT caption_id, caption_id + {DUP_OFFSET} FROM mpairs
+        WHERE caption_id % 10 = 0
+    )
+    SELECT {INGEST_BASE_MS} + (a.ts_id // 60) * 60000 AS window_start_ms,
+           s.caption_id, s.image_id, s.align_cos,
+           s.align_cos >= {MM_ALIGN_THRESHOLD!r} AS kept
+    FROM msc s JOIN marr a USING (caption_id)
+    """
+
+
+@REG.add(
+    "streaming_mm_align",
+    _streaming_mm_align_oracle(),
+    doc="Cross-modal alignment gate at ingest run FOR REAL "
+    "(mm_text_image_align's streaming twin): arriving image-text pairs "
+    "join the STATIC precomputed embedding table twice (stream-static "
+    "equi joins — the frozen-encoder semantics; at cluster scale the "
+    "static side is the bucketed embedding store), the caption tower's "
+    "seeded perturbation and the 6dp-rounded cosine threshold decide "
+    "keep/drop PER ARRIVAL — fully stateless, so the query carries no "
+    "watermark, no window state, and needs no sentinel: the cheapest "
+    "streaming shape in the repo after the rule gates.  Late "
+    "re-ingests (every 10th pair replayed with a shifted ingest_ts) "
+    "land in their own minute window with the identical verdict — "
+    "frozen gates are idempotent.  Hash-matches the SQL oracle.",
+)
+def streaming_mm_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import MM_ALIGN_THRESHOLD, caption_tower
+    from .similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    from .multimodal import MM_ALIGN_EVERY, MM_ALIGN_RESIDUE, MM_ALIGN_SHIFT
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("caption_id"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "caption_id",
+            F.when(
+                F.col("caption_id") % MM_ALIGN_EVERY == MM_ALIGN_RESIDUE,
+                (F.col("caption_id") + MM_ALIGN_SHIFT) % F.col("n_docs"),
+            )
+            .otherwise(F.col("caption_id"))
+            .alias("image_id"),
+        )
+    )
+    dups = pairs.filter(F.col("caption_id") % 10 == 0).select(
+        "caption_id", "image_id", (F.col("caption_id") + DUP_OFFSET).alias("ts_id")
+    )
+    replay = (
+        pairs.select("caption_id", "image_id", F.col("caption_id").alias("ts_id"))
+        .unionByName(dups)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_millis(F.lit(INGEST_BASE_MS) + F.col("ts_id") * 1000),
+        )
+        .drop("ts_id")
+    )
+    path = _write_sorted_replay(replay, "smmal-pairs-", ["ingest_ts", "caption_id"])
+    stream = spark.readStream.schema(
+        "caption_id long, image_id long, ingest_ts timestamp"
+    ).parquet(path)
+    t = caption_tower(stream, emb)
+    scored = t.join(
+        emb.select(F.col("vec_id").alias("image_id"), F.col("v").alias("iv")),
+        "image_id",
+    ).select(
+        (F.floor(F.unix_millis("ingest_ts") / 60000) * 60000).alias(
+            "window_start_ms"
+        ),
+        "caption_id",
+        "image_id",
+        F.round(
+            _dot("tv", "iv")
+            / (F.sqrt(_dot("tv", "tv")) * F.sqrt(_dot("iv", "iv"))),
+            6,
+        ).alias("align_cos"),
+    )
+    out_stream = scored.withColumn(
+        "kept", F.col("align_cos") >= MM_ALIGN_THRESHOLD
+    )
+    return _run_available_now(out_stream, "streaming_mm_align")

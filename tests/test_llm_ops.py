@@ -1841,3 +1841,31 @@ def test_streaming_source_cap_state_carries_across_batches(spark):
     assert len(got) == n_docs
     for d in range(n_docs):
         assert got[d] == (d + 1, d + 1 <= SOURCE_CAP), (d, got[d])
+
+
+def test_mm_align_drops_exactly_planted_mismatches(spark):
+    """mm_text_image_align contract (the LAION-gate recall pin): every
+    PLANTED mis-captioned pair (caption_id % MM_ALIGN_EVERY ==
+    MM_ALIGN_RESIDUE — shifted onto a different image) is dropped, and
+    every true pair is kept; the score gap between the worst true pair
+    and the best planted pair is structural (>0.5), not a boundary
+    graze."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        MM_ALIGN_EVERY,
+        MM_ALIGN_RESIDUE,
+        mm_text_image_align,
+    )
+
+    rows = mm_text_image_align(spark, SF_SMALL).collect()
+    assert rows
+    planted = [r for r in rows if r.caption_id % MM_ALIGN_EVERY == MM_ALIGN_RESIDUE]
+    true_pairs = [r for r in rows if r.caption_id % MM_ALIGN_EVERY != MM_ALIGN_RESIDUE]
+    assert planted and true_pairs
+    # planted captions actually point at a DIFFERENT image
+    assert all(r.image_id != r.caption_id for r in planted)
+    assert all(r.image_id == r.caption_id for r in true_pairs)
+    # perfect separation on the fixture: recall of the gate is exact
+    assert all(not r.kept for r in planted)
+    assert all(r.kept for r in true_pairs)
+    gap = min(r.align_cos for r in true_pairs) - max(r.align_cos for r in planted)
+    assert gap > 0.5, gap
