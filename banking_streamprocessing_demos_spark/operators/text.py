@@ -2374,3 +2374,122 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("b") + F.col("t")) > 0).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration sweep (round 12, companion to
+# pipe_quality_classifier): before a quality filter ships, its
+# operating point is chosen from a threshold sweep against the labels —
+# precision/recall per candidate cut (the PR-curve-as-a-table every
+# filter deployment reads; GPT-3's appendix picks its Pareto point the
+# same way).  Here the sweep grades the frozen NB-linear margin against
+# the Gopher weak labels over the WHOLE corpus (training saw only the
+# bounded sample, so this is honest held-out-mostly evaluation).
+# ---------------------------------------------------------------------------
+
+QCLF_GRID_LO = -6  # thresholds t/2 for t in [-6, 6] -> -3.0 .. 3.0 step 0.5
+QCLF_GRID_HI = 6
+
+
+def _qclf_calibration_oracle() -> str:
+    return f"""
+    WITH {_qclf_model_sql()},
+    qdoc AS (SELECT doc_id, f, COUNT(*) AS k FROM qfeat GROUP BY 1, 2),
+    qsc AS (
+        SELECT d.doc_id, CAST(qb.b + SUM(d.k * w.w) AS DOUBLE) AS m
+        FROM qdoc d JOIN qw w ON w.f = d.f CROSS JOIN qb
+        GROUP BY d.doc_id, qb.b
+    ),
+    qgrid AS (
+        SELECT CAST(t AS DOUBLE) / 2 AS threshold
+        FROM range({QCLF_GRID_LO}, {QCLF_GRID_HI} + 1) AS r(t)
+    )
+    SELECT g.threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN s.m >= g.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.m >= g.threshold AND l.pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s.m >= g.threshold AND NOT l.pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s.m < g.threshold AND l.pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(ROUND(SUM(CASE WHEN s.m >= g.threshold AND l.pos THEN 1 ELSE 0 END)
+                 / NULLIF(CAST(SUM(CASE WHEN s.m >= g.threshold THEN 1 ELSE 0 END) AS DOUBLE), 0), 6) AS DOUBLE) AS precision_,
+           CAST(ROUND(SUM(CASE WHEN s.m >= g.threshold AND l.pos THEN 1 ELSE 0 END)
+                 / NULLIF(CAST(SUM(CASE WHEN l.pos THEN 1 ELSE 0 END) AS DOUBLE), 0), 6) AS DOUBLE) AS recall_
+    FROM qsc s JOIN qlab l USING (doc_id) CROSS JOIN qgrid g
+    GROUP BY g.threshold
+    """
+
+
+@REG.add(
+    "pipe_quality_classifier_calibration",
+    _qclf_calibration_oracle(),
+    doc="Operating-point calibration for the learned quality filter "
+    "(the PR-sweep table a filter deployment reads before freezing its "
+    "threshold — the GPT-3 appendix ritual): the frozen NB-linear "
+    "margin is graded against the Gopher weak labels over the WHOLE "
+    "corpus at 13 candidate thresholds (-3.0..3.0 step 0.5), emitting "
+    "kept/tp/fp/fn counts plus 6dp-rounded precision and recall "
+    "(NULL-guarded on empty classes).  The margin compare uses the "
+    "deterministic DOUBLE cast of the exact DECIMAL margin against "
+    "exactly-representable half-integer thresholds — no cross-engine "
+    "boundary.  Scale shape: the scoring stage is "
+    "pipe_quality_classifier's (fixed-size model broadcast over "
+    "map-side-combined counts); the sweep itself is a 13-row broadcast "
+    "cross join collapsed by one grouped aggregation over skinny "
+    "(margin, label) rows — the whole PR curve in a single pass, no "
+    "per-threshold rescans.",
+)
+def pipe_quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    weights, bias = quality_clf_model(spark, sf_dir)
+    labels = gopher_flagged(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.col("passed").alias("pos"))
+    scores = (
+        _qclf_docfeat(spark, sf_dir)
+        .groupBy("doc_id", "f")
+        .agg(F.count("*").alias("k"))
+        .join(F.broadcast(weights), "f")
+        .crossJoin(F.broadcast(bias))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("k") * F.col("w")).alias("t"))
+        .select("doc_id", (F.col("b") + F.col("t")).cast("double").alias("m"))
+    )
+    grid = spark.range(QCLF_GRID_LO, QCLF_GRID_HI + 1).select(
+        (F.col("id").cast("double") / 2).alias("threshold")
+    )
+    kept = F.col("m") >= F.col("threshold")
+    return (
+        scores.join(labels, "doc_id")
+        .crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum((kept & F.col("pos")).cast("int")).cast("long").alias("tp"),
+            F.sum((kept & ~F.col("pos")).cast("int")).cast("long").alias("fp"),
+            F.sum((~kept & F.col("pos")).cast("int")).cast("long").alias("fn"),
+        )
+        .select(
+            "threshold",
+            "n_scored",
+            "n_kept",
+            "tp",
+            "fp",
+            "fn",
+            F.round(
+                F.col("tp")
+                / F.nullif(F.col("n_kept").cast("double"), F.lit(0.0)),
+                6,
+            )
+            .cast("double")
+            .alias("precision_"),
+            F.round(
+                F.col("tp")
+                / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)),
+                6,
+            )
+            .cast("double")
+            .alias("recall_"),
+        )
+    )

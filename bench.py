@@ -339,6 +339,101 @@ def _prior_timings() -> tuple[dict[str, float], dict]:
     return out, provenance
 
 
+def _make_runner(spark, qs, sf_dir, prior, reruns):
+    """The shared (time-one, run-series) pair over a given session —
+    factored out (round 12) so the DEDICATED v1 process and the main
+    v2+ session run the identical protocol: two passes min-of-samples,
+    collect-never-count, and the >1.5x-of-prior auto-rerun defense with
+    per-rerun load samples."""
+
+    def _time_one(name: str, tag: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # collect, never count(): count() lets Catalyst prune every
+        # aggregate/projection and would time a gutted plan
+        n = len(df.collect())
+        dt = time.perf_counter() - t0
+        print(f"# {tag} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        return dt
+
+    def run_series(series_names: list[str], passes: int = 2) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for pass_i in range(passes):
+            for name in series_names:
+                dt = _time_one(name, f"pass{pass_i}")
+                if name not in timings or dt < timings[name]:
+                    timings[name] = round(dt, 3)
+        # self-defense against box contention (round-7 VERDICT #2): any
+        # query measuring >1.5x its committed prior (and >0.5 s over it
+        # — sub-second wiggles are session noise, not contention) gets
+        # ONE same-session re-run; both samples land in the payload so
+        # a regression-vs-noise read needs no side artifacts.  The
+        # reported series value keeps min-of-samples semantics.
+        for name, first in list(timings.items()):
+            p = prior.get(name)
+            if p and first > 1.5 * p and first - p > 0.5:
+                again = _time_one(name, "rerun")
+                reruns[name] = {
+                    "first_s": first,
+                    "rerun_s": round(again, 3),
+                    "prior_s": round(p, 3),
+                    # load at rerun time (round-10 VERDICT #1: the
+                    # start-only quiet gate is blind to mid-session
+                    # pile-up — record what load this rerun ran under)
+                    "load_1m_at_rerun": (_loadavg() or [0.0])[0],
+                }
+                timings[name] = min(first, round(again, 3))
+        return timings
+
+    return run_series
+
+
+def v1_main() -> None:
+    """--v1-only: run JUST the frozen v1 headline series in this (fresh)
+    process and print one JSON line.  Round-12 (VERDICT r11 "Next
+    round" #5 / What's wrong #2): the committed same-day 16.92 s vs
+    26.12 s spread was largely SELF-load — the v2+ series piling work
+    into the session the v1 walls share.  Stamping v1 from its own
+    process removes that coupling; the parent bench invokes this first
+    and merges the result."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    load = {"start": _loadavg()}
+    spark = get_spark("bench-v1")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    prior, _prov = _prior_timings()
+    reruns: dict[str, dict[str, float]] = {}
+    run_series = _make_runner(spark, qs, sf_dir, prior, reruns)
+    timings = run_series(names)
+    load["end"] = _loadavg()
+    print(json.dumps({"queries": timings, "reruns": reruns, "load": load}))
+    sys.stdout.flush()
+
+
+def _run_v1_dedicated() -> dict | None:
+    """Spawn the --v1-only child and parse its JSON line.  Returns None
+    on any failure so main() falls back to the in-process series (the
+    pre-round-12 behavior)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--v1-only"],
+            stdout=subprocess.PIPE,
+            timeout=1800,
+        )
+        for line in reversed(proc.stdout.decode().strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — any child failure falls back
+        print(f"# v1 dedicated session failed ({e}); in-process fallback",
+              file=sys.stderr)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -384,44 +479,7 @@ def main() -> None:
         "quiet": start_1m <= quiet_ceiling,
     }
 
-    def _time_one(name: str, tag: str) -> float:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # collect, never count(): count() lets Catalyst prune every
-        # aggregate/projection and would time a gutted plan
-        n = len(df.collect())
-        dt = time.perf_counter() - t0
-        print(f"# {tag} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        return dt
-
-    def run_series(series_names: list[str], passes: int = 2) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for pass_i in range(passes):
-            for name in series_names:
-                dt = _time_one(name, f"pass{pass_i}")
-                if name not in timings or dt < timings[name]:
-                    timings[name] = round(dt, 3)
-        # self-defense against box contention (round-7 VERDICT #2): any
-        # query measuring >1.5x its committed prior (and >0.5 s over it
-        # — sub-second wiggles are session noise, not contention) gets
-        # ONE same-session re-run; both samples land in the payload so
-        # a regression-vs-noise read needs no side artifacts.  The
-        # reported series value keeps min-of-samples semantics.
-        for name, first in list(timings.items()):
-            p = prior.get(name)
-            if p and first > 1.5 * p and first - p > 0.5:
-                again = _time_one(name, "rerun")
-                reruns[name] = {
-                    "first_s": first,
-                    "rerun_s": round(again, 3),
-                    "prior_s": round(p, 3),
-                    # load at rerun time (round-10 VERDICT #1: the
-                    # start-only quiet gate is blind to mid-session
-                    # pile-up — record what load this rerun ran under)
-                    "load_1m_at_rerun": (_loadavg() or [0.0])[0],
-                }
-                timings[name] = min(first, round(again, 3))
-        return timings
+    run_series = _make_runner(spark, qs, sf_dir, prior, reruns)
 
     # The driver's wall budget can kill this process at any point; the
     # round-3 run died mid-streaming-probe and every already-computed
@@ -461,6 +519,7 @@ def main() -> None:
             "n_reruns": len(payload.get("reruns", {})),
             "quiet_gate": payload.get("quiet_gate"),
             "rerun_baseline": payload.get("rerun_baseline"),
+            "v1_mode": payload.get("v1_mode"),
         }
         if len(json.dumps(c)) > 1900:  # still too wide? drop per-query detail
             c["queries"] = {"n_queries": len(payload["queries"])}
@@ -476,7 +535,26 @@ def main() -> None:
             print(json.dumps(_compact(payload)))
         sys.stdout.flush()
 
-    timings = run_series(names)
+    # Round-12 (VERDICT r11 #5): the headline v1 series runs in its own
+    # FRESH process before anything else touches this session, so the
+    # stamped walls can never inherit self-load from the v2+ series.
+    # The dedicated child applies the identical protocol (fresh JVM,
+    # warm-up, 2-pass min, auto-rerun defense); on any child failure
+    # the in-process path below keeps the bench alive.
+    v1_mode = "dedicated"
+    ded = (
+        None
+        if os.environ.get("SPARK_GRAFT_V1_INPROC")
+        else _run_v1_dedicated()
+    )
+    if ded:
+        timings = ded["queries"]
+        reruns.update(ded.get("reruns", {}))
+        load_evidence["v1_dedicated_start"] = ded.get("load", {}).get("start")
+        load_evidence["v1_dedicated_end"] = ded.get("load", {}).get("end")
+    else:
+        v1_mode = "in_process"
+        timings = run_series(names)
     load_evidence["after_v1"] = _loadavg()
     result = {
         "metric": "headline_queries_total_runtime",
@@ -489,6 +567,7 @@ def main() -> None:
         "reruns": reruns,
         "rerun_baseline": prior_provenance,
         "quiet_gate": quiet_gate,
+        "v1_mode": v1_mode,
     }
     emit(result)
 
@@ -774,4 +853,7 @@ def _streaming_throughput(
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--v1-only":
+        v1_main()
+    else:
+        main()

@@ -183,12 +183,23 @@ def main() -> None:
         rows = sum(p["numInputRows"] for p in steady)
         busy = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000
         ev_s = int(rows / busy) if busy > 0 else 0
+        # median batch wall: the mean over a 5-batch series is hostage
+        # to one GC/compaction hiccup (round-12: two back-to-back runs
+        # read arrow_large avg 0.62 s vs 2.96 s purely from one slow
+        # batch); the median is the robust per-batch cost
+        walls = sorted(
+            p["durationMs"]["triggerExecution"] / 1000 for p in steady
+        )
+        med = walls[len(walls) // 2] if walls else 0.0
+        rpb = rows // max(len(steady), 1)
         return {
             "n_batches": len(data),
-            "rows_per_batch": rows // max(len(steady), 1),
+            "rows_per_batch": rpb,
             "avg_batch_wall_s": round(busy / max(len(steady), 1), 2),
+            "median_batch_wall_s": round(med, 2),
             "events_per_sec_sustained": ev_s,
             "ms_per_vector": round(1000.0 / ev_s, 3) if ev_s else None,
+            "ms_per_vector_median": round(med / rpb * 1000, 3) if rpb else None,
             "implied_full_corpus_assign_s": round(n_vectors / ev_s, 1) if ev_s else None,
             "wall_s": round(wall, 1),
         }
@@ -207,11 +218,16 @@ def main() -> None:
     }
 
     def _marginal(small, large):
+        """Slope between the two batch sizes on MEDIAN batch walls (the
+        robust per-batch stat — see _run comment)."""
         d_rows = large["rows_per_batch"] - small["rows_per_batch"]
         if d_rows <= 0:
             return None
         return round(
-            (large["avg_batch_wall_s"] - small["avg_batch_wall_s"]) / d_rows * 1000, 3
+            (large["median_batch_wall_s"] - small["median_batch_wall_s"])
+            / d_rows
+            * 1000,
+            3,
         )
 
     marginal_ms = _marginal(
