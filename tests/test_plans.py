@@ -587,3 +587,54 @@ def test_rank_cells_arrow_plan_is_one_python_stage(spark):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_quality_classifier_scoring_is_broadcast(spark):
+    """pipe_quality_classifier's corpus-wide stage must score through
+    BROADCAST joins of the fixed-size model (weight vector + bias) —
+    the text side shuffles only for its own per-doc feature count
+    (map-side combined), never for the model."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_quality_classifier,
+    )
+
+    df = pipe_quality_classifier(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # no sort-merge join anywhere: every join in the pipeline has a
+    # bounded side (sample labels, bucket counts, totals, weights, bias)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_quality_classifier_calibration_single_pass(spark):
+    """The 13-threshold PR sweep must be ONE grouped aggregation over
+    the scored rows crossed with the broadcast grid — no per-threshold
+    rescan (13 scans would show 13+ parquet reads of documents)."""
+    from banking_streamprocessing_demos_spark.operators.text import (
+        pipe_quality_classifier_calibration,
+    )
+
+    df = pipe_quality_classifier_calibration(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # documents is scanned a bounded number of times (model-fit label +
+    # sample + per-class count sides, the scoring features, and the
+    # calibration labels — 10 in the static plan), NOT once per
+    # threshold: the bound is structural in the pipeline's sides and
+    # must stay strictly below the 13-threshold grid
+    assert plan.count("documents.parquet") <= 10, plan.count("documents.parquet")
+
+
+def test_mm_align_no_window_no_cartesian(spark):
+    """mm_text_image_align: two equi joins against embeddings + per-row
+    vector arithmetic — no window exchange, no cartesian blowup, no
+    aggregate on the scoring path (the only aggregate allowed is the
+    1-row doc-count used by the planted-pair modulus)."""
+    from banking_streamprocessing_demos_spark.operators.multimodal import (
+        mm_text_image_align,
+    )
+
+    df = mm_text_image_align(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert_no_cartesian(df)
