@@ -844,12 +844,24 @@ def _streaming_throughput(
         f"sustained {sustained}, best batch {best} ev/s",
         file=sys.stderr,
     )
-    return {
+    out: dict = {}
+    if not data_batches:
+        # 0 ev/s with no exception = the probe STARVED (no data batch
+        # completed inside wall_cap_s — an end-of-session load artifact,
+        # seen round-12 at load_1m 15.5), not a broken plan; say so in
+        # the payload instead of letting 0 read as a regression
+        out["note"] = (
+            f"no data batch completed within wall_cap_s={wall_cap_s} "
+            f"(load_1m {(_loadavg() or [0.0])[0]}); starved probe, "
+            "not a failed plan — see the dedicated uncontended artifact"
+        )
+    out.update({
         "events_per_sec": sustained,
         "best_batch_events_per_sec": best,
         "input_rows": rows,
         "busy_sec": round(busy, 1),
-    }
+    })
+    return out
 
 
 if __name__ == "__main__":
