@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from . import Registry
 from ..plans.explain import checkpoint_stage
-from .similarity import DIMS, IVF_CELLS, N_QUERIES, TOPK, _dot, _normed
+from .similarity import DIMS, IVF_CELLS, N_QUERIES, TOPK, _arr_sql, _dlit, _dot, _normed
 
 REG = Registry()
 
@@ -139,7 +139,16 @@ def _sub(col: str, m: int):
 
 
 def _lit_vec(vals: list[float]):
-    return F.array(*[F.lit(float(x)) for x in vals])
+    """ONE py4j round-trip (a single F.expr whose doubles are exact —
+    similarity._dlit) instead of len(vals) F.lit round-trips under an
+    F.array call — value-identical, and Catalyst constant-folds either
+    form to the same Literal.  The PQ/OPQ family embeds hundreds of
+    vector literals per plan (codebooks, LUTs, rotation rows), and the
+    round-12 probes measured the training walls ~100% fixed DRIVER-side
+    overhead (sf0.001 ≈ sf0.1 wall; cProfile: >80% of pq_train inside
+    py4j socket round-trips at ~0.2-0.6 ms each), so round-trip count
+    is the lever."""
+    return F.expr(_arr_sql(vals))
 
 
 def _self_dot(c: list[float]) -> float:
@@ -165,15 +174,15 @@ def _cb_struct_lit(cb_m: list[list[float]]):
     """Literal array<struct<c: array<double>, cc: double, k: int>> for
     one subspace's centroids — ONE plan node instead of PQ_K separate
     candidate expressions (the argmin folds over it), which keeps the
-    Catalyst tree (and codegen compile time) small."""
-    return F.array(
-        *[
-            F.struct(
-                _lit_vec(c).alias("c"), F.lit(_self_dot(c)).alias("cc"), F.lit(k).alias("k")
-            )
-            for k, c in enumerate(cb_m)
-        ]
+    Catalyst tree (and codegen compile time) small.  Built as ONE
+    F.expr round-trip (round 12): the old per-field F.lit/F.struct
+    construction was ~160 py4j calls per subspace x 16 argmin sites per
+    Lloyd pass — the dominant cost of pq_train by cProfile."""
+    entries = ", ".join(
+        f"named_struct('c', {_arr_sql(c)}, 'cc', {_dlit(_self_dot(c))}, 'k', {k})"
+        for k, c in enumerate(cb_m)
     )
+    return F.expr(f"array({entries})")
 
 
 def _argmin_code(s, cb_m: list[list[float]]):
@@ -587,7 +596,7 @@ def _lut_expr(cb: list[list[list[float]]], col: str = "u"):
     def lut_for(m: int):
         sub_m = _sub(col, m)
         return F.transform(
-            F.array(*[_lit_vec(c) for c in cb[m]]),
+            F.expr("array(" + ", ".join(_arr_sql(c) for c in cb[m]) + ")"),
             lambda c: F.aggregate(
                 F.zip_with(sub_m, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
             ),
@@ -748,9 +757,11 @@ def _cells_data(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def _cell_struct_lit(cells: list[list[float]]):
-    return F.array(
-        *[F.struct(_lit_vec(c).alias("c"), F.lit(k).alias("k")) for k, c in enumerate(cells)]
+    # one F.expr round-trip for the whole cell table (see _cb_struct_lit)
+    entries = ", ".join(
+        f"named_struct('c', {_arr_sql(c)}, 'k', {k})" for k, c in enumerate(cells)
     )
+    return F.expr(f"array({entries})")
 
 
 def _dot_lit(u, cl):
@@ -851,7 +862,7 @@ def ivfpq_index(
     it anyway, but the iterated Lloyd passes scan only the sample —
     constant train cost in corpus size."""
     cells = _cells_data(spark, sf_dir)
-    cells_arr = F.array(*[_lit_vec(c) for c in cells])
+    cells_arr = F.expr("array(" + ", ".join(_arr_sql(c) for c in cells) + ")")
     unit = _unit(spark, sf_dir)
     # MATERIALIZE (vec_id, cell, r): Catalyst's projection collapse
     # would otherwise inline the residual construction — including the
@@ -1116,7 +1127,10 @@ def _opq_rotate_expr(col: str) -> F.Column:
     rotation rows folded with the repo's left-associative dot — the
     Spark twin of the oracle's list_transform(R, row ->
     ROUND(list_dot_product(row, u), 6))."""
-    rows_lit = F.array(*[_lit_vec(r) for r in _OPQ_R])
+    # one py4j round-trip for the whole rotation matrix (1 parsed
+    # literal) instead of DIMS x DIMS F.lit round-trips — the matrix
+    # alone was ~4k py4j calls per plan before round 12
+    rows_lit = F.expr("array(" + ", ".join(_arr_sql(r) for r in _OPQ_R) + ")")
     return F.transform(
         rows_lit,
         lambda row: F.round(
@@ -1784,7 +1798,9 @@ def _bq_asym_score(qu: str = "qu", lo: str = "lo", hi: str = "hi"):
     words by bit-tests against plan-literal masks.  Shared by the flat
     scan (_bq_scored) and the IVF-pruned variant (sim_ann_ivf_binary);
     the left-associative fold matches the oracle's explicit + chain."""
-    masks = F.array(*[F.lit(m) for m in _BQ_MASKS])
+    # one array<bigint> literal in one round-trip (the old CreateArray
+    # coerced to the same type: 1<<31 exceeds int32 => bigint elements)
+    masks = F.expr("array(" + ", ".join(f"{m}L" for m in _BQ_MASKS) + ")")
     s_lo = F.zip_with(
         F.slice(qu, 1, BQ_WORD),
         masks,

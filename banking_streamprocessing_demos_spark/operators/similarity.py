@@ -56,6 +56,28 @@ def _dot(a: str, b: str):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: Python ``repr`` emits the shortest
+    string that round-trips the IEEE double, and the JVM's
+    Double.parseDouble is correctly rounded, so the parsed literal is
+    BIT-IDENTICAL to the Python float (probe-verified round 12 incl.
+    subnormals, -0.0, max-double, exponent forms)."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(vals) -> str:
+    """array(<doubles>) as ONE SQL fragment.  Round-12 fixed-overhead
+    finding: in classic PySpark every F.lit()/F.array() element is a
+    separate py4j round-trip (F.lit(list) expands element-wise
+    internally), and the PQ/OPQ/LSH training walls profiled ~100%
+    driver-side at ~0.2-0.6 ms per round-trip x tens of thousands of
+    calls.  Building constant vectors/matrices as one F.expr string is
+    a single round-trip; the JVM parser does the rest.  Values are
+    bit-identical (_dlit), so plans, results, and oracle hashes are
+    unchanged."""
+    return "array(" + ", ".join(_dlit(x) for x in vals) + ")"
+
+
 @REG.add(
     "sim_topk_bruteforce",
     f"""
@@ -120,7 +142,10 @@ def _sign_project(col: str, signs, scale: float):
         F.aggregate(
             F.zip_with(
                 col,
-                F.array(*[F.lit(float(s)) for s in row]),
+                # ONE py4j call per sign row instead of DIMS F.lit
+                # round-trips (the round-12 fixed-overhead finding;
+                # see _arr_sql) — value-identical
+                F.expr(_arr_sql(row)),
                 lambda x, w: x * w,
             ),
             F.lit(0.0),
@@ -843,8 +868,8 @@ def hashed_buckets(n: DataFrame, bits: int = LSH_BITS, tables: int = LSH_TABLES)
     for t in range(tables):
         bucket = None
         for bit in range(bits):
-            weights = F.array(
-                *[F.lit(float(_hyperplane_weight(t * bits + bit, d))) for d in range(DIMS)]
+            weights = F.expr(
+                _arr_sql(_hyperplane_weight(t * bits + bit, d) for d in range(DIMS))
             )
             proj = F.aggregate(
                 F.zip_with("v", weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
@@ -1208,7 +1233,7 @@ def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     def comp(j: int):
         signed = F.zip_with(
             "v",
-            F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]]),
+            F.expr(_arr_sql(_JL_SIGNS[j])),
             lambda x, s: x * s,
         )
         return F.round(
