@@ -2236,23 +2236,31 @@ def qclf_feature(bg_col):
     return hex4_to_int(det_hash_hex(bg_col, seed=QCLF_SEED)) % QCLF_BUCKETS
 
 
-def _qclf_docfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, f) — one row per hashed-bigram OCCURRENCE (the streaming
-    gate consumes occurrence rows; the batch scorer groups them to
-    per-doc counts)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.split("text", " ").alias("words"))
-    )
+def _qclf_feats_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, f) over any (doc_id, text) frame — split out (round 12)
+    so the TRAINING pass can hash only the bounded sample's bigrams
+    instead of re-running the corpus-wide explode the scoring pass
+    already pays (see quality_clf_model)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("words"))
     pairs = F.transform(
         F.sequence(F.lit(0), F.size("words") - 2),
         lambda i: F.concat(F.get("words", i), F.lit(" "), F.get("words", i + 1)),
     )
     return (
-        docs.filter(F.size("words") >= 2)
+        d.filter(F.size("words") >= 2)
         .select("doc_id", F.explode(pairs).alias("bg"))
         .select("doc_id", qclf_feature(F.col("bg")).alias("f"))
+    )
+
+
+def _qclf_docfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f) — one row per hashed-bigram OCCURRENCE (the streaming
+    gate consumes occurrence rows; the batch scorer groups them to
+    per-doc counts)."""
+    return _qclf_feats_of(
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
     )
 
 
@@ -2269,19 +2277,40 @@ def quality_clf_model(
     no full-sort exchange) over SKINNY (doc_id, pos) label rows, the
     production way to draw a seeded sample at any corpus size.  Weak
     labels come from gopher_flagged's pure per-row rule battery, so the
-    labeling stage adds no shuffle."""
-    from ..functions.expressions import det_hash_hex
+    labeling stage adds no shuffle.
 
-    labels = gopher_flagged(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.col("passed").alias("pos"))
-    samp = (
-        labels.orderBy(det_hash_hex("doc_id", seed=QCLF_SAMPLE_SEED), "doc_id")
+    Round-12 training-pass restriction (guide §2.3 "don't compute what
+    you throw away"): the seeded sample is drawn on SKINNY doc_ids
+    FIRST — the md5 rank depends only on doc_id, so TakeOrdered over
+    (rank, doc_id) id rows picks the identical QCLF_SAMPLE_N documents
+    the old labeled-table rank picked — and the Gopher rule battery and
+    the hashed-bigram explode then run over the sampled documents ONLY.
+    Before, training re-ran both corpus-wide (a second full md5 pass on
+    top of the scoring pass) and discarded everything outside the
+    sample at the broadcast join; at crawler scale that is two full
+    corpus passes for a fixed 200-doc fit.  Oracle-equivalent by
+    construction (counts only ever aggregated sample rows); hash-green
+    re-verified for all three consumers."""
+    from ..functions.expressions import det_hash_hex
+    from ..plans.explain import checkpoint_stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = (
+        docs.select("doc_id")
+        .orderBy(det_hash_hex("doc_id", seed=QCLF_SAMPLE_SEED), "doc_id")
         .limit(QCLF_SAMPLE_N)
-        .select("doc_id", "pos")
     )
+    # eager checkpoint of the QCLF_SAMPLE_N sampled docs: the model's
+    # count/total/prior branches reference the sample from several
+    # subtrees, and without materialization each reference re-scans the
+    # corpus and re-runs the TakeOrdered draw (the curate.py stage-
+    # boundary lesson) — the checkpointed table is sample-sized
+    sdocs = checkpoint_stage(
+        docs.join(F.broadcast(ids), "doc_id"), "qclf_sample_docs"
+    )
+    samp = gopher_flagged(sdocs).select("doc_id", F.col("passed").alias("pos"))
     cnt = (
-        _qclf_docfeat(spark, sf_dir)
+        _qclf_feats_of(sdocs)
         .join(F.broadcast(samp), "doc_id")
         .groupBy("f")
         .agg(
