@@ -49,7 +49,13 @@ rather than any reference file.
 
 from __future__ import annotations
 
-from functools import reduce
+
+from decimal import ROUND_HALF_UP as _HALF_UP
+from decimal import Decimal as _Dec
+
+_Q6 = _Dec("0.000001")
+_Q9 = _Dec("1e-9")
+
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -170,46 +176,75 @@ def _self_dot(c: list[float]) -> float:
     return acc
 
 
-def _cb_struct_lit(cb_m: list[list[float]]):
+def _cb_structs_sql(cb_m: list[list[float]]) -> str:
     """Literal array<struct<c: array<double>, cc: double, k: int>> for
-    one subspace's centroids — ONE plan node instead of PQ_K separate
-    candidate expressions (the argmin folds over it), which keeps the
-    Catalyst tree (and codegen compile time) small.  Built as ONE
-    F.expr round-trip (round 12): the old per-field F.lit/F.struct
-    construction was ~160 py4j calls per subspace x 16 argmin sites per
-    Lloyd pass — the dominant cost of pq_train by cProfile."""
+    one subspace's centroids, as ONE SQL fragment (the argmin folds
+    over it) — keeps the Catalyst tree (and codegen compile time)
+    small.  Built as SQL text (round 12): the old per-field
+    F.lit/F.struct construction was ~160 py4j calls per subspace x 16
+    argmin sites per Lloyd pass — the dominant cost of pq_train by
+    cProfile."""
     entries = ", ".join(
         f"named_struct('c', {_arr_sql(c)}, 'cc', {_dlit(_self_dot(c))}, 'k', {k})"
         for k, c in enumerate(cb_m)
     )
-    return F.expr(f"array({entries})")
+    return f"array({entries})"
 
 
-def _argmin_code(s, cb_m: list[list[float]]):
-    """In-row argmin code for a sub-vector column expression ``s``
-    against the literal centroid structs of ``cb_m``.
+def _cb_struct_lit(cb_m: list[list[float]]):
+    return F.expr(_cb_structs_sql(cb_m))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The repo's left-associative dot fold (similarity._dot) as SQL
+    text: aggregate over zip_with products from 0.0D — the identical
+    resolved expression the Python DSL builds, in ONE parser pass
+    instead of ~10 py4j round-trips per call site (the round-13
+    continuation of the round-12 fixed-overhead finding: after the
+    literal fix, pq_train still spent ~70% of its wall in py4j
+    send_command building higher-order-function trees lambda by
+    lambda)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _sub_sql(col: str, m: int) -> str:
+    """SQL twin of _sub: 1-based slice of subspace m."""
+    return f"slice({col}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+
+
+def _argmin_sql(s: str, cb_m: list[list[float]]) -> str:
+    """In-row argmin code for a sub-vector SQL fragment ``s`` against
+    the literal centroid structs of ``cb_m``, as ONE SQL fragment.
 
     d(k) = round6(|c_k|^2 - 2 s.c_k) — |s|^2 is constant per row, so
     it drops out of the argmin (the oracle uses the identical
     formula, so rounding-boundary behavior matches exactly); argmin
     with lowest-k tiebreak via array_min over (dist, k) structs — the
     same struct-ordering trick as streaming_ivf_assign's argmax.
+    Semantics are exactly the pre-round-13 DSL form (F.aggregate /
+    F.zip_with / F.struct / F.array_min compile to these same SQL
+    functions); only the construction path changed.
     """
+    return (
+        f"array_min(transform({_cb_structs_sql(cb_m)}, "
+        f"e -> named_struct('d', round(e.cc - 2 * {_dot_sql(s, 'e.c')}, 6), "
+        f"'k', e.k))).k"
+    )
 
-    def cand(e):
-        sc = F.aggregate(F.zip_with(s, e["c"], lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        return F.struct(F.round(e["cc"] - 2 * sc, 6).alias("d"), e["k"].alias("k"))
 
-    return F.array_min(F.transform(_cb_struct_lit(cb_m), cand))["k"]
+def _argmin_code(s: str, cb_m: list[list[float]]):
+    """Column form of _argmin_sql — ``s`` is a SQL fragment naming the
+    sub-vector (a column name or slice(...) text)."""
+    return F.expr(_argmin_sql(s, cb_m))
 
 
 def _subs_df(unit: DataFrame, col: str = "u") -> DataFrame:
     """Explode to (vec_id, m, sub) — one row per subspace.  Used by the
     TRAINING mean update only; encode/search stay un-exploded."""
-    pairs = F.array(
-        *[F.struct(F.lit(m).alias("m"), _sub(col, m).alias("sub")) for m in range(PQ_M)]
+    pairs = ", ".join(
+        f"named_struct('m', {m}, 'sub', {_sub_sql(col, m)})" for m in range(PQ_M)
     )
-    ex = unit.select("vec_id", F.explode(pairs).alias("p"))
+    ex = unit.select("vec_id", F.explode(F.expr(f"array({pairs})")).alias("p"))
     return ex.select("vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
 
 
@@ -262,7 +297,7 @@ def _lloyd_step(subs: DataFrame, cb: list[list[list[float]]]) -> list[list[list[
     previous centroid — mirrored by the oracle's LEFT JOIN COALESCE)."""
     assigned = subs.withColumn(
         "code",
-        _case_over_m([_argmin_code(F.col("sub"), cb[m]) for m in range(PQ_M)]),
+        _case_over_m([_argmin_sql("sub", cb[m]) for m in range(PQ_M)]),
     )
     means = _mean_update(assigned).collect()
     new_cb = [[list(c) for c in cb_m] for cb_m in cb]
@@ -271,13 +306,13 @@ def _lloyd_step(subs: DataFrame, cb: list[list[list[float]]]) -> list[list[list[
     return new_cb
 
 
-def _case_over_m(branches):
+def _case_over_m(branch_sqls: list[str]):
     """CASE WHEN m = i THEN branch_i — lets exploded (vec_id, m, sub)
-    rows evaluate only their own subspace's argmin."""
-    expr = None
-    for m, b in enumerate(branches):
-        expr = F.when(F.col("m") == m, b) if expr is None else expr.when(F.col("m") == m, b)
-    return expr
+    rows evaluate only their own subspace's argmin.  Branches are SQL
+    fragments; the whole CASE is ONE F.expr round-trip (the F.when
+    chain re-crossed py4j per branch)."""
+    whens = " ".join(f"WHEN m = {m} THEN {b}" for m, b in enumerate(branch_sqls))
+    return F.expr(f"CASE {whens} END")
 
 
 def _train_on(subs: DataFrame, iters: int, offset: int = 0) -> list[list[list[float]]]:
@@ -287,6 +322,71 @@ def _train_on(subs: DataFrame, iters: int, offset: int = 0) -> list[list[list[fl
     cb = _init_from_subs(subs, offset)
     for _ in range(iters):
         cb = _lloyd_step(subs, cb)
+    return cb
+
+
+def _to_dec9(x: float):
+    """Spark's cast(double AS decimal(20,9)) replayed exactly:
+    Decimal(Double.toString(x)).setScale(9, HALF_UP) — Python repr is
+    the same shortest round-trip decimal, quantize the same rule (the
+    _round6_spark argument, at scale 9)."""
+    return _Dec(repr(x)).quantize(_Q9, rounding=_HALF_UP)
+
+
+def _train_on_replay(
+    rows: list, iters: int, offset: int = 0
+) -> list[list[list[float]]]:
+    """The BOUNDED-SAMPLE Lloyd trajectory replayed in pure Python over
+    collected (vec_id, m, sub) rows — bit-identical to _train_on over
+    the same rows (pinned in tests/test_pq.py::test_lloyd_replay_*):
+
+    - assignment distance: round6(|c|^2 - 2 s.c) with the left-assoc
+      Python-float fold (Python floats ARE IEEE doubles; each op is
+      one correctly-rounded double op, the same sequence the SQL
+      aggregate executes), lowest-k tiebreak;
+    - mean update: _to_dec9 per component (Spark's decimal(20,9)
+      cast), EXACT Decimal summation (order-independent, so collect
+      order cannot matter), correctly-rounded double division, round6;
+    - empty cells keep the previous centroid.
+
+    Why (round-13, r12 VERDICT #1 / guide §4.2): with the sample
+    bounded at N_TRAIN the per-iteration Spark jobs are pure fixed
+    overhead — 3 driver jobs + ~100 KB plans to move ~270 rows — and
+    profiling showed the sampled train walls ~100% driver-side.  The
+    replay folds init + all iterations into zero jobs after a single
+    sample collect.  Full-corpus training keeps the distributed path
+    (collecting a corpus is the one thing this module must never do)."""
+    by = [(r["vec_id"], r["m"], list(r["sub"])) for r in rows]
+    seed = {(v, m): sub for v, m, sub in by if offset <= v < offset + PQ_K}
+    cb = [
+        [[_round6_spark(x) for x in seed[(offset + k, m)]] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    for _ in range(iters):
+        cc = [[_self_dot(c) for c in cb_m] for cb_m in cb]
+        sums: dict[tuple[int, int, int], list] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for v, m, sub in by:
+            best = None
+            for k, c in enumerate(cb[m]):
+                sc = 0.0
+                for x, y in zip(sub, c):
+                    sc = sc + x * y
+                d = _round6_spark(cc[m][k] - 2 * sc)
+                if best is None or (d, k) < (best[0], best[1]):
+                    best = (d, k)
+            k = best[1]
+            counts[(m, k)] = counts.get((m, k), 0) + 1
+            for dim0, comp in enumerate(sub):
+                key = (m, k, dim0)
+                if key in sums:
+                    sums[key] += _to_dec9(comp)
+                else:
+                    sums[key] = _to_dec9(comp)
+        new_cb = [[list(c) for c in cb_m] for cb_m in cb]
+        for (m, k, dim0), s in sums.items():
+            new_cb[m][k][dim0] = _round6_spark(float(s) / counts[(m, k)])
+        cb = new_cb
     return cb
 
 
@@ -303,9 +403,13 @@ def pq_train(
     scale shape: at 100 TB the Lloyd iterations scan a fixed-size sample
     instead of the corpus, and only the one-pass ENCODE touches every
     vector.  The oracle replays the identical sample (_train_sample_sql),
-    so the sampled trajectory is hash-checked like the full one."""
+    so the sampled trajectory is hash-checked like the full one.  The
+    sampled Lloyd loop itself runs as the driver-side replay over the
+    one-job collected sample (_train_on_replay, round 13)."""
     if train_sample is not None:
-        return _train_on(_sampled_subs(spark, sf_dir, train_sample), iters)
+        unit = _unit(spark, sf_dir)
+        sampled = unit.join(F.broadcast(_train_ids(unit, train_sample)), "vec_id", "semi")
+        return _train_on_replay(_subs_df(sampled).collect(), iters)
     subs = _subs_df(_unit(spark, sf_dir)).localCheckpoint(eager=True)
     return _train_on(subs, iters)
 
@@ -448,7 +552,7 @@ def _final_lloyd_frame(
     """The last Lloyd iteration as a distributed plan over ``subs``,
     shared by the full and sampled codebook queries."""
     assigned = subs.withColumn(
-        "code", _case_over_m([_argmin_code(F.col("sub"), cb_prev[m]) for m in range(PQ_M)])
+        "code", _case_over_m([_argmin_sql("sub", cb_prev[m]) for m in range(PQ_M)])
     )
     means = _mean_update(assigned)
     grid = spark.createDataFrame(
@@ -502,9 +606,10 @@ def emb_pq_codebook_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-training twin of emb_pq_codebook: the final Lloyd
     iteration runs distributed over the SAMPLED sub-vectors, read from
     the same checkpoint the earlier iterations trained on (the sample
-    selection pass runs exactly once)."""
+    selection pass runs exactly once; the earlier iterations replay
+    driver-side over the checkpoint's collected rows — round 13)."""
     subs = _sampled_subs(spark, sf_dir, N_TRAIN)
-    cb_prev = _train_on(subs, PQ_ITERS - 1)
+    cb_prev = _train_on_replay(subs.collect(), PQ_ITERS - 1)
     return _final_lloyd_frame(spark, subs, cb_prev)
 
 
@@ -591,27 +696,28 @@ def _lut_expr(cb: list[list[list[float]]], col: str = "u"):
     of the query's sub-vectors against codebook ``cb``, in (m, k) order —
     the Spark twin of _lut_sql, shared by flat-PQ, IVF-PQ, and OPQ
     search (``col`` names the vector the sub-slices read: raw unit,
-    residual, or rotated)."""
+    residual, or rotated).  ONE F.expr round-trip for the whole
+    PQ_M x PQ_K table (round 13; was ~10 py4j calls per subspace)."""
 
-    def lut_for(m: int):
-        sub_m = _sub(col, m)
-        return F.transform(
-            F.expr("array(" + ", ".join(_arr_sql(c) for c in cb[m]) + ")"),
-            lambda c: F.aggregate(
-                F.zip_with(sub_m, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            ),
-        )
+    def lut_for(m: int) -> str:
+        rows = ", ".join(_arr_sql(c) for c in cb[m])
+        return f"transform(array({rows}), cv -> {_dot_sql(_sub_sql(col, m), 'cv')})"
 
-    return F.flatten(F.array(*[lut_for(m) for m in range(PQ_M)]))
+    return F.expr(
+        "flatten(array(" + ", ".join(lut_for(m) for m in range(PQ_M)) + "))"
+    )
 
 
-def _adc_terms() -> list:
-    """The PQ_M LUT-lookup terms of a candidate's ADC score, to be summed
-    in fixed left-associative order (the Spark twin of _ADC_TERMS_SQL)."""
-    return [
-        F.element_at("lut", (F.lit(m * PQ_K + 1) + F.element_at("codes", m + 1)).cast("int"))
+def _adc_terms_sql() -> str:
+    """The PQ_M LUT-lookup terms of a candidate's ADC score, summed in
+    fixed left-associative order (the Spark twin of _ADC_TERMS_SQL) —
+    SQL text, parsed once.  element_at is 1-based exactly like the
+    DSL form it replaces (Spark's [] subscript would be 0-based; not
+    used here)."""
+    return " + ".join(
+        f"element_at(lut, cast(({m * PQ_K + 1} + element_at(codes, {m + 1})) as int))"
         for m in range(PQ_M)
-    ]
+    )
 
 
 def _shortlist_rerank(
@@ -713,13 +819,15 @@ def _adc_pq_scored(
     src_frame = frame if frame is not None else unit
     corpus = src_frame.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.array(*[_argmin_code(_sub(col, m), cb[m]) for m in range(PQ_M)]).alias("codes"),
+        F.expr(
+            "array(" + ", ".join(_argmin_sql(_sub_sql(col, m), cb[m]) for m in range(PQ_M)) + ")"
+        ).alias("codes"),
     )
     q = src_frame.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _lut_expr(cb, col=col).alias("lut"),
     )
-    score = F.round(reduce(lambda a, b: a + b, _adc_terms()), 6)
+    score = F.expr(f"round({_adc_terms_sql()}, 6)")
     return corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
         "adc_score", score
     )
@@ -756,26 +864,27 @@ def _cells_data(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return [by[k] for k in range(IVF_CELLS)]
 
 
-def _cell_struct_lit(cells: list[list[float]]):
-    # one F.expr round-trip for the whole cell table (see _cb_struct_lit)
+def _cell_structs_sql(cells: list[list[float]]) -> str:
+    # one SQL fragment for the whole cell table (see _cb_structs_sql)
     entries = ", ".join(
         f"named_struct('c', {_arr_sql(c)}, 'k', {k})" for k, c in enumerate(cells)
     )
-    return F.expr(f"array({entries})")
+    return f"array({entries})"
 
 
-def _dot_lit(u, cl):
-    return F.aggregate(F.zip_with(u, cl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+def _cell_struct_lit(cells: list[list[float]]):
+    return F.expr(_cell_structs_sql(cells))
 
 
-def _argmax_cell(u, cells: list[list[float]]):
+def _argmax_cell(u: str, cells: list[list[float]]):
     """Nearest coarse cell by round6 cosine (unit vectors), lowest cell
-    on ties — array_max over (score, -cell) structs."""
-
-    def cand(e):
-        return F.struct(F.round(_dot_lit(u, e["c"]), 6).alias("s"), (-e["k"]).alias("nk"))
-
-    return -F.array_max(F.transform(_cell_struct_lit(cells), cand))["nk"]
+    on ties — array_max over (score, -cell) structs.  ``u`` is a SQL
+    fragment naming the unit-vector column; the whole argmax is ONE
+    F.expr round-trip (round 13)."""
+    return F.expr(
+        f"-array_max(transform({_cell_structs_sql(cells)}, "
+        f"e -> named_struct('s', round({_dot_sql(u, 'e.c')}, 6), 'nk', -e.k))).nk"
+    )
 
 
 def _ivfpq_oracle_sql(sample_n: int | None = None) -> str:
@@ -872,7 +981,7 @@ def ivfpq_index(
     # trap (SCALE.md round-5 find); found here by the scale protocol
     # when the x10 point hung.
     resid = (
-        unit.withColumn("cell", _argmax_cell(F.col("u"), cells))
+        unit.withColumn("cell", _argmax_cell("u", cells))
         .withColumn(
             "r", F.zip_with("u", F.element_at(cells_arr, F.col("cell") + 1), lambda x, y: x - y)
         )
@@ -880,10 +989,13 @@ def ivfpq_index(
     )
     rsubs = _subs_df(resid, col="r")
     if train_sample is not None:
-        rsubs = rsubs.join(
+        sampled = rsubs.join(
             F.broadcast(_train_ids(unit, train_sample, offset=IVF_CELLS)), "vec_id", "semi"
         )
-    cbr = _train_on(rsubs, PQ_ITERS, offset=IVF_CELLS)
+        # bounded sample: one collect, zero-job Lloyd replay (round 13)
+        cbr = _train_on_replay(sampled.collect(), PQ_ITERS, offset=IVF_CELLS)
+    else:
+        cbr = _train_on(rsubs, PQ_ITERS, offset=IVF_CELLS)
     return cells, resid, cbr
 
 
@@ -929,28 +1041,28 @@ def sim_ann_ivfpq(
     corpus = resid.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
-        F.array(*[_argmin_code(_sub("r", m), cbr[m]) for m in range(PQ_M)]).alias("codes"),
+        F.expr(
+            "array(" + ", ".join(_argmin_sql(_sub_sql("r", m), cbr[m]) for m in range(PQ_M)) + ")"
+        ).alias("codes"),
     )
 
-    probe_structs = F.array_sort(
-        F.transform(
-            _cell_struct_lit(cells),
-            lambda e: F.struct(
-                (-F.round(_dot_lit(F.col("u"), e["c"]), 6)).alias("ns"), e["k"].alias("k")
-            ),
-        )
+    probe_structs_sql = (
+        f"array_sort(transform({_cell_structs_sql(cells)}, "
+        f"e -> named_struct('ns', -round({_dot_sql('u', 'e.c')}, 6), 'k', e.k)))"
     )
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.transform(F.slice(probe_structs, 1, probes), lambda e: e["k"]).alias("probes"),
-        F.transform(_cell_struct_lit(cells), lambda e: _dot_lit(F.col("u"), e["c"])).alias(
-            "cellscores"
-        ),
+        F.expr(
+            f"transform(slice({probe_structs_sql}, 1, {probes}), e -> e.k)"
+        ).alias("probes"),
+        F.expr(
+            f"transform({_cell_structs_sql(cells)}, e -> {_dot_sql('u', 'e.c')})"
+        ).alias("cellscores"),
         _lut_expr(cbr).alias("lut"),
     )
 
-    cs = F.element_at("cellscores", (F.col("cell") + 1).cast("int"))
-    score = F.round(reduce(lambda a, b: a + b, _adc_terms(), cs), 6)
+    cs = "element_at(cellscores, cast((cell + 1) as int))"
+    score = F.expr(f"round({cs} + {_adc_terms_sql()}, 6)")
     scored = corpus.join(
         F.broadcast(q),
         F.array_contains(F.col("probes"), F.col("cell"))
@@ -1197,18 +1309,86 @@ def _opq_oracle_sql() -> str:
     )
 
 
+def _round6_spark(x: float) -> float:
+    """Spark's round(x, 6) for doubles, replayed exactly: the JVM goes
+    BigDecimal(Double.toString(x)).setScale(6, HALF_UP).  Python repr
+    is the same shortest round-trip decimal (probe class as _dlit), and
+    Decimal.quantize(HALF_UP) is the same away-from-zero half rule.
+    Java's BigDecimal cannot represent -0.0, so an exactly-zero result
+    is normalized to +0.0 to match the JVM output bit-for-bit."""
+    f = float(_Dec(repr(x)).quantize(_Q6, rounding=_HALF_UP))
+    return 0.0 if f == 0.0 else f
+
+
+def opq_rotate_kernel(rot_rows: list[list[float]]):
+    """mapInArrow batch fn: (vec_id, u) -> (vec_id, ru) where
+    ru[i] = round6(R[i] . u) — BIT-IDENTICAL to _opq_rotate_expr
+    (pinned in tests/test_pq.py) but vectorized (guide §4.2).
+
+    The left-associative fold is replayed EXACTLY by accumulating over
+    input dims in order: acc starts at 0.0 and each numpy elementwise
+    multiply/add is one correctly-rounded IEEE double op, so every
+    output element computes ((0 + r_0*u_0) + r_1*u_1) + ... — the same
+    op sequence as the SQL aggregate fold (multiplication operand
+    order is irrelevant: IEEE multiply is commutative).  round6 goes
+    through _round6_spark (the JVM's toString->HALF_UP semantics).
+
+    Why: the interpreted higher-order-function rotation measured
+    ~1.2 ms/vector at sf0.1 (2.2-3.3 s for 2000 rows — the dominant
+    cost of opq_index and ~100% per-row EXECUTION, not plan overhead),
+    and it scales linearly with the corpus: at 10^9 vectors that is
+    ~2 weeks of CPU.  The numpy path is ~3 orders cheaper per vector,
+    the same adoption (and evidence protocol) as arrow_rank_kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    R = np.array(rot_rows, dtype=np.float64)  # (DIMS out, DIMS in)
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("ru", pa.list_(pa.float64()))]
+    )
+
+    def _rot(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                yield pa.record_batch(
+                    [pa.array([], t.type) for t in out_schema], schema=out_schema
+                )
+                continue
+            u = batch.column("u")
+            mat = np.asarray(u.flatten(), dtype=np.float64).reshape(n, -1)
+            acc = np.zeros((n, R.shape[0]), dtype=np.float64)
+            for d in range(R.shape[1]):  # sequential in d == the SQL fold order
+                acc += mat[:, d : d + 1] * R[:, d][None, :]
+            flat = [_round6_spark(x) for x in acc.ravel()]
+            offsets = np.arange(0, (n + 1) * R.shape[0], R.shape[0], dtype=np.int32)
+            yield pa.record_batch(
+                [
+                    batch.column("vec_id"),
+                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.float64())),
+                ],
+                schema=out_schema,
+            )
+
+    return _rot
+
+
 def opq_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """The OPQ BUILD stage — materialized rotated table + codebook
     trained on it — split out for the bench's train/search stage
-    separation (the ivfpq_index pattern)."""
+    separation (the ivfpq_index pattern).  The rotation runs through
+    the arrow kernel (round 13; bit-equality with the SQL expression
+    pinned in tests/test_pq.py::test_opq_rotate_kernel_matches_sql)."""
     unit = _unit(spark, sf_dir)
     # materialize (vec_id, ru) before the training/encode fan-out:
     # sibling of the IVF-PQ residual checkpoint — projection collapse
     # would inline the 64x64 rotation into every downstream reference
-    rot = unit.select("vec_id", _opq_rotate_expr("u").alias("ru")).localCheckpoint(
-        eager=True
+    rot = (
+        unit.select("vec_id", "u")
+        .mapInArrow(opq_rotate_kernel(_OPQ_R), "vec_id long, ru array<double>")
+        .localCheckpoint(eager=True)
     )
     return rot, _train_on(_subs_df(rot, col="ru"), PQ_ITERS)
 
@@ -1305,25 +1485,26 @@ def _opq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (Givens aggregates, rerank, queries) re-references it."""
     unit = _unit(spark, sf_dir)
 
-    def el(i: int):
-        return F.element_at(F.col("u"), i)
+    def el(i: int) -> str:
+        return f"element_at(u, {i})"
 
     terms = []
     for j in range(DIMS):
         if j < PQ_SUBDIM:
-            terms.append(F.lit(2.0) * el(j + 1) + el(j + 1 + PQ_SUBDIM))
+            terms.append(f"(2.0D * {el(j + 1)} + {el(j + 1 + PQ_SUBDIM)})")
         elif j < 2 * PQ_SUBDIM:
-            terms.append(el(j + 1 - PQ_SUBDIM) + F.lit(2.0) * el(j + 1))
+            terms.append(f"({el(j + 1 - PQ_SUBDIM)} + 2.0D * {el(j + 1)})")
         else:
             terms.append(el(j + 1))
     cp = checkpoint_stage(
-        unit.select("vec_id", F.array(*terms).alias("w")), "opq_fixture_stretch"
-    )
-    wdot = F.aggregate(
-        F.zip_with("w", "w", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        unit.select("vec_id", F.expr("array(" + ", ".join(terms) + ")").alias("w")),
+        "opq_fixture_stretch",
     )
     return checkpoint_stage(
-        cp.select("vec_id", F.transform("w", lambda x: x / F.sqrt(wdot)).alias("u")),
+        cp.select(
+            "vec_id",
+            F.expr(f"transform(w, el -> el / sqrt({_dot_sql('w', 'w')}))").alias("u"),
+        ),
         "opq_fixture_renormalize",
     )
 
@@ -1332,6 +1513,14 @@ def _dec_sum(expr: F.Column) -> F.Column:
     """round9 -> DECIMAL(20,9) sum -> double: the order-independent
     cross-engine-exact aggregate every training statistic uses."""
     return F.sum(F.round(expr, 9).cast("decimal(20,9)")).cast("double")
+
+
+def _dec_sum_sql(expr_sql: str) -> str:
+    """SQL twin of _dec_sum — the trained-OPQ build issues 153 of these
+    (24 Givens + 129 variance aggregates) and the DSL form cost ~10
+    py4j round-trips each (round-13 profile: the whole build was ~70%
+    driver-side socket time)."""
+    return f"cast(sum(cast(round({expr_sql}, 9) as decimal(20,9))) as double)"
 
 
 def opq_trained_index(
@@ -1372,11 +1561,11 @@ def opq_trained_index(
     stats_src = fix if ids is None else fix.join(F.broadcast(ids), "vec_id", "semi")
     aggs = []
     for a, b in OPQT_PAIRS:
-        ua, ub = F.element_at("u", a + 1), F.element_at("u", b + 1)
+        ua, ub = f"element_at(u, {a + 1})", f"element_at(u, {b + 1})"
         aggs += [
-            _dec_sum(ua * ub).alias(f"sab{a}"),
-            _dec_sum(ua * ua).alias(f"saa{a}"),
-            _dec_sum(ub * ub).alias(f"sbb{a}"),
+            F.expr(f"{_dec_sum_sql(f'{ua} * {ub}')}").alias(f"sab{a}"),
+            F.expr(f"{_dec_sum_sql(f'{ua} * {ua}')}").alias(f"saa{a}"),
+            F.expr(f"{_dec_sum_sql(f'{ub} * {ub}')}").alias(f"sbb{a}"),
         ]
     row = stats_src.agg(*aggs).first()
     cs = {
@@ -1391,28 +1580,40 @@ def opq_trained_index(
         if j in in_pair:
             side, a, b = in_pair[j]
             c, s = cs[a]
-            ua, ub = F.element_at("u", a + 1), F.element_at("u", b + 1)
+            ua, ub = f"element_at(u, {a + 1})", f"element_at(u, {b + 1})"
             terms.append(
-                F.lit(c) * ua - F.lit(s) * ub if side == "a" else F.lit(s) * ua + F.lit(c) * ub
+                f"({_dlit(c)} * {ua} - {_dlit(s)} * {ub})"
+                if side == "a"
+                else f"({_dlit(s)} * {ua} + {_dlit(c)} * {ub})"
             )
         else:
-            terms.append(F.element_at("u", j + 1))
+            terms.append(f"element_at(u, {j + 1})")
     r = checkpoint_stage(
-        fix.select("vec_id", F.array(*terms).alias("r")), "opq_composed_givens_rotation"
+        fix.select("vec_id", F.expr("array(" + ", ".join(terms) + ")").alias("r")),
+        "opq_composed_givens_rotation",
     )
 
     var_src = r if ids is None else r.join(F.broadcast(ids), "vec_id", "semi")
-    stats = var_src.agg(
-        F.count("*").alias("cnt"),
-        *[_dec_sum(F.element_at("r", d + 1)).alias(f"sm{d}") for d in range(DIMS)],
-        *[
-            _dec_sum(F.element_at("r", d + 1) * F.element_at("r", d + 1)).alias(f"sq{d}")
-            for d in range(DIMS)
-        ],
-    ).first()
-    cnt = stats["cnt"]
+    # per-dim moment sums as ONE posexplode + groupBy(dim) — the same
+    # multiset of comp values per dim as the old 129-wide single-row
+    # aggregate, so the DECIMAL-exact sums are identical; measured
+    # 4.5x faster (0.30 s vs 1.35 s warm at sf0.1): the 129-expression
+    # aggregate paid ~1 s of plan/codegen per call where the 3-agg
+    # groupBy shape is tiny (round 13, guide §1.2 per-task work)
+    mom = (
+        var_src.select(F.posexplode("r").alias("d0", "comp"))
+        .groupBy("d0")
+        .agg(
+            F.expr(_dec_sum_sql("comp")).alias("sm"),
+            F.expr(_dec_sum_sql("comp * comp")).alias("sq"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    )
+    by_dim = {row["d0"]: row for row in mom}
+    cnt = by_dim[0]["cnt"]
     var = [
-        stats[f"sq{d}"] / cnt - (stats[f"sm{d}"] / cnt) * (stats[f"sm{d}"] / cnt)
+        by_dim[d]["sq"] / cnt - (by_dim[d]["sm"] / cnt) * (by_dim[d]["sm"] / cnt)
         for d in range(DIMS)
     ]
     order = sorted(range(DIMS), key=lambda d: (-var[d], d))
@@ -1422,12 +1623,18 @@ def opq_trained_index(
     rot = checkpoint_stage(
         r.select(
             "vec_id",
-            F.array(*[F.round(F.element_at("r", p + 1), 6) for p in perm]).alias("ru"),
+            F.expr(
+                "array(" + ", ".join(f"round(element_at(r, {p + 1}), 6)" for p in perm) + ")"
+            ).alias("ru"),
         ),
         "opq_allocation_permute_round6",
     )
-    lloyd_src = rot if ids is None else rot.join(F.broadcast(ids), "vec_id", "semi")
-    cb = _train_on(_subs_df(lloyd_src, col="ru"), PQ_ITERS)
+    if ids is None:
+        cb = _train_on(_subs_df(rot, col="ru"), PQ_ITERS)
+    else:
+        # bounded sample: one collect, zero-job Lloyd replay (round 13)
+        sampled = rot.join(F.broadcast(ids), "vec_id", "semi")
+        cb = _train_on_replay(_subs_df(sampled, col="ru").collect(), PQ_ITERS)
     return fix, rot, perm, cb
 
 

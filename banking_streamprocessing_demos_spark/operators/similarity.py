@@ -61,8 +61,14 @@ def _dlit(x: float) -> str:
     string that round-trips the IEEE double, and the JVM's
     Double.parseDouble is correctly rounded, so the parsed literal is
     BIT-IDENTICAL to the Python float (probe-verified round 12 incl.
-    subnormals, -0.0, max-double, exponent forms)."""
-    return f"{float(x)!r}D"
+    subnormals, -0.0, max-double, exponent forms).  Non-finite guard
+    (round-12 ADVICE): repr(nan) would render 'nanD', which Spark's
+    parser treats as an unresolved column — fail fast with a clear
+    message instead of an UNRESOLVED_COLUMN error far from the cause."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"_dlit: non-finite literal {x!r} cannot be rendered as SQL")
+    return f"{x!r}D"
 
 
 def _arr_sql(vals) -> str:
@@ -137,24 +143,16 @@ def _centroids(n: "DataFrame", n_cells: int = IVF_CELLS) -> "DataFrame":
 def _sign_project(col: str, signs, scale: float):
     """Fold a ±1 sign-projection of a 64-dim array column in-row:
     len(signs) output dims, DIMS multiplies each, computed once per
-    vector."""
+    vector.  ONE F.expr round-trip for the whole projection (round 13;
+    the round-12 form still paid ~10 py4j round-trips per OUTPUT dim
+    building the zip_with/aggregate lambdas through the Python DSL —
+    the same fixed-overhead class as _arr_sql, one layer up)."""
     comps = [
-        F.aggregate(
-            F.zip_with(
-                col,
-                # ONE py4j call per sign row instead of DIMS F.lit
-                # round-trips (the round-12 fixed-overhead finding;
-                # see _arr_sql) — value-identical
-                F.expr(_arr_sql(row)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        * F.lit(scale)
+        f"(aggregate(zip_with({col}, {_arr_sql(row)}, (x, w) -> x * w), "
+        f"0.0D, (acc, x) -> acc + x) * {_dlit(scale)})"
         for row in signs
     ]
-    return F.array(*comps)
+    return F.expr("array(" + ", ".join(comps) + ")")
 
 
 def _jl_project(col: str):
@@ -864,22 +862,26 @@ def hashed_buckets(n: DataFrame, bits: int = LSH_BITS, tables: int = LSH_TABLES)
     driver-checked configuration pins ``bits=LSH_BITS`` (the oracle's
     baked hyperplane family); scale runs size bits via ``auto_lsh_bits``
     and tables via ``auto_lsh_tables`` so the curve is iso-recall."""
+    # ONE F.expr for the whole tables x bits hyperplane battery (round
+    # 13): the per-bit DSL form cost ~15 py4j round-trips per bit — at
+    # the registered 6x4 sizing that was ~360 per plan, and scale runs
+    # grow bits x tables with the corpus.
     table_buckets = []
     for t in range(tables):
         bucket = None
         for bit in range(bits):
-            weights = F.expr(
-                _arr_sql(_hyperplane_weight(t * bits + bit, d) for d in range(DIMS))
+            weights = _arr_sql(_hyperplane_weight(t * bits + bit, d) for d in range(DIMS))
+            proj = (
+                f"aggregate(zip_with(v, {weights}, (x, w) -> x * w), "
+                f"0.0D, (acc, x) -> acc + x)"
             )
-            proj = F.aggregate(
-                F.zip_with("v", weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
-            )
-            bit_col = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-            bucket = bit_col if bucket is None else bucket * 2 + bit_col
-        table_buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    return n.select(
-        "vec_id", "v", "nrm", F.explode(F.array(*table_buckets)).alias("tb")
-    ).select("vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            bit_sql = f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END)"
+            bucket = bit_sql if bucket is None else f"({bucket} * 2 + {bit_sql})"
+        table_buckets.append(f"named_struct('tbl', {t}, 'bucket', {bucket})")
+    tb = F.expr("array(" + ", ".join(table_buckets) + ")")
+    return n.select("vec_id", "v", "nrm", F.explode(tb).alias("tb")).select(
+        "vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 @REG.add(
@@ -1230,19 +1232,17 @@ def emb_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 
-    def comp(j: int):
-        signed = F.zip_with(
-            "v",
-            F.expr(_arr_sql(_JL_SIGNS[j])),
-            lambda x, s: x * s,
-        )
-        return F.round(
-            F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) * F.lit(_JL_SCALE), 6
+    def comp(j: int) -> str:
+        signed = f"zip_with(v, {_arr_sql(_JL_SIGNS[j])}, (x, s) -> x * s)"
+        return (
+            f"round(aggregate({signed}, 0.0D, (acc, x) -> acc + x) "
+            f"* {_dlit(_JL_SCALE)}, 6)"
         )
 
-    return e.select(
-        "vec_id", F.posexplode(F.array(*[comp(j) for j in range(JL_OUT_DIMS)])).alias("dim0", "proj")
-    ).select("vec_id", F.col("dim0").cast("long").alias("dim"), "proj")
+    comps = F.expr("array(" + ", ".join(comp(j) for j in range(JL_OUT_DIMS)) + ")")
+    return e.select("vec_id", F.posexplode(comps).alias("dim0", "proj")).select(
+        "vec_id", F.col("dim0").cast("long").alias("dim"), "proj"
+    )
 
 
 @REG.add(

@@ -538,7 +538,7 @@ def _streaming_pq_oracle() -> str:
     "so the streaming histogram hash-matches the SQL oracle.",
 )
 def streaming_pq_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pq import PQ_M, _argmin_code, _sub, pq_train
+    from .pq import PQ_M, _argmin_sql, _sub_sql, pq_train
     from .similarity import DIMS, _dot
 
     cb = pq_train(spark, sf_dir)
@@ -564,7 +564,11 @@ def streaming_pq_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ingest_ts",
         "vec_id",
         F.posexplode(
-            F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)])
+            F.expr(
+                "array("
+                + ", ".join(_argmin_sql(_sub_sql("u", m), cb[m]) for m in range(PQ_M))
+                + ")"
+            )
         ).alias("subspace", "code"),
     )
     agg = codes.groupBy(F.window("ingest_ts", "1 minute"), "subspace", "code").agg(

@@ -12,8 +12,8 @@ from banking_streamprocessing_demos_spark.operators.pq import (
     PQ_M,
     PQ_RERANK,
     PQ_SUBDIM,
-    _argmin_code,
-    _sub,
+    _argmin_sql,
+    _sub_sql,
     _unit,
     emb_pq_codebook,
     pq_train,
@@ -85,7 +85,7 @@ def test_pq_codes_in_range_and_used(spark):
     cb = pq_train(spark, SF_SMALL)
     unit = _unit(spark, SF_SMALL)
     codes = unit.select(
-        F.array(*[_argmin_code(_sub("u", m), cb[m]) for m in range(PQ_M)]).alias("codes")
+        F.expr("array(" + ", ".join(_argmin_sql(_sub_sql("u", m), cb[m]) for m in range(PQ_M)) + ")").alias("codes")
     ).collect()
     arr = np.array([r["codes"] for r in codes])  # (N, M)
     assert arr.min() >= 0 and arr.max() < PQ_K
@@ -176,7 +176,7 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
     unit = _unit(spark, SF_SMALL)
     assign = {
         r["vec_id"]: r["cell"]
-        for r in unit.select("vec_id", _argmax_cell(F.col("u"), cells).alias("cell")).collect()
+        for r in unit.select("vec_id", _argmax_cell("u", cells).alias("cell")).collect()
     }
     # probed cells per query = top-IVFPQ_PROBES by rounded cosine
     qs = unit.filter(F.col("vec_id") < 5).select("vec_id", "u").collect()
@@ -289,6 +289,90 @@ def test_ivfpq_widened_funnel_degenerates_to_bruteforce(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_lloyd_replay_matches_distributed(spark):
+    """The driver-side bounded-sample Lloyd replay (round 13) must be
+    BIT-IDENTICAL to the distributed _train_on over the same sampled
+    sub-vectors — every codebook component compared at the raw-bits
+    level, at both the raw-vector sampled path and the residual path's
+    offset seeding."""
+    import struct
+
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        N_TRAIN,
+        PQ_ITERS,
+        _sampled_subs,
+        _train_on,
+        _train_on_replay,
+    )
+
+    subs = _sampled_subs(spark, SF_SMALL, N_TRAIN)
+    dist = _train_on(subs, PQ_ITERS)
+    replay = _train_on_replay(subs.collect(), PQ_ITERS)
+    for m in range(len(dist)):
+        for k in range(len(dist[m])):
+            for d in range(len(dist[m][k])):
+                assert struct.pack("<d", dist[m][k][d]) == struct.pack(
+                    "<d", replay[m][k][d]
+                ), (m, k, d, dist[m][k][d], replay[m][k][d])
+
+
+def test_opq_rotate_kernel_matches_sql(spark):
+    """The arrow rotation kernel (round 13, guide §4.2) must be
+    BIT-IDENTICAL to the SQL aggregate-fold expression it replaced —
+    every round6(R[i].u) element compared at the raw-bits level, not
+    approximately: the rotated table feeds Lloyd training and the
+    declared sim_ann_opq hash, so a single ULP drift would desync the
+    oracle trajectory."""
+    import struct
+
+    from banking_streamprocessing_demos_spark.operators.pq import (
+        _OPQ_R,
+        _opq_rotate_expr,
+        _unit,
+        opq_rotate_kernel,
+    )
+
+    unit = _unit(spark, SF_SMALL)
+    old = {
+        r["vec_id"]: r["ru"]
+        for r in unit.select("vec_id", _opq_rotate_expr("u").alias("ru")).collect()
+    }
+    new = {
+        r["vec_id"]: r["ru"]
+        for r in unit.select("vec_id", "u")
+        .mapInArrow(opq_rotate_kernel(_OPQ_R), "vec_id long, ru array<double>")
+        .collect()
+    }
+    assert old.keys() == new.keys()
+    for k in old:
+        for a, b in zip(old[k], new[k], strict=True):
+            assert struct.pack("<d", a) == struct.pack("<d", b), (k, a, b)
+
+
+def test_round6_spark_matches_engine_round(spark):
+    """_round6_spark (the kernel's rounding) vs the engine's round(x, 6)
+    over adversarial doubles: half-boundary neighborhoods, negatives,
+    exact zeros, subnormal-ish magnitudes."""
+    from banking_streamprocessing_demos_spark.operators.pq import _round6_spark
+
+    vals = []
+    for base in (0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.0000005):
+        for ulps in range(-3, 4):
+            x = base
+            for _ in range(abs(ulps)):
+                import math
+
+                x = math.nextafter(x, math.inf if ulps > 0 else -math.inf)
+            vals.append(x)
+    vals += [0.0, -0.0, 1e-7, -1e-7, 4.9999995e-7, -4.9999995e-7, 123.45678949999999]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.selectExpr("round(x, 6) AS r").collect()]
+    import struct
+
+    for v, g in zip(vals, got, strict=True):
+        assert struct.pack("<d", _round6_spark(v)) == struct.pack("<d", g), (v, g)
 
 
 def test_opq_rotation_is_orthonormal_and_preserves_dots(spark):
