@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +64,23 @@ STATE_SCHEMA = StructType(
 )
 
 
+_OUT_COLS = [f.name for f in OUTPUT_SCHEMA.fields]
+
+
+def _out_frame(rows: list[tuple]) -> pd.DataFrame:
+    """Output frame from row TUPLES via ONE object-dtype 2-D block —
+    measured 93 us vs 231 us for pd.DataFrame(list_of_dicts) and 582 us
+    for a dict-of-lists constructor (round-13 profile: output-frame
+    construction was 83% of the update fn's wall; a single ndarray
+    block skips pandas' per-column sanitize/infer entirely).  Arrow
+    serialization coerces the object columns to OUTPUT_SCHEMA exactly
+    as it did the mixed dtypes the dict constructor produced."""
+    arr = np.empty((len(rows), len(_OUT_COLS)), dtype=object)
+    for i, r in enumerate(rows):
+        arr[i] = r
+    return pd.DataFrame(arr, columns=_OUT_COLS)
+
+
 def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
     """Build the per-key state-update function.  ``late_slack_ms`` bounds
     how long post-alert state lingers to catch late deliveries (default:
@@ -73,7 +91,7 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
         key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (message_id,) = key
-        out: list[dict[str, Any]] = []
+        out: list[tuple[Any, ...]] = []
 
         def set_timer(ts_ms: int) -> None:
             # a timer at/before the watermark would be rejected; clamp
@@ -89,15 +107,8 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
         if state.hasTimedOut:
             if delivered is None and not alerted:
                 out.append(
-                    {
-                        "message_id": message_id,
-                        "kind": "alert",
-                        "phone_number": phone,
-                        "carrier": carrier,
-                        "first_sent_ms": first_sent,
-                        "event_ms": (first_sent or 0) + timeout_ms,
-                        "latency_ms": None,
-                    }
+                    (message_id, "alert", phone, carrier, first_sent,
+                     (first_sent or 0) + timeout_ms, None)
                 )
                 alerted = True
                 state.update((first_sent, phone, carrier, delivered, alerted, resolved))
@@ -107,7 +118,7 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
                 # resolution window elapsed (or already resolved) → evict
                 state.remove()
             if out:
-                yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+                yield _out_frame(out)
             return
 
         # hot path: one invocation per key per batch — stay in numpy
@@ -136,15 +147,7 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
 
         def emit_alert() -> None:
             out.append(
-                {
-                    "message_id": message_id,
-                    "kind": "alert",
-                    "phone_number": phone,
-                    "carrier": carrier,
-                    "first_sent_ms": first_sent,
-                    "event_ms": deadline,
-                    "latency_ms": None,
-                }
+                (message_id, "alert", phone, carrier, first_sent, deadline, None)
             )
 
         if new_delivered_events and delivered is None:
@@ -158,15 +161,7 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
             latency = delivered - first_sent if first_sent is not None else None
             kind = "late_delivered" if alerted else "delivered"
             out.append(
-                {
-                    "message_id": message_id,
-                    "kind": kind,
-                    "phone_number": phone,
-                    "carrier": carrier,
-                    "first_sent_ms": first_sent,
-                    "event_ms": delivered,
-                    "latency_ms": latency,
-                }
+                (message_id, kind, phone, carrier, first_sent, delivered, latency)
             )
             resolved = True
 
@@ -202,7 +197,7 @@ def make_detector_fn(timeout_ms: int, late_slack_ms: int | None = None):
             set_timer(first_sent + timeout_ms)
 
         if out:
-            yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            yield _out_frame(out)
 
     return update
 
