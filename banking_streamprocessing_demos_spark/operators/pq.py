@@ -364,7 +364,7 @@ def _train_on_replay(
     ]
     for _ in range(iters):
         cc = [[_self_dot(c) for c in cb_m] for cb_m in cb]
-        sums: dict[tuple[int, int, int], list] = {}
+        sums: dict[tuple[int, int, int], _Dec] = {}
         counts: dict[tuple[int, int], int] = {}
         for v, m, sub in by:
             best = None
