@@ -269,7 +269,15 @@ def er_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
         )
     )
-    m = _matched(spark, sf_dir).select("dirty_id", F.col("cname").alias("matched_name"))
+    # materialize the verified-link table once (round 13): pair_stats and
+    # rec_stats each re-ran the whole three-pass blocking + levenshtein
+    # pipeline through their own branches; the checkpointed table is the
+    # BOUNDED match output (verified links only), never the corpus
+    m = (
+        _matched(spark, sf_dir)
+        .select("dirty_id", F.col("cname").alias("matched_name"))
+        .localCheckpoint(eager=True)
+    )
     joined = truth.join(m, "dirty_id", "left")
     pair_stats = (
         joined.filter(F.col("matched_name").isNotNull())

@@ -867,7 +867,21 @@ def _bpe_fit_docs(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
     (word -> space-joined subword tokens after all merges).
     pipe_curate_end_to_end passes the curated survivor set — the
     tokenizer a training pipeline actually ships is fit on curated
-    data, not the raw crawl."""
+    data, not the raw crawl.
+
+    ROUND 13: the merge loop replays DRIVER-SIDE over the collected
+    vocab.  The vocab is Zipf-bounded and already broadcast to every
+    executor by all consumers (the mapping join), so collecting it is
+    the same memory class — and with it collected, each of the 8 merge
+    rounds was 2 fixed-overhead Spark jobs (pair argmax + fold
+    checkpoint, ~0.2 s each) to move a few thousand rows.  The replay
+    is bit-identical to the distributed fold (pinned in
+    tests/test_llm_ops.py::test_bpe_fit_replay_matches_distributed):
+    pair counts are exact integer sums; the (count desc, a, b) argmax
+    ties break on Python string order == Spark's UTF8 binary order
+    (UTF-8 byte order is code-point order); the merge application
+    replicates the fold's left-to-right non-overlapping semantics
+    (last-token == a and next == b -> replace with a+b)."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
@@ -877,51 +891,42 @@ def _bpe_fit_docs(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
     # (?s) in BOTH engines: without it their '.' exclusion sets differ
     # (Java: \n \r U+0085 U+2028 U+2029; RE2: \n only), so a word holding
     # \r split differently per engine — dotall makes the char split
-    # byte-identical to Python's list(w) for every terminator
-    vocab = words.withColumn(
-        "toks", F.trim(F.regexp_replace("word", "(?s)(.)", "$1 "))
-    ).localCheckpoint(eager=True)  # corpus-scale count runs exactly once
+    # byte-identical to Python's list(w) for every terminator.  The char
+    # split stays IN SPARK so the replay never re-implements it.
+    rows = (
+        words.withColumn("toks", F.trim(F.regexp_replace("word", "(?s)(.)", "$1 ")))
+        .collect()
+    )  # ONE corpus-scale job; everything after is vocab-sized
+    vocab_py: dict[str, tuple[int, list[str]]] = {
+        r["word"]: (r["freq"], r["toks"].split(" ")) for r in rows
+    }
     merges: list[tuple] = []
     for rank in range(1, BPE_MERGES + 1):
-        arr = F.split("toks", " ")
-        pairs = vocab.select(
-            "freq",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(arr, 1, F.size(arr) - 1).alias("pa"),
-                    F.slice(arr, 2, F.size(arr) - 1).alias("pb"),
-                )
-            ).alias("pr"),
-        )
-        best = (
-            pairs.groupBy(F.col("pr.pa").alias("a"), F.col("pr.pb").alias("b"))
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        counts: dict[tuple[str, str], int] = {}
+        for freq, toks in vocab_py.values():
+            for i in range(len(toks) - 1):
+                pr = (toks[i], toks[i + 1])
+                counts[pr] = counts.get(pr, 0) + freq
+        if not counts:
             break
-        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merged = a + b
-        merges.append((rank, a, b, merged, c))
-        suffix = " " + a
-        toks_arr = F.split("toks", " ")
-        fold = F.aggregate(
-            F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
-            F.element_at(toks_arr, 1),
-            lambda acc, x: F.when(
-                ((acc == F.lit(a)) | F.endswith(acc, F.lit(suffix)))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.substring(acc, F.lit(1), F.length(acc) - len(a)), F.lit(merged)
-                ),
-            ).otherwise(F.concat(acc, F.lit(" "), x)),
-        )
-        # checkpoint per merge: keeps the iterated lambda plan shallow and
-        # the vocab honestly materialized (same pattern as min-label
-        # propagation); the table is vocab-sized, never corpus-sized
-        vocab = vocab.withColumn("toks", fold).localCheckpoint(eager=True)
+        merges.append((rank, a, b, merged, int(c)))
+        for word, (freq, toks) in vocab_py.items():
+            if len(toks) < 2:
+                continue
+            out = [toks[0]]
+            for x in toks[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            vocab_py[word] = (freq, out)
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(w, f, " ".join(toks)) for w, (f, toks) in vocab_py.items()],
+        "word string, freq bigint, toks string",
+    )
     return merges, vocab
 
 

@@ -38,3 +38,19 @@ def pytest_configure(config):
         "integration: touches external infrastructure (Kafka connector/broker) "
         "when present; self-gating when absent",
     )
+
+
+def fuzz_examples(n: int) -> int:
+    """Per-test hypothesis example budget (round 13, r12 VERDICT #6):
+    the fuzz suites grew past the round driver's verify window (the
+    full suite measured 20:07 with the declared example counts and the
+    r12 driver stamped tests_ok=false on a timed-out, failure-free
+    run).  Default budget is ~1/5 of the declared count (floor 4) —
+    every fuzz property still RUNS and still covers its boundary
+    lattice seeds; set SPARK_GRAFT_FULL_FUZZ=1 for the full counts
+    (used for the committed end-of-round evidence run)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FULL_FUZZ"):
+        return n
+    return max(4, n // 5)

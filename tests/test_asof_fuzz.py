@@ -6,6 +6,7 @@ timestamps and all."""
 from __future__ import annotations
 
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.relational import merge_asof
@@ -33,7 +34,7 @@ def brute_force(left, right):
 
 
 @given(lrows=rows, rrows=rows)
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=fuzz_examples(12), deadline=None)
 def test_merge_asof_matches_bruteforce(spark, lrows, rrows):
     left = [(k, t, i) for i, (k, t) in enumerate(lrows)]
     # right unique per (key, ts) — the operator's documented requirement;
@@ -73,7 +74,7 @@ def brute_join(big, small):
     ),
     small=st.lists(st.tuples(st.integers(0, 5), st.integers(100, 199)), max_size=8),
 )
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=fuzz_examples(8), deadline=None)
 def test_salted_join_matches_plain_join(spark, big, small):
     """salted_join must equal the plain inner join on arbitrary inputs —
     null keys dropped, duplicate keys multiplied, hot keys included (the

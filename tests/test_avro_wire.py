@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.config import GeneratorConfig
@@ -38,7 +39,7 @@ def test_known_vectors():
 
 
 @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=fuzz_examples(200), deadline=None)
 def test_long_roundtrip(n):
     v, pos = read_long(write_long(n), 0)
     assert v == n

@@ -12,6 +12,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.text import REG
@@ -59,7 +60,7 @@ def _reference(corpus: list[list[str]]) -> dict[int, tuple[int, float]]:
     return out
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=fuzz_examples(80), deadline=None)
 @given(docs)
 def test_bigram_lm_oracle_matches_reference(corpus: list[list[str]]) -> None:
     con = duckdb.connect()

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.text import (
@@ -49,7 +50,7 @@ def _reference_strip(corpus: list[list[str]]) -> dict[int, tuple[int, int, str]]
     return out
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=fuzz_examples(80), deadline=None)
 @given(docs)
 def test_boilerplate_oracle_matches_reference(corpus: list[list[str]]) -> None:
     con = duckdb.connect()

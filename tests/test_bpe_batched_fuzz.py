@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.text import (
@@ -64,7 +65,7 @@ def _batched_reference(
     return out, toks
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(words)
 def test_bpe_batched_oracle_matches_reference(ws: list[str]) -> None:
     text = " ".join(ws)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.text import (
@@ -57,7 +58,7 @@ def _textbook_fit(freqs: dict[str, int]) -> tuple[list[tuple], dict[str, list[st
     return merges, toks
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(words)
 def test_bpe_oracle_matches_textbook_on_random_corpora(ws: list[str]) -> None:
     text = " ".join(ws)

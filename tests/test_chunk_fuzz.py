@@ -11,6 +11,7 @@ import hashlib
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.multimodal import (
@@ -58,7 +59,7 @@ def ref_pairs(payloads: dict[int, str]) -> dict[tuple[int, int], tuple[int, floa
     return out
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=fuzz_examples(40), deadline=None)
 @given(corpus_strategy)
 def test_chunk_dedup_oracle_matches_reference(corpus: list[str]) -> None:
     con = duckdb.connect()

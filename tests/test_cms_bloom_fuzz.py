@@ -16,6 +16,7 @@ import hashlib
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.sketches import (
@@ -54,7 +55,7 @@ def _cms_reference(keys: list[int]) -> list[tuple[int, int]]:
     return ranked[:CMS_TOPK]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(user_ids)
 def test_cms_oracle_matches_reference(keys: list[int]) -> None:
     con = duckdb.connect()
@@ -92,7 +93,7 @@ def _bloom_reference(
     return out
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(customers, orders)
 def test_bloom_oracle_matches_reference(
     custs: list[tuple[int, float]], order_keys: list[int]

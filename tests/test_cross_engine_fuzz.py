@@ -15,6 +15,7 @@ import tempfile
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.dedup import (
@@ -60,7 +61,7 @@ _OPS = [
 ]
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6), deadline=None)
 @given(docs)
 def test_spark_matches_oracle_on_adversarial_tokens(spark, corpus) -> None:
     sf = tempfile.mkdtemp(prefix="xeng-")

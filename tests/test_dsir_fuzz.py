@@ -19,6 +19,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.text import (
@@ -76,7 +77,7 @@ def _reference(corpus: list[tuple[list[str], str]]) -> dict[int, tuple[int, floa
     return {d: (n, float(t)) for d, (n, t) in out.items()}
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(docs)
 def test_dsir_oracle_matches_reference(corpus) -> None:
     con = duckdb.connect()
@@ -133,7 +134,7 @@ def _reference_resample(
     ]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(docs)
 def test_dsir_resample_oracle_matches_reference(corpus) -> None:
     from banking_streamprocessing_demos_spark.operators.text import (

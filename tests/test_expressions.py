@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -52,7 +53,7 @@ def test_uniform_range_and_spread(spark):
     st.floats(min_value=0.05, max_value=0.9),
     st.floats(min_value=0.05, max_value=0.09),
 )
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=fuzz_examples(10), deadline=None)
 def test_weighted_classify_boundaries(spark, p1, p2):
     df = spark.createDataFrame(
         [(0.0,), (p1 - 1e-9,), (p1,), (p1 + p2 - 1e-9,), (p1 + p2,), (0.999999,)], ["u"]

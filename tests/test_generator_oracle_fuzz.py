@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.config import GeneratorConfig
@@ -36,7 +37,7 @@ def configs(draw):
 
 
 @given(cfg=configs())
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6), deadline=None)
 def test_fixture_matches_duckdb_regeneration(spark, cfg):
     spark_rows = sorted(
         map(tuple, generate_events(spark, cfg).collect())

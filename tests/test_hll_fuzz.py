@@ -17,6 +17,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.sketches import (
@@ -69,7 +70,7 @@ def _run_oracle(pairs: list[tuple[str, int]]) -> dict[str, tuple[int, float]]:
     return {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=fuzz_examples(80), deadline=None)
 @given(rows)
 def test_hll_oracle_matches_reference(pairs: list[tuple[str, int]]) -> None:
     assert _run_oracle(pairs) == _reference(pairs)

@@ -19,6 +19,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.dedup import (
@@ -100,7 +101,7 @@ def _reference(
     return out
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(docs, caps)
 def test_minhash_lsh_oracle_matches_reference(
     corpus: list[list[str]], df_cap: int

@@ -15,6 +15,7 @@ import tempfile
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.packing import (
@@ -30,7 +31,7 @@ lengths = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=fuzz_examples(8), deadline=None)
 @given(lengths)
 def test_pack_sequences_matches_oracle_on_seqlen_boundaries(spark, ls) -> None:
     sf = tempfile.mkdtemp(prefix="packb-")

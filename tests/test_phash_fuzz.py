@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.multimodal import (
@@ -69,7 +70,7 @@ def ref_pairs(payloads: dict[int, str]) -> dict[tuple[int, int], int]:
     return out
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=fuzz_examples(50), deadline=None)
 @given(corpus_strategy)
 def test_phash_oracle_matches_reference(corpus: list[str]) -> None:
     con = duckdb.connect()

@@ -20,6 +20,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.pq import (
@@ -105,7 +106,7 @@ def _reference_codebook(
     }
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 @given(corpora)
 def test_pq_codebook_oracle_matches_reference(vecs: list[list[float]]) -> None:
     con = duckdb.connect()
@@ -145,7 +146,7 @@ unit_vecs = st.lists(
 )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=fuzz_examples(30), deadline=None)
 @given(unit_vecs)
 def test_opq_rotation_duckdb_matches_python_fold_bitwise(u) -> None:
     import struct
@@ -240,7 +241,7 @@ def _reference_sample_ids(n_vecs: int, n: int) -> set[int]:
     return set(ranked[:n]) | set(range(min(PQ_K, n_vecs)))
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=fuzz_examples(25), deadline=None)
 @given(corpora, st.sampled_from([4, PQ_K + 4, 10_000]))
 def test_sampled_codebook_oracle_matches_reference(
     vecs: list[list[float]], n: int
@@ -340,7 +341,7 @@ def _bq_reference(vecs: list[list[float]]):
     return codes, scored
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=fuzz_examples(40), deadline=None)
 @given(bq_corpora)
 def test_bq_codes_and_asym_scores_match_reference(vecs: list[list[float]]) -> None:
     from banking_streamprocessing_demos_spark.operators.pq import _bq_prelude_sql

@@ -20,6 +20,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.text import (
@@ -107,7 +108,7 @@ def _reference(corpus: list[list[str]]) -> dict[int, tuple[int, float, bool]]:
     return {d: (n, float(b + t), (b + t) > 0) for d, (n, t) in out.items()}
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=fuzz_examples(50), deadline=None)
 @given(docs)
 def test_qclf_oracle_matches_reference(corpus) -> None:
     con = duckdb.connect()

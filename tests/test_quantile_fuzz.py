@@ -12,6 +12,7 @@ import tempfile
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.relational import (
@@ -37,7 +38,7 @@ events = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=fuzz_examples(10), deadline=None)
 @given(events)
 def test_quantile_and_median_match_oracle(spark, rows) -> None:
     sf = tempfile.mkdtemp(prefix="qf-")
@@ -88,7 +89,7 @@ snapshot_events = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=fuzz_examples(10), deadline=None)
 @given(snapshot_events)
 def test_snapshot_and_cohorts_match_oracle(spark, rows) -> None:
     """u3's last-event-wins must break timestamp TIES by event_id in

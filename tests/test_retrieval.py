@@ -27,6 +27,7 @@ from banking_streamprocessing_demos_spark.plans.explain import (
 )
 from pyspark.sql import functions as F
 from tests.conftest import SF_SMALL
+from conftest import fuzz_examples
 
 
 def test_bm25_output_contract(spark):
@@ -291,7 +292,7 @@ def test_bm25_oracle_matches_python_reference_on_random_corpora():
 
     six = Decimal("0.000001")
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=fuzz_examples(40), deadline=None)
     @given(corpora)
     def run(corpus):
         con = duckdb.connect()

@@ -10,6 +10,7 @@ import hashlib
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.dedup import REG, SIMHASH_BITS
@@ -38,7 +39,7 @@ def _reference(corpus: list[list[str]]) -> dict[int, int]:
     return out
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=fuzz_examples(80), deadline=None)
 @given(docs)
 def test_simhash_oracle_matches_reference(corpus: list[list[str]]) -> None:
     con = duckdb.connect()

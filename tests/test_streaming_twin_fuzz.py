@@ -12,6 +12,7 @@ import os
 import tempfile
 
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 TOKENS = ["ab", "Ab", "a.b", "x7", "c\rd", "e\tf", "g"]
@@ -34,7 +35,7 @@ def _write_docs(spark, corpus) -> str:
     return sf
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=fuzz_examples(4), deadline=None)
 @given(docs)
 def test_streaming_boilerplate_matches_batch_on_random_corpora(spark, corpus) -> None:
     from banking_streamprocessing_demos_spark.operators.streaming_queries import (
@@ -56,7 +57,7 @@ def test_streaming_boilerplate_matches_batch_on_random_corpora(spark, corpus) ->
     assert streamed == batch
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=fuzz_examples(4), deadline=None)
 @given(docs)
 def test_streaming_bpe_encode_matches_batch_on_random_corpora(spark, corpus) -> None:
     from banking_streamprocessing_demos_spark.operators.streaming_queries import (
@@ -76,7 +77,7 @@ def test_streaming_bpe_encode_matches_batch_on_random_corpora(spark, corpus) -> 
     assert streamed == batch
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=fuzz_examples(4), deadline=None)
 @given(docs)
 def test_streaming_keep_best_matches_batch_on_random_corpora(spark, corpus) -> None:
     """Representative maintenance is a pure windowed argmax (no
@@ -128,7 +129,7 @@ def _write_parts(spark, corpus) -> str:
     return sf
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=fuzz_examples(4), deadline=None)
 @given(parts)
 def test_streaming_er_match_matches_batch_on_random_corpora(spark, corpus) -> None:
     """Record linkage batch==stream: the frozen block-key inventory +
@@ -164,7 +165,7 @@ bm25_docs = st.lists(
 )
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=fuzz_examples(4), deadline=None)
 @given(bm25_docs)
 def test_streaming_bm25_matches_batch_on_random_corpora(spark, corpus) -> None:
     """Streamed per-arrival scores equal the batch scorer's on the
@@ -192,7 +193,7 @@ def test_streaming_bm25_matches_batch_on_random_corpora(spark, corpus) -> None:
             assert streamed[k - DUP_OFFSET] == v, (k, v)
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=fuzz_examples(4), deadline=None)
 @given(docs)
 def test_streaming_dsir_gate_matches_batch_on_random_corpora(spark, corpus) -> None:
     """Streamed per-arrival DSIR scores equal the batch scorer's under
@@ -231,7 +232,7 @@ def test_streaming_dsir_gate_matches_batch_on_random_corpora(spark, corpus) -> N
             assert streamed[k - DUP_OFFSET] == v, (k, v)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=fuzz_examples(3), deadline=None)
 @given(docs)
 def test_streaming_ppl_gate_matches_batch_on_random_corpora(spark, corpus) -> None:
     """Streamed per-arrival LM scores and bucket labels equal the batch
@@ -277,7 +278,7 @@ def test_streaming_ppl_gate_matches_batch_on_random_corpora(spark, corpus) -> No
             assert streamed[k - DUP_OFFSET] == v, (k, v)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=fuzz_examples(3), deadline=None)
 @given(docs)
 def test_streaming_gopher_gate_matches_batch_on_random_corpora(spark, corpus) -> None:
     """The per-window rule-failure counts equal an independent

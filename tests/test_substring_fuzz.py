@@ -17,6 +17,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.dedup import REG, SPAN_N
@@ -63,7 +64,7 @@ def _reference(corpus: list[list[str]]) -> dict[int, tuple[int, int, float]]:
     return out
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=fuzz_examples(80), deadline=None)
 @given(docs)
 def test_substring_spans_oracle_matches_reference(corpus: list[list[str]]) -> None:
     con = duckdb.connect()

@@ -14,6 +14,7 @@ import tempfile
 
 import duckdb
 from hypothesis import given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from banking_streamprocessing_demos_spark.operators.relational import (
@@ -76,7 +77,7 @@ def _write_events(spark, rows: list[tuple[int, int]]) -> str:
     return sf
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=fuzz_examples(8), deadline=None)
 @given(offsets)
 def test_window_ops_match_oracle_on_boundary_lattice(spark, rows) -> None:
     sf = _write_events(spark, rows)
@@ -114,7 +115,7 @@ funnel_offsets = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=fuzz_examples(8), deadline=None)
 @given(funnel_offsets)
 def test_funnels_match_oracle_on_tie_heavy_lattice(spark, rows) -> None:
     from banking_streamprocessing_demos_spark.operators.relational import (
@@ -159,7 +160,7 @@ pairing_offsets = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=fuzz_examples(8), deadline=None)
 @given(pairing_offsets)
 def test_timeout_pairing_matches_oracle_on_deadline_edges(spark, rows) -> None:
     from banking_streamprocessing_demos_spark.operators.relational import j5
