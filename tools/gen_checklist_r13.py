@@ -50,9 +50,10 @@ for n in ["sim_ann_matryoshka", "streaming_mrl_assign", "sim_ann_sq8", "sim_ann_
 for n in ["sim_ann_lsh", "emb_random_project", "dedup_semantic_clusters", "streaming_lsh_assign"]:
     D[n] = "r13:#1 _sign_project/hashed_buckets one-F.expr battery"
 for n in ["text_bigram_lm_score", "pipe_quality_gate", "pipe_quality_prune",
-          "pipe_perplexity_buckets", "pipe_perplexity_buckets_sampled", "pipe_curriculum_pack",
-          "streaming_ppl_gate", "streaming_curriculum_histogram", "streaming_quality_gate"]:
+          "pipe_perplexity_buckets", "pipe_perplexity_buckets_sampled", "pipe_curriculum_pack"]:
     D[n] = "r13:#8 bigram-LM fit materialized once (1.94->1.50s steady; family rides the fit)"
+for n in ["streaming_ppl_gate", "streaming_curriculum_histogram", "streaming_quality_gate"]:
+    D[n] = "probe - frozen-LM stream twin (builds its own broadcast-sized reference LM stream-side; batch-fit change N/A)"
 for n in ["pipe_dsir_weights", "pipe_dsir_resample", "streaming_dsir_gate"]:
     D[n] = "r13:#9 one shared docfeat pass (was 3 explode+md5 corpus passes)"
 for n in ["pipe_bpe_merges", "pipe_bpe_encode", "pipe_tokenizer_fertility",
